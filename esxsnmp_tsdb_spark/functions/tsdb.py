@@ -1,0 +1,238 @@
+"""Core time-series transforms — the reference's query + Aggregator
+semantics (SURVEY.md §2.1/§2.2) as composable DataFrame functions.
+
+Reference parity notes (anchors are † public-repo hints, SURVEY.md §0):
+
+- ``TSDBVar.select(begin, end)`` † — slot-addressed range scan that
+  materializes missing slots as invalid rows → :func:`range_scan`,
+  :func:`time_spine`.
+- ``TSDBVar.insert`` † — positional overwrite, last-write-wins per slot →
+  :func:`slot_dedup`.
+- ``tsdb/aggregator.py · Aggregator.update`` † — delta/rate with counter
+  wrap + heartbeat invalidation, RRD-style consolidation (average, delta,
+  min, max, last) and proportional allocation of a delta across bucket
+  boundaries → :func:`deltas`, :func:`wrap_correct`, :func:`downsample`,
+  :func:`bin_split`.
+
+Every function is a pure ``DataFrame -> DataFrame`` transform over the long
+"obs" layout (SURVEY.md §1.2)::
+
+    obs(path: string, tse: bigint epoch-UTC seconds, value: double,
+        flags: int bitmask, event_id: bigint ingest tiebreak)
+
+Scale posture: all per-series ops are windows over ``partitionBy(path)`` —
+one shuffle on ``path`` (hash-partitioned), then every downstream window
+and bucketed group-by reuses that clustering.  Bucket group-bys aggregate
+map-side first (partial aggregation is automatic).  Nothing here collects
+to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Reference row flags (tsdb/row.py · ROW_VALID †).
+ROW_VALID = 0x1
+ROW_HIDDEN = 0x2
+
+# Counter wrap moduli (tsdb/row.py · Counter32/Counter64 †).
+COUNTER32_MAX = 2**32
+COUNTER64_MAX = 2**64
+
+
+def series_window(order_tiebreak: str = "event_id") -> Window:
+    """Per-series ordering used by every consecutive-row op."""
+    return Window.partitionBy("path").orderBy("tse", order_tiebreak)
+
+
+def obs_from_events(events: DataFrame) -> DataFrame:
+    """Map the driver `events` fixture to the obs layout (SURVEY.md §1.2).
+
+    Series path ≙ ``user_id/event_type`` (TSDBSet hierarchy flattened into a
+    key column); flags are synthesized deterministically (the fixture has no
+    invalid rows; every 10th event_id plays an invalid/ROW_HIDDEN row so the
+    flag-mask ops have something to filter).
+    """
+    return events.select(
+        F.concat_ws("/", "user_id", "event_type").alias("path"),
+        F.unix_timestamp("ts").alias("tse"),
+        F.col("value").cast("double").alias("value"),
+        F.when(F.col("event_id") % 10 == 0, F.lit(0))
+        .otherwise(F.lit(ROW_VALID))
+        .cast("int")
+        .alias("flags"),
+        F.col("event_id"),
+    )
+
+
+def slot_of(tse: Column, step: int) -> Column:
+    """Slot quantization: ``slot = ts - ts % step`` (reference slot math †)."""
+    return (tse - tse % F.lit(step)).cast("bigint")
+
+
+def valid_only(obs: DataFrame) -> DataFrame:
+    """Drop rows without ROW_VALID — ``TSDBVar.select(flags=...)`` †."""
+    return obs.filter(F.col("flags").bitwiseAND(F.lit(ROW_VALID)) != 0)
+
+
+def range_scan(obs: DataFrame, begin: int, end: int) -> DataFrame:
+    """``TSDBVar.select(begin, end)`` † — rows with begin <= tse < end.
+
+    At scale the storage layer partitions by date(slot); this filter prunes
+    those partitions exactly like the reference's YYYYMMDD chunk mapper.
+    """
+    return obs.filter((F.col("tse") >= begin) & (F.col("tse") < end))
+
+
+def slot_dedup(obs: DataFrame, step: int) -> DataFrame:
+    """Last-write-wins per (path, slot) — ``TSDBVar.insert`` overwrite †.
+
+    The winner is the latest (tse, event_id) within the slot; event_id is
+    the ingest-order tiebreak (unique in the fixtures → deterministic).
+    """
+    w = Window.partitionBy("path", "slot").orderBy(
+        F.col("tse").desc(), F.col("event_id").desc()
+    )
+    return (
+        obs.withColumn("slot", slot_of(F.col("tse"), step))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def deltas(obs: DataFrame, value_col: str = "value") -> DataFrame:
+    """Consecutive-row difference + time gap per series (Aggregator.update †).
+
+    Adds ``delta`` (value - previous value) and ``dt`` (seconds since the
+    previous sample); both NULL on each series' first row.
+    """
+    w = series_window()
+    return obs.withColumn(
+        "delta", F.col(value_col) - F.lag(value_col).over(w)
+    ).withColumn("dt", (F.col("tse") - F.lag("tse").over(w)).cast("bigint"))
+
+
+def wrap_correct(delta: Column, modulus: int) -> Column:
+    """Counter wrap correction (Aggregator.update wrap branch †):
+    a negative delta means the counter wrapped → add the modulus.
+
+    For Counter64 callers must pass a DecimalType delta — double loses
+    precision above 2**53 (SURVEY.md §7 hard parts).
+    """
+    return F.when(delta < 0, delta + F.lit(modulus)).otherwise(delta)
+
+
+def heartbeat_invalidate(rate: Column, dt: Column, heartbeat: int) -> Column:
+    """NULL out rates across gaps longer than HEARTBEAT — the reference
+    refuses to interpolate across outages (Aggregator heartbeat check †).
+    Gap == heartbeat is still valid; only strictly-greater invalidates.
+    """
+    return F.when(dt > heartbeat, F.lit(None)).otherwise(rate)
+
+
+def counter_rate(
+    obs: DataFrame,
+    counter_col: str,
+    modulus: int = COUNTER32_MAX,
+    heartbeat: int | None = None,
+) -> DataFrame:
+    """The canonical SNMP counter→rate pipeline (Aggregator.update †):
+    delta → wrap correction → per-second rate → heartbeat invalidation.
+    """
+    d = deltas(obs, counter_col)
+    corrected = wrap_correct(F.col("delta"), modulus)
+    rate = corrected / F.col("dt")
+    if heartbeat is not None:
+        rate = heartbeat_invalidate(rate, F.col("dt"), heartbeat)
+        corrected = heartbeat_invalidate(corrected, F.col("dt"), heartbeat)
+    return d.withColumn("wrapped_delta", corrected).withColumn("rate", rate)
+
+
+def downsample(obs: DataFrame, step: int, value_col: str = "value") -> DataFrame:
+    """RRD consolidation to a coarser step (Aggregator base-agg path †):
+    one bucketed group-by producing all five consolidation functions
+    (average, delta-as-sum, min, max, last) plus the row count.
+
+    ``last`` is ``max_by(value, (tse, event_id))`` — the latest reading in
+    the bucket, deterministic via the ingest tiebreak.
+    """
+    return (
+        obs.withColumn("slot", slot_of(F.col("tse"), step))
+        .groupBy("path", "slot")
+        .agg(
+            F.avg(value_col).alias("average"),
+            F.sum(value_col).alias("total"),
+            F.min(value_col).alias("vmin"),
+            F.max(value_col).alias("vmax"),
+            F.expr(f"max_by({value_col}, struct(tse, event_id))").alias("last"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def time_spine(
+    obs: DataFrame, begin: int, end: int, step: int, path_col: str = "path"
+) -> DataFrame:
+    """Dense slot grid per series — ``TSDBVar.select`` materializes slots
+    never written as invalid rows † (missing data is present-but-flagged).
+
+    Returns one row per (path, slot) for every slot in [begin, end), with
+    ``average``/``n`` from the observed rows and ``valid`` false for empty
+    slots.  The spine is built with ``sequence`` + ``explode`` (JVM-side,
+    no driver loop) and joined observed-side-first so the join is a
+    broadcast of the small distinct-path dimension at fixture scale and a
+    shuffle-on-(path, slot) co-partitioned join at 100 TB.
+    """
+    paths = obs.select(path_col).distinct()
+    grid = paths.select(
+        F.col(path_col).alias("path"),
+        F.explode(
+            F.sequence(F.lit(begin), F.lit(end - 1), F.lit(step))
+        ).alias("slot"),
+    )
+    observed = (
+        obs.filter((F.col("tse") >= begin) & (F.col("tse") < end))
+        .withColumn("slot", slot_of(F.col("tse"), step))
+        .groupBy("path", "slot")
+        .agg(F.avg("value").alias("average"), F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        grid.join(observed, ["path", "slot"], "left")
+        .withColumn("valid", F.col("n").isNotNull())
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+    )
+
+
+def bin_split(
+    deltas_df: DataFrame, bucket: int, delta_col: str = "delta"
+) -> DataFrame:
+    """Proportional allocation of a delta across bucket boundaries
+    (Aggregator.update slot-boundary logic †): a delta observed over
+    (prev_tse, tse] that spans N buckets contributes to each bucket in
+    proportion to the time overlap.
+
+    Input must carry ``delta`` and ``dt`` (see :func:`deltas`).  The
+    interval is exploded into its covered buckets with ``sequence`` —
+    JVM-side, one row per covered bucket, no Python in the loop.
+    """
+    df = deltas_df.filter(F.col(delta_col).isNotNull() & (F.col("dt") > 0))
+    df = df.withColumn("t0", F.col("tse") - F.col("dt"))
+    df = df.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                slot_of(F.col("t0"), bucket), slot_of(F.col("tse") - 1, bucket), F.lit(bucket)
+            )
+        ),
+    )
+    overlap = F.least(F.col("tse"), F.col("bucket") + bucket) - F.greatest(
+        F.col("t0"), F.col("bucket")
+    )
+    return (
+        df.withColumn("overlap", overlap.cast("double"))
+        .withColumn("alloc", F.col(delta_col) * F.col("overlap") / F.col("dt"))
+        .groupBy("path", "bucket")
+        .agg(F.sum("alloc").alias("delta_alloc"))
+    )

@@ -1,0 +1,350 @@
+"""§2.2 — the Aggregator (``tsdb/aggregator.py · Aggregator.update`` †):
+delta/rate with counter-wrap + heartbeat semantics, RRD consolidation
+(average/delta/min/max/last), boundary bin-splitting, and the aggregate
+cascade.  SURVEY.md §2.2.
+
+Synthetic counter: the fixtures carry gauge readings, so counter ops derive
+a monotonic counter as the per-series running sum of integer-scaled values
+(``_shared.CNT_CTE`` is the oracle twin).  Counter math stays in BIGINT end
+to end — exact on both engines; only rates (divisions) are floats, rounded
+to 6 places on both sides before hashing.
+
+Scale posture: everything is one shuffle on ``path`` (window) followed by
+partial-aggregated bucket group-bys; `ts_bin_split` explodes each interval
+into its covered buckets JVM-side (`sequence`), so a delta spanning K
+buckets costs K rows, not a Python loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from esxsnmp_tsdb_spark.functions import tsdb
+from esxsnmp_tsdb_spark.operators._shared import (
+    BUCKET,
+    CNT_CTE,
+    FINE,
+    HEARTBEAT,
+    OBS_CTE,
+    SYNTH_WRAP,
+)
+from esxsnmp_tsdb_spark.registry import op
+from esxsnmp_tsdb_spark.sources import register_views
+
+
+def _obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tsdb.obs_from_events(register_views(spark, sf_dir)["events"])
+
+
+def _counter(obs: DataFrame) -> DataFrame:
+    """Synthetic monotonic counter (oracle twin: ``_shared.CNT_CTE``)."""
+    w = (
+        Window.partitionBy("path")
+        .orderBy("tse", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return obs.select(
+        "path",
+        "tse",
+        "event_id",
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).over(w).alias("counter"),
+    )
+
+
+@op(
+    "ts_delta",
+    oracle=f"""
+WITH {OBS_CTE}
+SELECT path, tse, round(value - lag(value) OVER w, 6) AS delta,
+       tse - lag(tse) OVER w AS dt
+FROM obs
+WINDOW w AS (PARTITION BY path ORDER BY tse, event_id)
+""",
+)
+def ts_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-reading difference per series (Aggregator.update †)."""
+    d = tsdb.deltas(_obs(spark, sf_dir))
+    return d.select("path", "tse", F.round("delta", 6).alias("delta"), "dt")
+
+
+@op(
+    "ts_rate",
+    oracle=f"""
+WITH {OBS_CTE}, {CNT_CTE}
+SELECT path, tse,
+       round(CAST(counter - lag(counter) OVER w AS DOUBLE)
+             / (tse - lag(tse) OVER w), 6) AS rate
+FROM cnt
+WINDOW w AS (PARTITION BY path ORDER BY tse, event_id)
+""",
+)
+def ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter → per-second rate, the canonical SNMP op (Aggregator.update †).
+
+    NULL on each series' first row (no previous sample) and where dt=0.
+    """
+    cnt = _counter(_obs(spark, sf_dir))
+    d = tsdb.deltas(cnt, "counter")
+    return d.select(
+        "path",
+        "tse",
+        F.round(F.col("delta").cast("double") / F.col("dt"), 6).alias("rate"),
+    )
+
+
+@op(
+    "ts_counter_wrap",
+    oracle=f"""
+WITH {OBS_CTE}, {CNT_CTE},
+wrapped AS (SELECT path, tse, event_id, counter % {SYNTH_WRAP} AS cw FROM cnt),
+d AS (
+  SELECT path, tse, cw - lag(cw) OVER w AS delta, tse - lag(tse) OVER w AS dt
+  FROM wrapped
+  WINDOW w AS (PARTITION BY path ORDER BY tse, event_id)
+)
+SELECT path, tse,
+       CASE WHEN delta < 0 THEN delta + {SYNTH_WRAP} ELSE delta END AS wrapped_delta,
+       dt
+FROM d
+""",
+)
+def ts_counter_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap correction: negative delta ⇒ counter wrapped ⇒ add modulus
+    (Aggregator.update wrap branch †; Counter32/Counter64 in ``tsdb/row.py`` †).
+
+    The fixture counter wraps at a synthetic modulus so wraps actually occur
+    at test scale; 2³²/2⁶⁴ (Decimal) behavior is unit-tested in
+    ``tests/test_tsdb_functions.py``.
+    """
+    cnt = _counter(_obs(spark, sf_dir)).withColumn(
+        "counter", F.col("counter") % SYNTH_WRAP
+    )
+    d = tsdb.deltas(cnt, "counter")
+    return d.select(
+        "path",
+        "tse",
+        tsdb.wrap_correct(F.col("delta"), SYNTH_WRAP).alias("wrapped_delta"),
+        "dt",
+    )
+
+
+@op(
+    "ts_heartbeat_invalidate",
+    oracle=f"""
+WITH {OBS_CTE}, {CNT_CTE},
+d AS (
+  SELECT path, tse, counter - lag(counter) OVER w AS delta,
+         tse - lag(tse) OVER w AS dt
+  FROM cnt
+  WINDOW w AS (PARTITION BY path ORDER BY tse, event_id)
+)
+SELECT path, tse, dt,
+       CASE WHEN dt > {HEARTBEAT} THEN NULL
+            ELSE round(CAST(delta AS DOUBLE) / dt, 6) END AS rate
+FROM d
+""",
+)
+def ts_heartbeat_invalidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap > HEARTBEAT ⇒ rate NULL — never interpolate across an outage
+    (Aggregator.update heartbeat check †).  Gap == heartbeat stays valid.
+    """
+    cnt = _counter(_obs(spark, sf_dir))
+    d = tsdb.counter_rate(cnt, "counter", modulus=SYNTH_WRAP, heartbeat=HEARTBEAT)
+    return d.select("path", "tse", "dt", F.round("rate", 6).alias("rate"))
+
+
+@op(
+    "ts_downsample_avg",
+    oracle=f"""
+WITH {OBS_CTE}
+SELECT path, tse - tse % {BUCKET} AS slot,
+       round(avg(value), 6) AS average, count(*) AS n
+FROM obs GROUP BY 1, 2
+""",
+)
+def ts_downsample_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`average` consolidation function: time-bucketed mean (Aggregator †).
+
+    Flagship query (``__spark_entry__.entry``).  Partial aggregation is
+    map-side; at 100 TB the group-by shuffles once on (path, slot).
+    """
+    ds = tsdb.downsample(_obs(spark, sf_dir), BUCKET)
+    return ds.select("path", "slot", F.round("average", 6).alias("average"), "n")
+
+
+@op(
+    "ts_downsample_minmax",
+    oracle=f"""
+WITH {OBS_CTE}
+SELECT path, tse - tse % {BUCKET} AS slot,
+       min(value) AS vmin, max(value) AS vmax, count(*) AS n
+FROM obs GROUP BY 1, 2
+""",
+)
+def ts_downsample_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`min`/`max` consolidation functions per bucket (Aggregator †)."""
+    ds = tsdb.downsample(_obs(spark, sf_dir), BUCKET)
+    return ds.select("path", "slot", "vmin", "vmax", "n")
+
+
+@op(
+    "ts_downsample_last",
+    oracle=f"""
+WITH {OBS_CTE}
+SELECT path, slot, value AS last FROM (
+  SELECT path, tse - tse % {BUCKET} AS slot, value,
+         row_number() OVER (PARTITION BY path, tse - tse % {BUCKET}
+                            ORDER BY tse DESC, event_id DESC) AS rn
+  FROM obs
+) WHERE rn = 1
+""",
+)
+def ts_downsample_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`last` consolidation function: latest reading per bucket (Aggregator †)."""
+    ds = tsdb.downsample(_obs(spark, sf_dir), BUCKET)
+    return ds.select("path", "slot", F.col("last"))
+
+
+@op(
+    "ts_downsample_delta",
+    oracle=f"""
+WITH {OBS_CTE}, {CNT_CTE},
+wrapped AS (SELECT path, tse, event_id, counter % {SYNTH_WRAP} AS cw FROM cnt),
+d AS (
+  SELECT path, tse, cw - lag(cw) OVER w AS delta
+  FROM wrapped
+  WINDOW w AS (PARTITION BY path ORDER BY tse, event_id)
+)
+SELECT path, tse - tse % {BUCKET} AS slot,
+       CAST(sum(CASE WHEN delta < 0 THEN delta + {SYNTH_WRAP} ELSE delta END)
+            AS BIGINT) AS delta_total
+FROM d WHERE delta IS NOT NULL GROUP BY 1, 2
+""",
+)
+def ts_downsample_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`delta` consolidation function: total wrap-corrected change per
+    bucket, delta attributed to the bucket of the current sample
+    (step-aligned; the proportional variant is `ts_bin_split`).
+    """
+    cnt = _counter(_obs(spark, sf_dir)).withColumn(
+        "counter", F.col("counter") % SYNTH_WRAP
+    )
+    d = tsdb.deltas(cnt, "counter")
+    return (
+        d.filter(F.col("delta").isNotNull())
+        .withColumn("wd", tsdb.wrap_correct(F.col("delta"), SYNTH_WRAP))
+        .groupBy("path", tsdb.slot_of(F.col("tse"), BUCKET).alias("slot"))
+        .agg(F.sum("wd").cast("bigint").alias("delta_total"))
+    )
+
+
+@op(
+    "ts_bin_split",
+    oracle=f"""
+WITH {OBS_CTE}, {CNT_CTE},
+d AS (
+  SELECT path, tse, CAST(counter - lag(counter) OVER w AS DOUBLE) AS delta,
+         tse - lag(tse) OVER w AS dt
+  FROM cnt
+  WINDOW w AS (PARTITION BY path ORDER BY tse, event_id)
+),
+spans AS (SELECT path, tse, delta, dt, tse - dt AS t0 FROM d
+          WHERE delta IS NOT NULL AND dt > 0),
+exploded AS (
+  SELECT path, delta, dt, t0, tse,
+         CAST(unnest(generate_series(t0 - t0 % {BUCKET},
+                                     (tse - 1) - (tse - 1) % {BUCKET},
+                                     {BUCKET})) AS BIGINT) AS bucket
+  FROM spans
+)
+SELECT path, bucket,
+       round(sum(delta * (least(tse, bucket + {BUCKET}) - greatest(t0, bucket))
+                 / dt), 6) AS delta_alloc
+FROM exploded GROUP BY 1, 2
+""",
+)
+def ts_bin_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional allocation of deltas across bucket boundaries
+    (Aggregator.update slot-boundary logic †): a delta over (t0, t1]
+    spanning multiple buckets contributes time-weighted shares to each.
+    """
+    cnt = _counter(_obs(spark, sf_dir))
+    d = tsdb.deltas(cnt, "counter").withColumn(
+        "delta", F.col("delta").cast("double")
+    )
+    split = tsdb.bin_split(d, BUCKET)
+    return split.select(
+        "path", "bucket", F.round("delta_alloc", 6).alias("delta_alloc")
+    )
+
+
+@op(
+    "ts_agg_cascade",
+    oracle=f"""
+WITH {OBS_CTE},
+fine AS (
+  SELECT path, tse - tse % {FINE} AS slot, sum(value) AS sv,
+         min(value) AS mn, max(value) AS mx, count(*) AS n
+  FROM obs GROUP BY 1, 2
+)
+SELECT path, slot - slot % {BUCKET} AS slot,
+       round(sum(sv) / sum(n), 6) AS average,
+       min(mn) AS vmin, max(mx) AS vmax, CAST(sum(n) AS BIGINT) AS n
+FROM fine GROUP BY 1, 2
+""",
+)
+def ts_agg_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse aggregates computed from the next-finer level, not raw
+    (``TSDBVar.update_all_aggregates`` †): 5m (sum,count,min,max) → 1h.
+    Weighted mean = sum(sums)/sum(counts) keeps cascade(fine) ≡ direct.
+    """
+    obs = _obs(spark, sf_dir)
+    fine = (
+        obs.withColumn("slot", tsdb.slot_of(F.col("tse"), FINE))
+        .groupBy("path", "slot")
+        .agg(
+            F.sum("value").alias("sv"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        fine.groupBy("path", tsdb.slot_of(F.col("slot"), BUCKET).alias("slot"))
+        .agg(
+            F.round(F.sum("sv") / F.sum("n"), 6).alias("average"),
+            F.min("mn").alias("vmin"),
+            F.max("mx").alias("vmax"),
+            F.sum("n").cast("bigint").alias("n"),
+        )
+    )
+
+
+@op(
+    "ts_valid_ratio",
+    oracle=f"""
+WITH {OBS_CTE}
+SELECT path, tse - tse % {BUCKET} AS slot,
+       round(avg(CASE WHEN (flags & 1) != 0 THEN 1.0 ELSE 0.0 END), 6)
+         AS valid_ratio,
+       count(*) AS n
+FROM obs GROUP BY 1, 2
+""",
+)
+def ts_valid_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of valid rows per bucket — the data-quality signal the
+    reference exposes alongside aggregates (Aggregator †)."""
+    obs = _obs(spark, sf_dir)
+    return (
+        obs.groupBy("path", tsdb.slot_of(F.col("tse"), BUCKET).alias("slot"))
+        .agg(
+            F.round(
+                F.avg(
+                    F.when(F.col("flags").bitwiseAND(1) != 0, 1.0).otherwise(0.0)
+                ),
+                6,
+            ).alias("valid_ratio"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

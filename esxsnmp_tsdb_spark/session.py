@@ -1,0 +1,70 @@
+"""SparkSession factory + runtime tuning.
+
+Two entry points:
+
+- :func:`get_session` — build a tuned local session (tests, bench).
+- :func:`tune` — apply the runtime-settable subset of the tuning to a
+  session we did NOT create (the driver passes its own ``spark`` into
+  ``__spark_entry__.queries()`` callables; we cannot rebuild it, but
+  shuffle partitions / AQE / timezone / Arrow are all runtime-settable).
+
+Scale notes (100 TB design, SURVEY.md §4): these configs are the local[*]
+projection of the cluster posture — AQE for runtime re-planning (skew joins,
+partition coalescing, broadcast demotion), shuffle partitions sized to
+cores locally (on a 1000-executor cluster this is set to ~2-3x total cores
+and AQE coalesces down), UTC everywhere (the reference is epoch-UTC uint32,
+SURVEY.md §1.1), Arrow for every Python<->JVM hop.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to ANY session the engine touches.
+RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Fixture parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects;
+    # read as long and let the catalog layer rebuild TimestampType columns
+    # (sources/catalog.py · TS_COLS).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Fixture files are single small parquet files; at cluster scale the
+    # sources layer partitions by date(slot) + bucket by hash(path).
+    "spark.sql.parquet.aggregatePushdown": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine tuning to an externally-built session."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Non-settable at runtime on this build — keep going; none of
+            # these are correctness-critical except the timezone, which is
+            # always runtime-settable.
+            pass
+    return spark
+
+
+def get_session(app_name: str = "esxsnmp_tsdb_spark") -> SparkSession:
+    """Build (or fetch) a tuned local session for tests and bench runs."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark)
