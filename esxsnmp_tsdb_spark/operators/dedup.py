@@ -1,0 +1,345 @@
+"""§2.5 deduplication suite (EXT — training-data pipeline ops mandated by
+BASELINE.json · north_star): exact, MinHash-LSH, SimHash, n-gram Jaccard,
+and embedding-cosine near-dup, over the `documents`/`embeddings` fixtures.
+
+Determinism design (SURVEY.md §7: MinHashLSH's random hashes break oracle
+checking): every hash here is derived from ``md5`` — available and
+bit-identical in Spark SQL and DuckDB — either compared as hex strings
+(min-hash signatures) or folded to a 16-bit integer via an
+``instr``-based hex-nibble decode that parses the same in both dialects.
+No randomness anywhere.
+
+Fixture note (FIXTURES.md): all 500 texts are distinct, so dedup ops
+manufacture duplicates *inside the query* (exact copy / drop-last-token
+mutation with doc_id+100000), identically on both sides.
+
+Scale: LSH banding is the point — candidate pairs come from equi-joins on
+(band, signature), never an all-pairs comparison.  Exact dedup is a
+hash-groupBy.  The cosine variant blocks on the `label` column (its IVF
+coarse cell) before comparing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from esxsnmp_tsdb_spark.functions.vector import cosine
+from esxsnmp_tsdb_spark.registry import op
+from esxsnmp_tsdb_spark.sources import register_views
+
+N_BANDS = 4  # one-minhash-per-band LSH
+SHINGLE_K = 3
+
+# 16-bit integer from the first 4 hex chars of md5(x) — the expression is
+# valid, and evaluates identically, in BOTH Spark SQL and DuckDB.
+def _hex16(expr: str) -> str:
+    nib = "(instr('0123456789abcdef', substr(md5({e}), {i}, 1)) - 1)"
+    parts = [nib.format(e=expr, i=i) for i in (1, 2, 3, 4)]
+    return (
+        f"({parts[0]} * 4096 + {parts[1]} * 256 + {parts[2]} * 16 + {parts[3]})"
+    )
+
+
+def _t(spark: SparkSession, sf_dir: str):
+    return register_views(spark, sf_dir)
+
+
+# --- duplicated corpus (documents ∪ manufactured copies), both dialects ---
+
+DUP_CTE = """docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents        -- exact copies
+)"""
+
+# near-dup corpus: original ∪ drop-last-token mutation
+NEAR_CTE = """docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(
+           list_slice(string_split(text, ' '), 1,
+                      len(string_split(text, ' ')) - 1), ' ') AS text
+  FROM documents
+)"""
+
+
+def _docs_with_exact_copies(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", "text").unionAll(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+
+
+def _docs_with_near_copies(docs: DataFrame) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionAll(mutated)
+
+
+def _shingled(docs2: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — distinct k-token shingles, JVM-side explode."""
+    toks = F.split(F.col("text"), " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (SHINGLE_K - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_K)),
+    )
+    return docs2.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
+    )
+
+
+SHINGLE_SQL = f"""shingled AS (
+  SELECT doc_id, shingle FROM (
+    SELECT DISTINCT doc_id,
+           array_to_string(list_slice(string_split(text, ' '), i, i + {SHINGLE_K - 1}), ' ')
+             AS shingle
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(1, len(string_split(text, ' ')) - {SHINGLE_K - 1}))
+                   AS i
+          FROM docs2)
+  )
+)"""
+
+
+@op(
+    "dedup_exact",
+    oracle=f"""
+WITH {DUP_CTE},
+hashed AS (
+  SELECT doc_id, md5(lower(trim(text))) AS h FROM docs2
+)
+SELECT h AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM hashed GROUP BY h
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized content hash: hash-groupBy, keep the
+    lowest doc_id.  One shuffle on the hash; at 100 TB the hash (32 bytes)
+    shuffles, never the document bodies."""
+    docs2 = _docs_with_exact_copies(_t(spark, sf_dir)["documents"])
+    return (
+        docs2.select(
+            "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@op(
+    "dedup_near_minhash",
+    oracle=f"""
+WITH {NEAR_CTE}, {SHINGLE_SQL},
+bands AS (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band),
+sigs AS (
+  SELECT s.doc_id, b.band,
+         min(md5(b.band || ':' || s.shingle)) AS sig
+  FROM shingled s CROSS JOIN bands b
+  GROUP BY s.doc_id, b.band
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+                       AND a.doc_id < b.doc_id
+""",
+)
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via shingle → MinHash → band → bucket-join
+    (one deterministic min-hash per band; md5 plays the permutation).
+
+    Scale shape: signatures are tiny (doc_id, band, 32-byte sig); the only
+    join is an equi-join on (band, sig) — LSH's whole point is that the
+    candidate set, not the corpus square, is what gets compared."""
+    docs2 = _docs_with_near_copies(_t(spark, sf_dir)["documents"])
+    sh = _shingled(docs2)
+    bands = spark.range(N_BANDS).select(F.col("id").cast("int").alias("band"))
+    sigs = (
+        sh.crossJoin(F.broadcast(bands))
+        .select(
+            "doc_id",
+            "band",
+            F.md5(F.concat_ws(":", F.col("band"), F.col("shingle"))).alias("bh"),
+        )
+        .groupBy("doc_id", "band")
+        .agg(F.min("bh").alias("sig"))
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@op(
+    "dedup_simhash",
+    oracle=f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+bits AS (
+  SELECT doc_id, tok, {_hex16('tok')} AS h FROM toks
+),
+contrib AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN CAST(floor(h / pow(2, b.bit)) AS INT) % 2 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM bits CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bit) b
+  GROUP BY doc_id, b.bit
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM contrib GROUP BY doc_id
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document: token-hash bit votes →
+    majority sign per bit → packed fingerprint.  Identical-fingerprint
+    groups are near-dup candidates; at scale you'd index fingerprint bands
+    the same way as MinHash buckets."""
+    docs = _t(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    bits = toks.select("doc_id", F.expr(_hex16("tok")).alias("h"))
+    bitdim = spark.range(16).select(F.col("id").cast("int").alias("bit"))
+    contrib = (
+        bits.crossJoin(F.broadcast(bitdim))
+        .select(
+            "doc_id",
+            "bit",
+            F.when(
+                F.expr("CAST(floor(h / pow(2, bit)) AS INT) % 2") == 1, 1
+            ).otherwise(-1).alias("vote"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("s"))
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("CAST(pow(2, bit) AS BIGINT)")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("simhash")
+        )
+    )
+
+
+@op(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {NEAR_CTE}, {SHINGLE_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM shingled a JOIN shingled b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-token shingle) Jaccard over candidate pairs that
+    share at least one shingle — the verification stage that follows LSH
+    candidate generation in a production dedup pipeline.
+
+    The shingle equi-join IS the blocker: only docs sharing a shingle meet,
+    so cost tracks true overlap, not corpus².  Threshold 0.5 keeps the
+    manufactured near-twins and drops incidental vocab overlap."""
+    docs2 = _docs_with_near_copies(_t(spark, sf_dir)["documents"])
+    sh = _shingled(docs2)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("shared")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@op(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH e AS (SELECT vec_id, label, embedding, len(embedding) AS d FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+         list_sum(list_transform(range(1, a.d + 1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           AS dot,
+         sqrt(list_sum(list_transform(range(1, a.d + 1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+           AS na,
+         sqrt(list_sum(list_transform(range(1, b.d + 1),
+                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))
+           AS nb
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, label, round(dot / (na * nb), 6) AS cos
+FROM pairs WHERE dot / (na * nb) >= 0.6
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by `label` (the cluster id
+    plays the IVF coarse cell): pairs are only formed inside a block, which
+    is how this survives 100 TB — the all-pairs square never materializes.
+    """
+    e = _t(spark, sf_dir)["embeddings"]
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = cosine(
+        F.transform(F.col("a.embedding"), lambda x: x.cast("double")),
+        F.transform(F.col("b.embedding"), lambda x: x.cast("double")),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            cos.alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= 0.6)
+        .select("vec_a", "vec_b", "label", F.round("cos_raw", 6).alias("cos"))
+    )

@@ -1,0 +1,119 @@
+"""§2.3 ingest / API layer — the ESxSNMP shell around the TSDB:
+``esxsnmp/persist.py · TSDBPollPersister`` † (batch append) and
+``esxsnmp/api.py`` † (REST time-range query), re-expressed as a
+partitioned parquet write and a parameterized SQL template.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from esxsnmp_tsdb_spark.functions import tsdb
+from esxsnmp_tsdb_spark.operators._shared import BUCKET, OBS_CTE, T_JAN10, T_JAN20
+from esxsnmp_tsdb_spark.registry import op
+from esxsnmp_tsdb_spark.sources import register_views
+
+INGEST_ROOT = os.environ.get("SPARK_GRAFT_INGEST_DIR", "/tmp/esxsnmp_tsdb_ingest")
+
+
+@op("ingest_batch_append")
+def ingest_batch_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poller persistence (``TSDBPollPersister`` †): append a batch of
+    (path, ts, value) rows to the bronze observation store, partitioned by
+    UTC day — the 1:1 analog of the reference's one-chunk-file-per-day
+    layout, and the layout every §2.1 range scan prunes against.
+
+    Rows-only check (write op).  Returns the read-back per-partition
+    counts so the check observes the durable result, not the plan.
+    At 100 TB: same write, plus ``sortWithinPartitions(path, ts)`` for
+    row-group skipping and a small-file compaction pass (see
+    ``sources.compaction``).
+    """
+    obs = tsdb.obs_from_events(register_views(spark, sf_dir)["events"])
+    target = tempfile.mkdtemp(prefix="append_", dir=_ensure_root())
+    try:
+        (
+            obs.withColumn("day", F.to_date(F.timestamp_seconds(F.col("tse"))))
+            .repartition("day")
+            .sortWithinPartitions("path", "tse")
+            .write.mode("append")
+            .partitionBy("day")
+            .parquet(target)
+        )
+        back = spark.read.parquet(target)
+        return (
+            back.groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(F.col("day").cast("string").alias("day"), "n_rows")
+            .orderBy("day")
+        )
+    finally:
+        # Materialize before cleanup: the driver collects after we return,
+        # so defer deletion to the next call instead of deleting now.
+        _gc_old(target)
+
+
+def _ensure_root() -> str:
+    os.makedirs(INGEST_ROOT, exist_ok=True)
+    return INGEST_ROOT
+
+
+def _gc_old(keep: str) -> None:
+    for d in os.listdir(INGEST_ROOT):
+        full = os.path.join(INGEST_ROOT, d)
+        if full != keep and d.startswith("append_"):
+            shutil.rmtree(full, ignore_errors=True)
+
+
+@op(
+    "api_timerange_json",
+    oracle=f"""
+WITH {OBS_CTE},
+agg AS (
+  SELECT path, tse - tse % {BUCKET} AS slot,
+         CAST(round(avg(value) * 1000000) AS BIGINT) AS avg_micro
+  FROM obs WHERE tse >= {T_JAN10} AND tse < {T_JAN20}
+  GROUP BY 1, 2
+)
+SELECT path, slot,
+       concat('[', CAST(slot AS VARCHAR), ',', CAST(avg_micro AS VARCHAR), ']')
+         AS json_row
+FROM agg
+""",
+)
+def api_timerange_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REST time-range query (``esxsnmp/api.py`` †):
+    ``GET …?begin&end&agg=3600&cf=average`` → pick the aggregation level ≤
+    requested, select the range, emit ``[ts, value]`` JSON rows.
+
+    The value is emitted as integer microunits so the JSON string is
+    byte-identical across engines (float formatting differs; SURVEY.md §7).
+    Level routing mirrors the reference: the engine selects the stored
+    aggregate whose step divides the request (here the 1h ladder level).
+    """
+    obs = tsdb.obs_from_events(register_views(spark, sf_dir)["events"])
+    agg = (
+        tsdb.range_scan(obs, T_JAN10, T_JAN20)
+        .groupBy("path", tsdb.slot_of(F.col("tse"), BUCKET).alias("slot"))
+        .agg(
+            F.round(F.avg("value") * 1000000)
+            .cast("bigint")
+            .alias("avg_micro")
+        )
+    )
+    return agg.select(
+        "path",
+        "slot",
+        F.concat(
+            F.lit("["),
+            F.col("slot").cast("string"),
+            F.lit(","),
+            F.col("avg_micro").cast("string"),
+            F.lit("]"),
+        ).alias("json_row"),
+    )

@@ -1,0 +1,249 @@
+"""§2.5 similarity search (EXT): brute-force cosine top-k as the exact
+baseline, an LSH-bucketed ANN variant as the scale path, all-pairs kNN
+blocked by label, and the multimodal join.
+
+Determinism: LSH hyperplanes are integer-valued pseudo-random vectors from
+an LCG on (dim_index, plane_index) — the same closed-form expression on
+both engines, no RNG state.  Dot products fold left-to-right in both
+dialects, so floats are bit-identical and safe to round-then-compare.
+
+Scale: brute-force top-k broadcasts the (tiny) query vector and reduces
+with TakeOrdered — no shuffle of the corpus.  The ANN variant prunes to
+hash buckets first; label-blocked kNN never materializes the corpus².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from esxsnmp_tsdb_spark.functions.vector import cosine, dot, norm
+from esxsnmp_tsdb_spark.registry import op
+from esxsnmp_tsdb_spark.sources import register_views
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+N_PLANES = 6
+
+# Deterministic integer "hyperplane" weight for (dim i [0-based], plane j):
+# LCG fold, centered.  Valid Spark SQL and DuckDB.
+def _plane_w(i: str, j: str) -> str:
+    return (
+        f"((CAST(1103515245 AS BIGINT) * (({i}) * 8 + ({j})) + 12345) % 65536 - 32768)"
+    )
+
+
+DOT_SQL = """list_sum(list_transform(range(1, {d} + 1),
+    i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"""
+
+
+def _t(spark: SparkSession, sf_dir: str):
+    return register_views(spark, sf_dir)
+
+
+def _dbl(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+@op(
+    "sim_search_topk",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv, len(embedding) AS d FROM embeddings
+           WHERE vec_id = {QUERY_VEC_ID}),
+scored AS (
+  SELECT e.vec_id, e.label,
+         {DOT_SQL.format(d='q.d', a='e.embedding', b='q.qv')} /
+         (sqrt({DOT_SQL.format(d='q.d', a='e.embedding', b='e.embedding')}) *
+          sqrt({DOT_SQL.format(d='q.d', a='q.qv', b='q.qv')})) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != {QUERY_VEC_ID}
+)
+SELECT vec_id, label, round(cos, 6) AS cos, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank FROM scored
+) WHERE rank <= {TOP_K}
+""",
+)
+def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for one query vector — the exact ANN
+    baseline.  The query vector is a 1-row broadcast; scoring is a map-only
+    pass in whole-stage codegen (zip_with/aggregate), and the global top-k
+    is TakeOrdered (per-partition heaps), so nothing shuffles the corpus."""
+    e = _t(spark, sf_dir)["embeddings"]
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            cosine(_dbl(F.col("embedding")), _dbl(F.col("qv"))).alias("cos_raw"),
+        )
+    )
+    w = Window.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("vec_id", "label", F.round("cos_raw", 6).alias("cos"), "rank")
+    )
+
+
+@op(
+    "sim_search_ann_lsh",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding, len(embedding) AS d FROM embeddings),
+bucketed AS (
+  SELECT vec_id, label, embedding, d,
+         list_sum(list_transform(range(0, {N_PLANES}),
+           j -> CASE WHEN list_sum(list_transform(range(1, d + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) *
+                       {_plane_w('i - 1', 'j')})) > 0
+                THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS bucket
+  FROM e
+),
+q AS (SELECT embedding AS qv, d AS qd, bucket AS qbucket FROM bucketed
+      WHERE vec_id = {QUERY_VEC_ID}),
+cand AS (
+  SELECT b.vec_id, b.label,
+         {DOT_SQL.format(d='q.qd', a='b.embedding', b='q.qv')} /
+         (sqrt({DOT_SQL.format(d='q.qd', a='b.embedding', b='b.embedding')}) *
+          sqrt({DOT_SQL.format(d='q.qd', a='q.qv', b='q.qv')})) AS cos
+  FROM bucketed b CROSS JOIN q
+  WHERE b.bucket = q.qbucket AND b.vec_id != {QUERY_VEC_ID}
+)
+SELECT vec_id, label, round(cos, 6) AS cos, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank FROM cand
+) WHERE rank <= {TOP_K}
+""",
+)
+def sim_search_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH bucketing (deterministic
+    integer planes), then brute-force only inside the query's bucket.
+
+    At 100 TB the bucket id is precomputed at ingest and the table is
+    partitioned by it — a query reads one bucket (~1/2^planes of the data)
+    instead of the corpus.  Recall<1 by design; the exact twin is
+    `sim_search_topk`."""
+    e = _t(spark, sf_dir)["embeddings"]
+    plane_dot = F.expr(
+        f"""list_sum(list_transform(range(0, {N_PLANES}),
+          j -> CASE WHEN list_sum(list_transform(range(1, size(embedding) + 1),
+                 i -> CAST(embedding[i] AS DOUBLE) * {_plane_w('i - 1', 'j')})) > 0
+               THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END))"""
+    )
+    # Spark lacks list_sum/range-from-1 — express via aggregate/sequence:
+    bucket_expr = F.aggregate(
+        F.sequence(F.lit(0), F.lit(N_PLANES - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, j: acc
+        + F.when(
+            F.aggregate(
+                F.sequence(F.lit(1), F.size("embedding")),
+                F.lit(0.0),
+                lambda a, i: a
+                + F.element_at("embedding", i).cast("double")
+                * (
+                    (F.lit(1103515245).cast("bigint") * ((i - 1) * 8 + j) + 12345)
+                    % 65536
+                    - 32768
+                ).cast("double"),
+            )
+            > 0,
+            F.pow(F.lit(2.0), j.cast("double")).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    bucketed = e.select("vec_id", "label", "embedding", bucket_expr.alias("bucket"))
+    q = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    cand = (
+        bucketed.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .select(
+            "vec_id",
+            "label",
+            cosine(_dbl(F.col("embedding")), _dbl(F.col("qv"))).alias("cos_raw"),
+        )
+    )
+    w = Window.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("vec_id", "label", F.round("cos_raw", 6).alias("cos"), "rank")
+    )
+
+
+@op(
+    "knn_pairs",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding, len(embedding) AS d FROM embeddings),
+pairs AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         {DOT_SQL.format(d='a.d', a='a.embedding', b='b.embedding')} /
+         (sqrt({DOT_SQL.format(d='a.d', a='a.embedding', b='a.embedding')}) *
+          sqrt({DOT_SQL.format(d='b.d', a='b.embedding', b='b.embedding')})) AS cos
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id
+)
+SELECT vec_id, neighbor_id, round(cos, 6) AS cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, neighbor_id) AS rn
+  FROM pairs
+) WHERE rn = 1
+""",
+)
+def knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 neighbor per vector, blocked by label (the coarse quantizer):
+    per-block pair join + per-vector window.  The block join bounds cost at
+    Σ blockᵢ² instead of N²; at 100 TB blocks come from k-means/IVF cells
+    maintained at ingest."""
+    e = _t(spark, sf_dir)["embeddings"]
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            cosine(_dbl(F.col("a.embedding")), _dbl(F.col("b.embedding"))).alias(
+                "cos_raw"
+            ),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "neighbor_id", F.round("cos_raw", 6).alias("cos"))
+    )
+
+
+@op(
+    "multimodal_join",
+    oracle="""
+SELECT d.doc_id, d.lang, d.source, d.n_chars, e.label, len(e.embedding) AS dim
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+""",
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text + vector + labels in one frame (documents ⋈ embeddings on
+    doc_id = vec_id) — the canonical multimodal training-data join."""
+    t = _t(spark, sf_dir)
+    return (
+        t["documents"]
+        .join(t["embeddings"], F.col("doc_id") == F.col("vec_id"))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            "label",
+            F.size("embedding").alias("dim"),
+        )
+    )

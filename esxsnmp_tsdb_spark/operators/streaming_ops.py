@@ -1,0 +1,242 @@
+"""§2.6 Structured Streaming surface (EXT): the reference's poller ingest
+loop † formalized as micro-batch pipelines.  Each op runs a REAL streaming
+query (file source → transforms → memory sink, driven to completion), then
+returns the sink contents so the driver's checker can compare it — with a
+batch-twin DuckDB oracle where the semantics are batch-equivalent, rows-only
+otherwise.
+
+Scale posture: these exact pipelines run unchanged against Kafka/object-
+store sources; state (dedup keys, session windows, rate state) lives in the
+state store keyed by the same columns the batch twins shuffle on.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from esxsnmp_tsdb_spark.operators._shared import OBS_CTE
+from esxsnmp_tsdb_spark.registry import op
+from esxsnmp_tsdb_spark.streaming import events_stream, run_to_memory
+
+SESSION_GAP_SEC = 1800  # session gap == heartbeat semantics (SURVEY §2.6)
+
+
+@op(
+    "stream_ingest",
+    oracle="""
+SELECT event_type, count(*) AS n_rows,
+       CAST(min(floor(epoch(ts))) AS BIGINT) AS first_tse,
+       CAST(max(floor(epoch(ts))) AS BIGINT) AS last_tse
+FROM events GROUP BY event_type
+""",
+)
+def stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch append ingest (``TSDBPollPersister`` † as a stream):
+    rows flow file-source → append sink; the check aggregates the landed
+    rows, proving ingest is complete and loss-free."""
+    landed = run_to_memory(events_stream(spark, sf_dir), "append", spark)
+    return landed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(F.unix_timestamp("ts")).alias("first_tse"),
+        F.max(F.unix_timestamp("ts")).alias("last_tse"),
+    )
+
+
+@op(
+    "stream_tumbling",
+    oracle="""
+SELECT event_type,
+       CAST(floor(epoch(ts)) AS BIGINT)
+         - CAST(floor(epoch(ts)) AS BIGINT) % 3600 AS slot,
+       count(*) AS n, round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1, 2
+""",
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window streaming aggregate — the streaming twin of
+    `ts_downsample_avg`; complete mode emits the full window set, and the
+    batch oracle checks exact equivalence."""
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("value").alias("avg_raw")
+    )
+    out = run_to_memory(agg, "complete", spark)
+    return out.select(
+        "event_type",
+        F.unix_timestamp(F.col("window.start")).alias("slot"),
+        "n",
+        F.round("avg_raw", 6).alias("avg_value"),
+    )
+
+
+@op(
+    "stream_sliding",
+    oracle="""
+WITH offs AS (SELECT unnest(generate_series(0, 3)) AS k),
+hits AS (
+  SELECT e.event_type,
+         (CAST(floor(epoch(e.ts)) AS BIGINT)
+          - CAST(floor(epoch(e.ts)) AS BIGINT) % 900) - o.k * 900 AS slot
+  FROM events e CROSS JOIN offs o
+)
+SELECT event_type, slot, count(*) AS n FROM hits GROUP BY 1, 2
+""",
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h window, 15m slide): each event lands in 4
+    overlapping windows; the oracle materializes the same 4 offsets
+    explicitly."""
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = run_to_memory(agg, "complete", spark)
+    return out.select(
+        "event_type", F.unix_timestamp(F.col("window.start")).alias("slot"), "n"
+    )
+
+
+@op(
+    "stream_session",
+    oracle=f"""
+WITH {OBS_CTE},
+flagged AS (
+  SELECT path, tse,
+         CASE WHEN tse - lag(tse) OVER w > {SESSION_GAP_SEC}
+              OR lag(tse) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM obs
+  WINDOW w AS (PARTITION BY path ORDER BY tse, event_id)
+),
+sessions AS (
+  SELECT path, tse,
+         SUM(new_session) OVER (PARTITION BY path ORDER BY tse
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT path, min(tse) AS session_start, max(tse) AS session_last,
+       count(*) AS n_events
+FROM sessions GROUP BY path, sid
+""",
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per series with gap == the heartbeat idea (§2.2):
+    a gap over SESSION_GAP starts a new session.  Streaming side uses
+    native ``session_window``; the oracle is the classic lag-gap-cumsum
+    batch sessionization — semantically identical for closed sessions."""
+    ev = events_stream(spark, sf_dir)
+    obs = ev.select(
+        F.concat_ws("/", "user_id", "event_type").alias("path"), "ts"
+    )
+    agg = obs.groupBy(
+        F.session_window("ts", f"{SESSION_GAP_SEC} seconds"), "path"
+    ).agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_ts"))
+    out = run_to_memory(agg, "complete", spark)
+    return out.select(
+        "path",
+        F.unix_timestamp(F.col("session_window.start")).alias("session_start"),
+        F.unix_timestamp(F.col("last_ts")).alias("session_last"),
+        "n_events",
+    )
+
+
+@op("stream_watermark_late")
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + append mode: only windows the 1-hour watermark has
+    passed are finalized and emitted; the tail of the stream stays open —
+    the streaming analog of the reference's refusal to backfill past a
+    flushed chunk †.  Rows-only: emission timing depends on micro-batch
+    boundaries, so no batch oracle."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_to_memory(agg, "append", spark)
+    return out.select(
+        "event_type", F.unix_timestamp(F.col("window.start")).alias("slot"), "n"
+    )
+
+
+@op(
+    "stream_dedup",
+    oracle="SELECT event_id FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on event_id: the fixture stream unioned with itself
+    (every row a duplicate) → ``dropDuplicates`` state recovers exactly the
+    original id set."""
+    a = events_stream(spark, sf_dir)
+    b = events_stream(spark, sf_dir)
+    deduped = a.unionAll(b).select("event_id").dropDuplicates(["event_id"])
+    return run_to_memory(deduped, "append", spark)
+
+
+def _rate_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Stateful counter→rate: state carries (last_tse, last_value) across
+    micro-batches per series — the reference Aggregator's 'last-processed
+    position' † living in the state store."""
+    (path,) = key
+    if state.exists:
+        last_tse, last_value = state.get
+    else:
+        last_tse, last_value = None, None
+    outs = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["tse", "event_id"])
+        for _, row in pdf.iterrows():
+            if last_tse is not None and row.tse > last_tse:
+                rate = (row.value - last_value) / (row.tse - last_tse)
+                outs.append((path, int(row.tse), round(rate, 6)))
+            last_tse, last_value = int(row.tse), float(row.value)
+    state.update((last_tse, last_value))
+    yield pd.DataFrame(outs, columns=["path", "tse", "rate"])
+
+
+@op(
+    "stream_stateful_rate",
+    oracle=f"""
+WITH {OBS_CTE},
+d AS (
+  SELECT path, tse,
+         round((value - lag(value) OVER w) / (tse - lag(tse) OVER w), 6) AS rate
+  FROM obs
+  WINDOW w AS (PARTITION BY path ORDER BY tse, event_id)
+)
+SELECT path, tse, rate FROM d WHERE rate IS NOT NULL
+""",
+)
+def stream_stateful_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-series gauge→rate with the previous sample carried in the state
+    store.  The batch oracle is the lag-window formulation — equal output
+    proves the stateful path computes the Aggregator semantics."""
+    ev = events_stream(spark, sf_dir)
+    obs = ev.select(
+        F.concat_ws("/", "user_id", "event_type").alias("path"),
+        F.unix_timestamp("ts").alias("tse"),
+        "value",
+        "event_id",
+    )
+    result = obs.groupBy("path").applyInPandasWithState(
+        _rate_fn,
+        outputStructType="path string, tse bigint, rate double",
+        stateStructType="last_tse bigint, last_value double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_memory(result, "append", spark)
+    # Same-timestamp consecutive samples produce no row (dt=0 guard); the
+    # oracle's division yields inf there — filter both sides via NOT NULL
+    # (SQL) and the tse>last guard (here).
+    return out

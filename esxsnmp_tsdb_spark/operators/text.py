@@ -1,0 +1,267 @@
+"""§2.5 text analysis (EXT): tokenize stats, TF-IDF top terms, language
+distribution, heuristic language-ID, quality scoring, BPE-ish token
+counting, and rolling-hash document fingerprinting over `documents`.
+
+Everything is built-in expressions (explode/groupBy/window + the md5-based
+deterministic hashes from ``operators.dedup``) — whole-stage codegen, no
+Python.  These are the per-document map passes that dominate a training
+corpus pipeline; at 100 TB they are embarrassingly parallel and the only
+shuffles are the final small aggregations (per-lang / per-source).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from esxsnmp_tsdb_spark.operators.dedup import _hex16
+from esxsnmp_tsdb_spark.registry import op
+from esxsnmp_tsdb_spark.sources import register_views
+
+
+def _t(spark: SparkSession, sf_dir: str):
+    return register_views(spark, sf_dir)
+
+
+@op(
+    "text_tokenize_stats",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT lang, count(*) AS n_tokens, count(DISTINCT tok) AS vocab,
+       count(DISTINCT doc_id) AS n_docs,
+       round(avg(length(tok)), 6) AS avg_tok_len
+FROM toks GROUP BY lang
+""",
+)
+def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/vocabulary statistics per language (split → explode → agg)."""
+    toks = _t(spark, sf_dir)["documents"].select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    return toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("vocab"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.round(F.avg(F.length("tok")), 6).alias("avg_tok_len"),
+    )
+
+
+@op(
+    "tfidf_topterms",
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT source, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, count(DISTINCT source) AS df FROM toks GROUP BY 1),
+nsrc AS (SELECT count(DISTINCT source) AS n FROM documents),
+scored AS (
+  SELECT tf.source, tf.tok,
+         round(tf.tf * ln(CAST(nsrc.n AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN nsrc
+)
+SELECT source, tok, tfidf, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY tfidf DESC, tok) AS rn
+  FROM scored
+) WHERE rn <= 5
+""",
+)
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per source by TF-IDF — explode + two aggregations + a
+    broadcast DF join + per-source window.  No MLlib: plain log math."""
+    docs = _t(spark, sf_dir)["documents"]
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("source").alias("df"))
+    n_src = docs.select(F.countDistinct("source").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n_src))
+        .select(
+            "source",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "tok", "tfidf", "rn")
+    )
+
+
+@op(
+    "lang_distribution",
+    oracle="""
+SELECT lang, source, count(*) AS n_docs,
+       round(avg(n_chars), 6) AS mean_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang, source
+""",
+)
+def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition: docs + char mass per (lang, source)."""
+    return (
+        _t(spark, sf_dir)["documents"]
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@op(
+    "lang_id_ngram",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id, lang,
+         CAST(length(text) AS DOUBLE) AS n,
+         CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))
+              AS DOUBLE) AS vowels,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         round(vowels / n, 6) AS vowel_ratio,
+         round(n / n_toks, 6) AS avg_wordish
+  FROM feats
+)
+SELECT doc_id, lang, vowel_ratio, avg_wordish,
+       CASE WHEN vowel_ratio >= 0.38 THEN 'en'
+            WHEN vowel_ratio >= 0.33 THEN 'es'
+            WHEN avg_wordish >= 6.5 THEN 'de'
+            ELSE 'other' END AS predicted_lang
+FROM scored
+""",
+)
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID from character n-gram features (vowel density
+    + mean word length buckets).  A real model would load per-language
+    trigram profiles; the classifier shape — per-doc feature map + CASE
+    decision, no shuffle — is what matters at corpus scale."""
+    docs = _t(spark, sf_dir)["documents"]
+    n = F.length("text").cast("double")
+    vowels = (
+        F.length("text") - F.length(F.regexp_replace("text", "[aeiou]", ""))
+    ).cast("double")
+    n_toks = F.size(F.split("text", " ")).cast("double")
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.round(vowels / n, 6).alias("vowel_ratio"),
+        F.round(n / n_toks, 6).alias("avg_wordish"),
+    )
+    return feats.select(
+        "doc_id",
+        "lang",
+        "vowel_ratio",
+        "avg_wordish",
+        F.when(F.col("vowel_ratio") >= 0.38, "en")
+        .when(F.col("vowel_ratio") >= 0.33, "es")
+        .when(F.col("avg_wordish") >= 6.5, "de")
+        .otherwise("other")
+        .alias("predicted_lang"),
+    )
+
+
+@op(
+    "text_quality_score",
+    oracle="""
+WITH feats AS (
+  SELECT doc_id, lang,
+         CAST(length(text) AS DOUBLE) AS n_ch,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digit,
+         CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE) AS n_clean
+  FROM documents
+)
+SELECT doc_id, lang,
+       round(n_digit / n_ch, 6) AS digit_ratio,
+       round(n_clean / n_ch, 6) AS clean_ratio,
+       round(n_ch / n_tok, 6) AS chars_per_token,
+       round(least(n_tok / 50.0, 1.0) * (n_clean / n_ch), 6) AS quality
+FROM feats
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length / digit-ratio / charset-cleanliness
+    features folded into one bounded score — the filter stage of a
+    pretraining pipeline (map-only at scale)."""
+    docs = _t(spark, sf_dir)["documents"]
+    n_ch = F.length("text").cast("double")
+    n_tok = F.size(F.split("text", " ")).cast("double")
+    n_digit = F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double")
+    n_clean = F.length(F.regexp_replace("text", "[^a-z ]", "")).cast("double")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(n_digit / n_ch, 6).alias("digit_ratio"),
+        F.round(n_clean / n_ch, 6).alias("clean_ratio"),
+        F.round(n_ch / n_tok, 6).alias("chars_per_token"),
+        F.round(F.least(n_tok / 50.0, F.lit(1.0)) * (n_clean / n_ch), 6).alias(
+            "quality"
+        ),
+    )
+
+
+@op(
+    "token_count_bpe",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT doc_id, count(*) AS ws_tokens,
+       CAST(sum(CAST(ceil(length(tok) / 4.0) AS BIGINT)) AS BIGINT) AS bpe_tokens
+FROM toks GROUP BY doc_id
+""",
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish estimate (≈4 chars per
+    subword piece, the standard back-of-envelope) — the budget accountant
+    of every training-data pipeline."""
+    toks = _t(spark, sf_dir)["documents"].select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("ws_tokens"),
+        F.sum(F.ceil(F.length("tok") / 4.0).cast("bigint"))
+        .cast("bigint")
+        .alias("bpe_tokens"),
+    )
+
+
+@op(
+    "doc_fingerprint",
+    oracle=f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hashed AS (SELECT doc_id, {_hex16('tok')} AS h FROM toks)
+SELECT doc_id, CAST(min(h) AS BIGINT) AS fp_min,
+       CAST(max(h) AS BIGINT) AS fp_max,
+       count(DISTINCT h) AS n_distinct_hashes
+FROM hashed GROUP BY doc_id
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-lite): deterministic
+    16-bit token hashes reduced to min/max/cardinality — constant-size
+    per-doc signature for shard-level dedup bookkeeping."""
+    toks = _t(spark, sf_dir)["documents"].select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    hashed = toks.select("doc_id", F.expr(_hex16("tok")).alias("h"))
+    return hashed.groupBy("doc_id").agg(
+        F.min("h").cast("bigint").alias("fp_min"),
+        F.max("h").cast("bigint").alias("fp_max"),
+        F.countDistinct("h").alias("n_distinct_hashes"),
+    )
