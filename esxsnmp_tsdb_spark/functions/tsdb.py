@@ -119,9 +119,16 @@ def wrap_correct(delta: Column, modulus: int) -> Column:
     a negative delta means the counter wrapped → add the modulus.
 
     For Counter64 callers must pass a DecimalType delta — double loses
-    precision above 2**53 (SURVEY.md §7 hard parts).
+    precision above 2**53, and the 2⁶⁴ modulus itself exceeds the JVM long,
+    so it is lifted to a Decimal literal (SURVEY.md §7 hard parts).
     """
-    return F.when(delta < 0, delta + F.lit(modulus)).otherwise(delta)
+    if modulus > 2**63 - 1:
+        from decimal import Decimal
+
+        mod = F.lit(Decimal(modulus))
+    else:
+        mod = F.lit(modulus)
+    return F.when(delta < 0, delta + mod).otherwise(delta)
 
 
 def heartbeat_invalidate(rate: Column, dt: Column, heartbeat: int) -> Column:
@@ -217,8 +224,12 @@ def bin_split(
     interval is exploded into its covered buckets with ``sequence`` —
     JVM-side, one row per covered bucket, no Python in the loop.
     """
+    from esxsnmp_tsdb_spark.session import fan_out
+
     df = deltas_df.filter(F.col(delta_col).isNotNull() & (F.col("dt") > 0))
-    df = df.withColumn("t0", F.col("tse") - F.col("dt"))
+    # The explode below multiplies rows ~(gap/bucket)×; redistribute first
+    # so the multiplication runs wide (see session.fan_out).
+    df = fan_out(df.withColumn("t0", F.col("tse") - F.col("dt")))
     df = df.withColumn(
         "bucket",
         F.explode(

@@ -81,7 +81,13 @@ def _docs_with_near_copies(docs: DataFrame) -> DataFrame:
 
 
 def _shingled(docs2: DataFrame) -> DataFrame:
-    """(doc_id, shingle) — distinct k-token shingles, JVM-side explode."""
+    """(doc_id, shingle) — distinct k-token shingles, JVM-side explode.
+
+    Fan-out first: shingling multiplies rows ~tokens× and feeds md5
+    hashing; a single-split local scan would run it on one core."""
+    from esxsnmp_tsdb_spark.session import fan_out
+
+    docs2 = fan_out(docs2)
     toks = F.split(F.col("text"), " ")
     sh = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (SHINGLE_K - 1)),
@@ -207,7 +213,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     majority sign per bit → packed fingerprint.  Identical-fingerprint
     groups are near-dup candidates; at scale you'd index fingerprint bands
     the same way as MinHash buckets."""
-    docs = _t(spark, sf_dir)["documents"]
+    from esxsnmp_tsdb_spark.session import fan_out
+
+    docs = fan_out(_t(spark, sf_dir)["documents"])
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )

@@ -88,8 +88,10 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture's stand-in for image bytes) → Arrow-batched Python feature
     extraction.  The oracle recomputes the same byte stats in SQL, proving
     the Python path end-to-end (schema, batching, values)."""
+    from esxsnmp_tsdb_spark.session import fan_out
+
     docs = register_views(spark, sf_dir)["documents"]
-    blobs = docs.select("doc_id", F.encode("text", "utf-8").alias("img"))
+    blobs = fan_out(docs.select("doc_id", F.encode("text", "utf-8").alias("img")))
     return blobs.mapInPandas(
         _decode_batch,
         schema="doc_id bigint, byte_len bigint, first_byte bigint, byte_sum_mod bigint",

