@@ -28,6 +28,8 @@ from esxsnmp_tsdb_spark.operators._shared import (
     HEARTBEAT,
     OBS_CTE,
     SYNTH_WRAP,
+    T_JAN10,
+    T_JAN20,
 )
 from esxsnmp_tsdb_spark.registry import op
 from esxsnmp_tsdb_spark.sources import register_views
@@ -318,6 +320,32 @@ def ts_agg_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mx").alias("vmax"),
             F.sum("n").cast("bigint").alias("n"),
         )
+    )
+
+
+@op(
+    "ts_ladder_route",
+    oracle=f"""
+WITH {OBS_CTE}
+SELECT path, tse - tse % 7200 AS slot,
+       round(avg(value), 6) AS value, count(*) AS n
+FROM obs WHERE tse >= {T_JAN10} AND tse < {T_JAN20}
+GROUP BY 1, 2
+""",
+)
+def ts_ladder_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-ladder routing (``sources.ladder``): a 2-hour/average
+    request is served from the stored 1h level and re-consolidated —
+    never from raw (``update_all_aggregates`` † + ``esxsnmp/api.py`` †
+    level pick).  The oracle computes the same answer directly from raw,
+    proving the ladder is lossless for the weighted-average cascade."""
+    from esxsnmp_tsdb_spark.sources.ladder import build_ladder, timerange
+
+    obs = _obs(spark, sf_dir)
+    ladder = build_ladder(obs, levels=(300, 3600, 86400))
+    routed = timerange(ladder, T_JAN10, T_JAN20, step=7200, cf="average")
+    return routed.select(
+        "path", "slot", F.round("value", 6).alias("value"), "n"
     )
 
 

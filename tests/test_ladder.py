@@ -1,0 +1,106 @@
+"""Aggregate ladder + storage layout tests (sources/ladder.py,
+sources/compaction.py): cascade losslessness, level routing, compaction
+round-trips."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from esxsnmp_tsdb_spark.functions import tsdb
+from esxsnmp_tsdb_spark.sources import compaction
+from esxsnmp_tsdb_spark.sources.ladder import build_ladder, pick_level, timerange
+
+OBS_SCHEMA = "path string, tse long, value double, flags int, event_id long"
+
+
+@pytest.fixture(scope="module")
+def obs(spark):
+    rows = [
+        ("a", t, float((t * 7) % 113), 1, i)
+        for i, t in enumerate(range(0, 200_000, 137))
+    ] + [
+        ("b", t, float((t * 13) % 71), 1, 10_000 + i)
+        for i, t in enumerate(range(50, 200_000, 211))
+    ]
+    return spark.createDataFrame(rows, OBS_SCHEMA)
+
+
+def test_ladder_cascade_lossless(spark, obs):
+    ladder = build_ladder(obs, levels=(300, 3600))
+    direct = tsdb.downsample(obs, 3600)
+    got = {(r.path, r.slot): r for r in ladder[3600].collect()}
+    want = {(r.path, r.slot): r for r in direct.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k].average == pytest.approx(want[k].average)
+        assert got[k].vmin == want[k].vmin
+        assert got[k].vmax == want[k].vmax
+        assert got[k].last == want[k].last  # last survives the cascade
+        assert got[k].n == want[k].n
+
+
+def test_ladder_level_validation():
+    with pytest.raises(ValueError, match="not a multiple"):
+        build_ladder(None, levels=(300, 450))
+
+
+def test_pick_level():
+    assert pick_level((300, 3600, 86400), 7200) == 3600
+    assert pick_level((300, 3600, 86400), 300) == 300
+    assert pick_level((300, 3600, 86400), 86400 * 7) == 86400
+    with pytest.raises(ValueError, match="no stored level"):
+        pick_level((300, 3600), 450)
+
+
+def test_timerange_routing_and_cfs(spark, obs):
+    ladder = build_ladder(obs, levels=(300, 3600))
+    # begin/end aligned to the requested step: the ladder serves whole
+    # stored slots, exactly like the reference's aggregate-var select.
+    routed = timerange(ladder, 0, 93_600, step=7200, cf="average")
+    direct = (
+        obs.filter((F.col("tse") >= 0) & (F.col("tse") < 93_600))
+        .groupBy("path", tsdb.slot_of(F.col("tse"), 7200).alias("slot"))
+        .agg(F.avg("value").alias("value"), F.count(F.lit(1)).alias("n"))
+    )
+    got = {(r.path, r.slot): (r.value, r.n) for r in routed.collect()}
+    want = {(r.path, r.slot): (r.value, r.n) for r in direct.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == pytest.approx(want[k][0])
+        assert got[k][1] == want[k][1]
+    with pytest.raises(ValueError, match="unknown consolidation"):
+        timerange(ladder, 0, 1, step=300, cf="median")
+
+
+def test_write_obs_and_compact(spark, obs):
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "obs")
+        # two appends → at least 2 files per touched day partition
+        compaction.write_obs(obs, path)
+        compaction.write_obs(obs, path)
+        n_before = spark.read.parquet(path).count()
+        counts_before = compaction.partition_file_counts(spark, path)
+        assert max(counts_before.values()) >= 2
+        compaction.compact(spark, path, target_file_bytes=1 << 30)
+        after = spark.read.parquet(path)
+        assert after.count() == n_before  # lossless rewrite
+        counts_after = compaction.partition_file_counts(spark, path)
+        assert sum(counts_after.values()) < sum(counts_before.values())
+
+
+def test_write_obs_bucketed_roundtrip(spark, obs):
+    table = "obs_bucketed_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    compaction.write_obs_bucketed(obs, table, n_buckets=4)
+    back = spark.table(table)
+    assert back.count() == obs.count()
+    # Bucketed table: a groupBy on the bucket key plans without an Exchange.
+    from esxsnmp_tsdb_spark.plans import plan_str
+
+    plan = plan_str(back.groupBy("path").agg(F.count(F.lit(1))), "simple")
+    assert "Exchange" not in plan
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
