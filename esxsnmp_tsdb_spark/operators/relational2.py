@@ -1,0 +1,153 @@
+"""§2.4/§2.6 supplements: batch sessionization (the lag-gap twin of
+`stream_session`), pivot/unpivot, approximate percentiles (the 100 TB
+quantile path), and a salted aggregation demonstrating the skew recipe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from esxsnmp_tsdb_spark.functions.skew import salted_agg
+from esxsnmp_tsdb_spark.operators._shared import OBS_CTE
+from esxsnmp_tsdb_spark.registry import op
+from esxsnmp_tsdb_spark.sources import register_views
+
+SESSION_GAP_SEC = 1800
+
+
+def _t(spark: SparkSession, sf_dir: str):
+    return register_views(spark, sf_dir)
+
+
+@op(
+    "ts_sessionize",
+    oracle=f"""
+WITH {OBS_CTE},
+flagged AS (
+  SELECT path, tse,
+         CASE WHEN tse - lag(tse) OVER w > {SESSION_GAP_SEC}
+              OR lag(tse) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM obs
+  WINDOW w AS (PARTITION BY path ORDER BY tse, event_id)
+),
+sessions AS (
+  SELECT path, tse,
+         SUM(new_session) OVER (PARTITION BY path ORDER BY tse
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT path, CAST(sid AS BIGINT) AS sid, min(tse) AS session_start,
+       max(tse) AS session_last, count(*) AS n_events,
+       max(tse) - min(tse) AS duration_sec
+FROM sessions GROUP BY path, sid
+""",
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — lag-gap flag + running sum (the classic
+    two-window formulation; one shuffle on path serves both windows).
+    Batch twin of `stream_session`; gap == the heartbeat idea (§2.2)."""
+    from esxsnmp_tsdb_spark.functions import tsdb
+
+    obs = tsdb.obs_from_events(_t(spark, sf_dir)["events"])
+    w = Window.partitionBy("path").orderBy("tse", "event_id")
+    wrun = Window.partitionBy("path").orderBy("tse").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = obs.withColumn(
+        "new_session",
+        F.when(
+            (F.col("tse") - F.lag("tse").over(w) > SESSION_GAP_SEC)
+            | F.lag("tse").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn("sid", F.sum("new_session").over(wrun))
+    return sessions.groupBy("path", F.col("sid").cast("bigint").alias("sid")).agg(
+        F.min("tse").alias("session_start"),
+        F.max("tse").alias("session_last"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("tse") - F.min("tse")).alias("duration_sec"),
+    )
+
+
+@op(
+    "pivot_unpivot",
+    oracle="""
+WITH agg AS (
+  SELECT l_returnflag,
+         round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O,
+         round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_F
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'O' AS linestatus, qty_O AS qty FROM agg
+UNION ALL
+SELECT l_returnflag, 'F' AS linestatus, qty_F AS qty FROM agg
+""",
+)
+def pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot to wide (explicit value list → single-pass, no extra job to
+    discover columns) then unpivot back via ``stack`` — round-trips the
+    long layout, proving both directions."""
+    li = _t(spark, sf_dir)["lineitem"]
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return wide.select(
+        "l_returnflag",
+        F.expr("stack(2, 'O', `O`, 'F', `F`) AS (linestatus, qty)"),
+    )
+
+
+@op("approx_percentiles")
+def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p95 via the KLL-style sketch behind
+    ``percentile_approx`` — fixed memory per group, mergeable partials;
+    the quantile path that actually runs at 100 TB (exact twin:
+    `percentiles`).  Rows-only: sketch output has no cross-engine oracle.
+    """
+    return (
+        _t(spark, sf_dir)["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+            F.percentile_approx("o_totalprice", 0.95, 10000).alias("p95_approx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@op(
+    "salted_aggregate",
+    oracle="""
+SELECT event_type,
+       round(sum(value), 2) AS sum_value,
+       min(value) AS min_value, max(value) AS max_value,
+       count(*) AS n
+FROM events GROUP BY event_type
+""",
+)
+def salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew recipe as an operator: two-phase salted aggregation over
+    event_type (5 hot keys × 20k rows each at sf0.1 — exactly the shape
+    where one reducer would otherwise own a whole key).  Result is
+    identical to the direct group-by (the oracle computes it directly);
+    only the task-size distribution changes."""
+    ev = _t(spark, sf_dir)["events"].select("event_type", "value")
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        n_salts=16,
+        sum_cols=("value",),
+        min_cols=("value",),
+        max_cols=("value",),
+    )
+    return out.select(
+        "event_type",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.col("min_value"),
+        F.col("max_value"),
+        "n",
+    )
