@@ -32,6 +32,9 @@ HEADLINE = [
     "ts_agg_cascade",       # §2.2 two-level ladder
     "ts_bin_split",         # §2.2 boundary allocation (explode-heavy)
     "hash_aggregate",       # §2.4 TPC-H Q1 shape
+    "tpch_q3",              # §2.4 3-way join + top-k
+    "tpch_q5",              # §2.4 6-way join
+    "tpch_q18",             # §2.4 HAVING semi-join
     "hash_join_inner",      # §2.4 fact⋈dim shuffle join
     "broadcast_join",       # §2.4 broadcast fact⋈dim
     "asof_join",            # §2.4 union+window as-of

@@ -240,3 +240,40 @@ def stream_stateful_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle's division yields inf there — filter both sides via NOT NULL
     # (SQL) and the tse>last guard (here).
     return out
+
+
+def stream_tws_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as `stream_stateful_rate` on the Spark 4
+    ``transformWithStateInPandas`` API: a ``StatefulProcessor`` with typed
+    ValueState instead of the legacy GroupState tuple — the engine's
+    custom-stateful-operator path going forward (state schema evolution,
+    timers, multiple state variables).
+
+    NOT registered as a driver op: the TWS runtime needs ``google.protobuf``
+    (absent from this container, installs disallowed) — gated via
+    ``streaming.stateful.tws_available()`` and covered by a skip-marked
+    test; `stream_stateful_rate` (applyInPandasWithState) is the working
+    stateful path here.
+    """
+    from esxsnmp_tsdb_spark.streaming.stateful import RateProcessor, tws_available
+
+    if not tws_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas requires google.protobuf, which is "
+            "not available in this environment"
+        )
+
+    ev = events_stream(spark, sf_dir)
+    obs = ev.select(
+        F.concat_ws("/", "user_id", "event_type").alias("path"),
+        F.unix_timestamp("ts").alias("tse"),
+        "value",
+        "event_id",
+    )
+    result = obs.groupBy("path").transformWithStateInPandas(
+        RateProcessor(),
+        outputStructType="path string, tse bigint, rate double",
+        outputMode="append",
+        timeMode="none",
+    )
+    return run_to_memory(result, "append", spark)
