@@ -196,7 +196,11 @@ def time_spine(
     grid = paths.select(
         F.col(path_col).alias("path"),
         F.explode(
-            F.sequence(F.lit(begin), F.lit(end - 1), F.lit(step))
+            F.sequence(
+                F.lit(begin).cast("bigint"),
+                F.lit(end - 1).cast("bigint"),
+                F.lit(step).cast("bigint"),
+            )
         ).alias("slot"),
     )
     observed = (

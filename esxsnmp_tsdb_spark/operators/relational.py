@@ -445,7 +445,7 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         _t(spark, sf_dir)["orders"]
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= 3)
         .select(
             F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice", "rn"

@@ -42,7 +42,7 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat("p_brand", F.lit("#"), "p_type").alias("brand_type"),
         F.col("p_name").like("%a%").alias("has_a"),
         F.regexp_replace("p_name", "[aeiou]", "").alias("no_vowels"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("bigint").alias("name_len"),
     )
 
 
@@ -142,7 +142,7 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dbl = F.transform(emb, lambda x: x.cast("double"))
     return _t(spark, sf_dir)["embeddings"].select(
         "vec_id",
-        F.size(emb).alias("dim"),
+        F.size(emb).cast("bigint").alias("dim"),
         F.round(F.element_at(emb, 1).cast("double"), 6).alias("first_elem"),
         F.round(
             F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x), 4

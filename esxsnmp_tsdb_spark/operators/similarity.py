@@ -83,7 +83,7 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= TOP_K)
         .select("vec_id", "label", F.round("cos_raw", 6).alias("cos"), "rank")
     )
@@ -168,7 +168,7 @@ def sim_search_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= TOP_K)
         .select("vec_id", "label", F.round("cos_raw", 6).alias("cos"), "rank")
     )
@@ -244,6 +244,6 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_chars",
             "label",
-            F.size("embedding").alias("dim"),
+            F.size("embedding").cast("bigint").alias("dim"),
         )
     )

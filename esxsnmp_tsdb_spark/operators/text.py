@@ -90,7 +90,7 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), F.col("tok"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= 5)
         .select("source", "tok", "tfidf", "rn")
     )

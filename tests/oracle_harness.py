@@ -60,6 +60,17 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, key: str) -> list[s
     if sc != dc:
         problems.append(f"{key}: columns {sc} vs {dc}")
         return problems
+    # Driver compares schemas too: require matching pandas dtypes per column
+    # (empirically identical across all ops when Spark types are cast right
+    # — int32-producing functions like size/length/row_number need explicit
+    # bigint casts to line up with DuckDB).
+    dtype_diffs = {
+        c: (str(spark_pdf[c].dtype), str(duck_pdf[c].dtype))
+        for c in sc
+        if str(spark_pdf[c].dtype) != str(duck_pdf[c].dtype)
+    }
+    if dtype_diffs:
+        problems.append(f"{key}: dtype mismatches {dtype_diffs}")
     if problems:
         return problems
     a, b = canonicalize(spark_pdf), canonicalize(duck_pdf)
