@@ -225,6 +225,89 @@ def knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "sim_search_ivf",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding, len(embedding) AS d FROM embeddings),
+centroids AS (SELECT vec_id AS cid, embedding AS cv, d AS cd FROM e
+              WHERE vec_id % 50 = 0),
+assigned AS (
+  SELECT vec_id, label, embedding, d, cid FROM (
+    SELECT e.vec_id, e.label, e.embedding, e.d, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {DOT_SQL.format(d='e.d', a='e.embedding', b='c.cv')} /
+                      (sqrt({DOT_SQL.format(d='e.d', a='e.embedding', b='e.embedding')}) *
+                       sqrt({DOT_SQL.format(d='c.cd', a='c.cv', b='c.cv')})) DESC,
+                      c.cid) AS rn
+    FROM e CROSS JOIN centroids c
+  ) WHERE rn = 1
+),
+q AS (SELECT embedding AS qv, d AS qd, cid AS qcid FROM assigned
+      WHERE vec_id = {QUERY_VEC_ID}),
+cand AS (
+  SELECT a.vec_id, a.label,
+         {DOT_SQL.format(d='q.qd', a='a.embedding', b='q.qv')} /
+         (sqrt({DOT_SQL.format(d='q.qd', a='a.embedding', b='a.embedding')}) *
+          sqrt({DOT_SQL.format(d='q.qd', a='q.qv', b='q.qv')})) AS cos
+  FROM assigned a CROSS JOIN q
+  WHERE a.cid = q.qcid AND a.vec_id != {QUERY_VEC_ID}
+)
+SELECT vec_id, label, round(cos, 6) AS cos, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank FROM cand
+) WHERE rank <= {TOP_K}
+""",
+)
+def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse quantizer = 10 deterministic seed
+    centroids (every 50th vector); vectors are assigned to their nearest
+    centroid cell; a query probes only its own cell.
+
+    At 100 TB the assignment happens at ingest (k-means centroids refreshed
+    offline), the table is partitioned by cell id, and a query reads ~1/k
+    of the corpus per probe — this op is the query-side plan.  Cell scoring
+    and assignment are all zip_with/aggregate folds in codegen; the
+    centroid set (10 rows) broadcasts."""
+    e = _t(spark, sf_dir)["embeddings"]
+    cent = (
+        e.filter(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "embedding",
+        "cid",
+        cosine(_dbl(F.col("embedding")), _dbl(F.col("cv"))).alias("c_cos"),
+    )
+    wassign = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("cid")
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(wassign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", "cid")
+    )
+    q = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"), F.col("cid").alias("qcid")
+    )
+    cand = (
+        assigned.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q), F.col("cid") == F.col("qcid"))
+        .select(
+            "vec_id",
+            "label",
+            cosine(_dbl(F.col("embedding")), _dbl(F.col("qv"))).alias("cos_raw"),
+        )
+    )
+    w = Window.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("vec_id", "label", F.round("cos_raw", 6).alias("cos"), "rank")
+    )
+
+
+@op(
     "multimodal_join",
     oracle="""
 SELECT d.doc_id, d.lang, d.source, d.n_chars, e.label, len(e.embedding) AS dim

@@ -22,6 +22,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from esxsnmp_tsdb_spark.operators._shared import OBS_CTE
 from esxsnmp_tsdb_spark.registry import op
+from esxsnmp_tsdb_spark.sources import register_views
 from esxsnmp_tsdb_spark.streaming import events_stream, run_to_memory
 
 SESSION_GAP_SEC = 1800  # session gap == heartbeat semantics (SURVEY §2.6)
@@ -176,6 +177,44 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = events_stream(spark, sf_dir)
     deduped = a.unionAll(b).select("event_id").dropDuplicates(["event_id"])
     return run_to_memory(deduped, "append", spark)
+
+
+@op(
+    "stream_static_join",
+    oracle="""
+WITH dim AS (
+  SELECT DISTINCT event_type,
+         CASE WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+              WHEN event_type = 'error' THEN 'fault'
+              ELSE 'engagement' END AS category
+  FROM events
+)
+SELECT e.event_id, e.event_type, d.category
+FROM events e JOIN dim d ON e.event_type = d.event_type
+""",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    dimension (the classic streaming lookup — the static side is re-read
+    per micro-batch and broadcast; no state store involved)."""
+    ev = events_stream(spark, sf_dir)
+    static_dim = (
+        register_views(spark, sf_dir)["events"]
+        .select("event_type")
+        .distinct()
+        .withColumn(
+            "category",
+            F.when(F.col("event_type").isin("purchase", "signup"), "conversion")
+            .when(F.col("event_type") == "error", "fault")
+            .otherwise("engagement"),
+        )
+        .withColumnRenamed("event_type", "dim_event_type")
+    )
+    joined = ev.join(
+        F.broadcast(static_dim),
+        F.col("event_type") == F.col("dim_event_type"),
+    ).select("event_id", "event_type", "category")
+    return run_to_memory(joined, "append", spark)
 
 
 def _rate_fn(

@@ -92,6 +92,28 @@ def test_write_obs_and_compact(spark, obs):
         assert sum(counts_after.values()) < sum(counts_before.values())
 
 
+def test_partition_pruning_on_day_layout(spark, obs):
+    # The production layout's whole point: a time-range query against the
+    # day-partitioned store must prune partitions (the reference's chunk
+    # mapping), visible as PartitionFilters on the scan.
+    import re
+
+    from esxsnmp_tsdb_spark.plans import plan_str
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "obs")
+        compaction.write_obs(obs, path)
+        df = spark.read.parquet(path).filter(
+            F.col("day") == "1970-01-02"
+        )
+        plan = plan_str(df, "formatted")
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "day" in m.group(1), plan
+        # and only that day's rows come back
+        days = {r.day for r in df.select("day").distinct().collect()}
+        assert {str(x) for x in days} == {"1970-01-02"}
+
+
 def test_write_obs_bucketed_roundtrip(spark, obs):
     table = "obs_bucketed_test"
     spark.sql(f"DROP TABLE IF EXISTS {table}")
