@@ -89,17 +89,20 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op(
-    "sim_search_ann_lsh",
-    oracle=f"""
-WITH e AS (SELECT vec_id, label, embedding, len(embedding) AS d FROM embeddings),
-bucketed AS (
-  SELECT vec_id, label, embedding, d,
-         list_sum(list_transform(range(0, {N_PLANES}),
+LSH_BUCKET_SQL = f"""list_sum(list_transform(range(0, {N_PLANES}),
            j -> CASE WHEN list_sum(list_transform(range(1, d + 1),
                   i -> CAST(embedding[i] AS DOUBLE) *
                        {_plane_w('i - 1', 'j')})) > 0
-                THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS bucket
+                THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END))"""
+
+
+def _lsh_oracle(probe_pred: str) -> str:
+    """Shared LSH oracle skeleton; `probe_pred` selects candidate buckets."""
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding, len(embedding) AS d FROM embeddings),
+bucketed AS (
+  SELECT vec_id, label, embedding, d,
+         {LSH_BUCKET_SQL} AS bucket
   FROM e
 ),
 q AS (SELECT embedding AS qv, d AS qd, bucket AS qbucket FROM bucketed
@@ -110,30 +113,19 @@ cand AS (
          (sqrt({DOT_SQL.format(d='q.qd', a='b.embedding', b='b.embedding')}) *
           sqrt({DOT_SQL.format(d='q.qd', a='q.qv', b='q.qv')})) AS cos
   FROM bucketed b CROSS JOIN q
-  WHERE b.bucket = q.qbucket AND b.vec_id != {QUERY_VEC_ID}
+  WHERE {probe_pred} AND b.vec_id != {QUERY_VEC_ID}
 )
 SELECT vec_id, label, round(cos, 6) AS cos, rank FROM (
   SELECT *, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank FROM cand
 ) WHERE rank <= {TOP_K}
-""",
-)
-def sim_search_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: random-hyperplane LSH bucketing (deterministic
-    integer planes), then brute-force only inside the query's bucket.
+"""
 
-    At 100 TB the bucket id is precomputed at ingest and the table is
-    partitioned by it — a query reads one bucket (~1/2^planes of the data)
-    instead of the corpus.  Recall<1 by design; the exact twin is
-    `sim_search_topk`."""
-    e = _t(spark, sf_dir)["embeddings"]
-    plane_dot = F.expr(
-        f"""list_sum(list_transform(range(0, {N_PLANES}),
-          j -> CASE WHEN list_sum(list_transform(range(1, size(embedding) + 1),
-                 i -> CAST(embedding[i] AS DOUBLE) * {_plane_w('i - 1', 'j')})) > 0
-               THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END))"""
-    )
-    # Spark lacks list_sum/range-from-1 — express via aggregate/sequence:
-    bucket_expr = F.aggregate(
+
+def _lsh_bucket_expr():
+    """Random-hyperplane LSH bucket id as a pure Catalyst expression
+    (aggregate/sequence folds — the Spark twin of the oracle's
+    list_sum/list_transform)."""
+    return F.aggregate(
         F.sequence(F.lit(0), F.lit(N_PLANES - 1)),
         F.lit(0).cast("bigint"),
         lambda acc, j: acc
@@ -153,13 +145,21 @@ def sim_search_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(F.lit(2.0), j.cast("double")).cast("bigint"),
         ).otherwise(F.lit(0).cast("bigint")),
     )
-    bucketed = e.select("vec_id", "label", "embedding", bucket_expr.alias("bucket"))
+
+
+def _lsh_query(spark: SparkSession, sf_dir: str, probe_cond) -> DataFrame:
+    """Bucket the corpus, broadcast the 1-row query, join on
+    `probe_cond(bucket, qbucket)`, brute-force the survivors, top-k."""
+    e = _t(spark, sf_dir)["embeddings"]
+    bucketed = e.select(
+        "vec_id", "label", "embedding", _lsh_bucket_expr().alias("bucket")
+    )
     q = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
     )
     cand = (
         bucketed.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .join(F.broadcast(q), probe_cond(F.col("bucket"), F.col("qbucket")))
         .select(
             "vec_id",
             "label",
@@ -171,6 +171,43 @@ def sim_search_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= TOP_K)
         .select("vec_id", "label", F.round("cos_raw", 6).alias("cos"), "rank")
+    )
+
+
+@op("sim_search_ann_lsh", oracle=_lsh_oracle("b.bucket = q.qbucket"))
+def sim_search_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH bucketing (deterministic
+    integer planes), then brute-force only inside the query's bucket.
+
+    At 100 TB the bucket id is precomputed at ingest and the table is
+    partitioned by it — a query reads one bucket (~1/2^planes of the data)
+    instead of the corpus.  Recall<1 by design; the exact twin is
+    `sim_search_topk`."""
+    return _lsh_query(spark, sf_dir, lambda b, qb: b == qb)
+
+
+_PROBE_XORS = [0] + [1 << j for j in range(N_PLANES)]
+
+
+@op(
+    "sim_search_lsh_multiprobe",
+    oracle=_lsh_oracle(
+        f"xor(b.bucket, q.qbucket) IN ({', '.join(map(str, _PROBE_XORS))})"
+    ),
+)
+def sim_search_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH: probe the query's bucket AND every bucket at
+    Hamming distance 1 (one hyperplane bit flipped) — the standard
+    recall-recovery move, trading (planes+1)× candidate volume for far
+    fewer missed near-neighbors at the same index.
+
+    The probe set is a static IN-list on the bucket id, so at 100 TB it is
+    a partition-pruning predicate over the bucket-partitioned index —
+    (planes+1) partitions read instead of 1, still ≪ full scan."""
+    return _lsh_query(
+        spark,
+        sf_dir,
+        lambda b, qb: b.bitwiseXOR(qb).isin(_PROBE_XORS),
     )
 
 
