@@ -1,0 +1,53 @@
+"""Registry-wide physical-plan audit (SURVEY.md §4).
+
+Two invariants that decide whether ANY plan survives a 100× scale-up,
+checked for every registered batch op, not just the hand-picked set in
+test_plans.py:
+
+1. No ``BatchEvalPython`` — row-at-a-time Python UDFs are the slow path;
+   anything Python-side must go through Arrow (``ArrowEvalPython``,
+   ``FlatMapGroupsInPandas``, ``MapInPandas``…).
+2. No ``CartesianProduct`` — an unbroadcast cross join shuffles |A|×|B|;
+   a 1-row broadcast side must plan as ``BroadcastNestedLoopJoin``.
+
+Streaming ops and write ops execute eagerly on call, so they are skipped
+here (their semantics are covered by the oracle/rows checks; streaming
+micro-batch plans are exercised in test_stateful_tws.py).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from esxsnmp_tsdb_spark import registry
+from esxsnmp_tsdb_spark.plans import plan_str
+from tests.conftest import SF_ORACLE
+
+registry.load_all()
+
+_SKIP_EAGER = {k for k in registry.QUERIES if k.startswith("stream_")} | {
+    "ingest_batch_append",  # write op: executes a durable append on call
+}
+
+BATCH_OPS = sorted(k for k in registry.QUERIES if k not in _SKIP_EAGER)
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    return {k: plan_str(registry.QUERIES[k](spark, SF_ORACLE)) for k in BATCH_OPS}
+
+
+def test_audit_covers_registry(plans):
+    # The audit must grow with the registry: every non-eager op is planned.
+    assert len(plans) == len(registry.QUERIES) - len(_SKIP_EAGER)
+    assert len(plans) >= 83
+
+
+def test_no_row_at_a_time_python_udf(plans):
+    offenders = [k for k, p in plans.items() if "BatchEvalPython" in p]
+    assert not offenders, f"row-at-a-time Python UDF in: {offenders}"
+
+
+def test_no_unbroadcast_cartesian(plans):
+    offenders = [k for k, p in plans.items() if "CartesianProduct" in p]
+    assert not offenders, f"unbroadcast cross join in: {offenders}"
