@@ -37,6 +37,7 @@ _OPERATOR_MODULES = (
     "esxsnmp_tsdb_spark.operators.scalar",
     "esxsnmp_tsdb_spark.operators.tpch",
     "esxsnmp_tsdb_spark.operators.dedup",
+    "esxsnmp_tsdb_spark.operators.curation",
     "esxsnmp_tsdb_spark.operators.similarity",
     "esxsnmp_tsdb_spark.operators.text",
     "esxsnmp_tsdb_spark.operators.multimodal",
