@@ -41,6 +41,7 @@ HEADLINE = [
     "window_rank",          # §2.4 top-k per group
     "sort_limit_topk",      # §2.4 TakeOrdered
     "dedup_near_minhash",   # §2.5 LSH dedup
+    "quality_filter_funnel",  # §2.5 curation funnel (conditional agg)
     "sim_search_topk",      # §2.5 vector top-k
     "text_tokenize_stats",  # §2.5 explode-aggregate
     "multimodal_decode",    # §2.5 Pandas-UDF path
