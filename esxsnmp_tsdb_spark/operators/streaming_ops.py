@@ -217,6 +217,61 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, "append", spark)
 
 
+@op(
+    "stream_stream_join",
+    oracle="""
+SELECT b.user_id, b.event_id AS buy_id, e.event_id AS err_id,
+       CAST(floor(epoch(e.ts)) - floor(epoch(b.ts)) AS BIGINT) AS gap_s
+FROM events b JOIN events e
+  ON b.user_id = e.user_id
+ AND b.event_type = 'purchase' AND e.event_type = 'error'
+ AND epoch_us(e.ts) - epoch_us(b.ts) BETWEEN -300000000 AND 300000000
+""",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases ⋈ errors per user within ±5
+    minutes of event time — "which conversions raced a fault".  Both sides
+    carry a 1-hour watermark and the join predicate carries the time-range
+    bound, so the state store evicts rows older than watermark−5min
+    instead of buffering both streams forever (THE correctness condition
+    for stream-stream joins at scale).  Batch twin: the same time-bounded
+    self-join, microsecond-exact (`epoch_us` ≡ Spark's µs event time)."""
+    buys = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("buy_id"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", "1 hour")
+    )
+    errs = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("event_id").alias("err_id"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = buys.join(
+        errs,
+        (F.col("b_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("b_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("e_ts") <= F.col("b_ts") + F.expr("INTERVAL 5 MINUTES")),
+    ).select(
+        F.col("b_user").alias("user_id"),
+        "buy_id",
+        "err_id",
+        (F.unix_timestamp("e_ts") - F.unix_timestamp("b_ts"))
+        .cast("bigint")
+        .alias("gap_s"),
+    )
+    return run_to_memory(joined, "append", spark)
+
+
 def _rate_fn(
     key: Tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
