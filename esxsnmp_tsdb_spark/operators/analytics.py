@@ -1,0 +1,326 @@
+"""§2.2-adjacent TSDB analytics (EXT): the reports a network-monitoring
+user of the reference actually runs on top of the aggregate ladder —
+top-talkers, 95th-percentile billing, linear gap-fill, and rolling
+z-score anomaly detection.
+
+These compose the §2.1/§2.2 primitives (obs mapping, synthetic counter,
+slot math from ``_shared``/``functions.tsdb``) rather than re-deriving
+them; each op's oracle builds on the same OBS/CNT CTE twins.
+
+Determinism: counter math in BIGINT; every reported float rounded; the
+anomaly flag compares the ROUNDED z-score so both engines make the same
+discrete in/out decision; percentile inputs are cast to DOUBLE on the
+oracle side (DuckDB's DECIMAL quantile path truncates differently).
+
+Scale posture: every op here is one shuffle on `path` (window or
+group-by) over data that at 100 TB is served from the 5-minute aggregate
+level, not raw — the ladder makes these reports cheap by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from esxsnmp_tsdb_spark.functions import tsdb
+from esxsnmp_tsdb_spark.operators._shared import (
+    CNT_CTE,
+    OBS_CTE,
+    STEP,
+    SYNTH_WRAP,
+    T_JAN10,
+    T_JAN11,
+)
+from esxsnmp_tsdb_spark.registry import op
+from esxsnmp_tsdb_spark.sources import register_views
+
+TOP_N = 10
+Z_WIN = 12  # rolling samples for the anomaly baseline
+Z_THRESH = 3.0
+
+
+def _obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tsdb.obs_from_events(register_views(spark, sf_dir)["events"])
+
+
+def _counter(obs: DataFrame) -> DataFrame:
+    w = (
+        Window.partitionBy("path")
+        .orderBy("tse", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return obs.select(
+        "path",
+        "tse",
+        "event_id",
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).over(w).alias("counter"),
+    )
+
+
+@op(
+    "ts_top_talkers",
+    oracle=f"""
+WITH {OBS_CTE}, {CNT_CTE},
+wrapped AS (SELECT path, tse, event_id, counter % {SYNTH_WRAP} AS cw FROM cnt),
+d AS (
+  SELECT path, cw - lag(cw) OVER w AS delta
+  FROM wrapped
+  WINDOW w AS (PARTITION BY path ORDER BY tse, event_id)
+),
+vol AS (
+  SELECT path,
+         CAST(sum(CASE WHEN delta < 0 THEN delta + {SYNTH_WRAP} ELSE delta END)
+              AS BIGINT) AS volume
+  FROM d WHERE delta IS NOT NULL GROUP BY path
+)
+SELECT path, volume, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY volume DESC, path) AS rank FROM vol
+) WHERE rank <= {TOP_N}
+""",
+)
+def ts_top_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE canonical SNMP report: total wrap-corrected counter movement
+    per series, top-{TOP_N} by volume.  One shuffle on path for the lag
+    window, a partial-aggregated sum, then TakeOrdered-style top-k — the
+    ladder's delta level serves this without touching raw at 100 TB."""
+    cnt = _counter(_obs(spark, sf_dir)).withColumn(
+        "counter", F.col("counter") % SYNTH_WRAP
+    )
+    d = tsdb.deltas(cnt, "counter")
+    vol = (
+        d.filter(F.col("delta").isNotNull())
+        .withColumn("wd", tsdb.wrap_correct(F.col("delta"), SYNTH_WRAP))
+        .groupBy("path")
+        .agg(F.sum("wd").cast("bigint").alias("volume"))
+    )
+    w = Window.orderBy(F.col("volume").desc(), "path")
+    return (
+        vol.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_N)
+        .select("path", "volume", "rank")
+    )
+
+
+@op(
+    "ts_billing_p95",
+    oracle=f"""
+WITH {OBS_CTE}, {CNT_CTE},
+wrapped AS (SELECT path, tse, event_id, counter % {SYNTH_WRAP} AS cw FROM cnt),
+d AS (
+  SELECT path, tse, cw - lag(cw) OVER w AS delta
+  FROM wrapped
+  WINDOW w AS (PARTITION BY path ORDER BY tse, event_id)
+),
+slot_rate AS (
+  SELECT path, tse - tse % {STEP} AS slot,
+         CAST(sum(CASE WHEN delta < 0 THEN delta + {SYNTH_WRAP} ELSE delta END)
+              AS DOUBLE) / {STEP} AS rate
+  FROM d WHERE delta IS NOT NULL GROUP BY 1, 2
+)
+SELECT path, round(quantile_cont(rate, 0.95), 4) AS p95_rate,
+       count(*) AS n_slots
+FROM slot_rate GROUP BY path
+""",
+)
+def ts_billing_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstable-billing 95th percentile: 5-minute wrap-corrected counter
+    deltas → per-slot rates → exact p95 per series (the number ISPs bill
+    on; the reference's 5-min base step † exists for exactly this).
+
+    Exact linear-interpolation percentile on both engines (Spark
+    `percentile` ≡ DuckDB `quantile_cont` on DOUBLE, verified
+    bit-identical); per-series slot counts stay small (288/day), so the
+    exact sort-based percentile is safe even at 100 TB — the heavy lift
+    happened in the slot aggregation."""
+    cnt = _counter(_obs(spark, sf_dir)).withColumn(
+        "counter", F.col("counter") % SYNTH_WRAP
+    )
+    d = tsdb.deltas(cnt, "counter")
+    slot_rate = (
+        d.filter(F.col("delta").isNotNull())
+        .withColumn("wd", tsdb.wrap_correct(F.col("delta"), SYNTH_WRAP))
+        .groupBy("path", tsdb.slot_of(F.col("tse"), STEP).alias("slot"))
+        .agg((F.sum("wd").cast("double") / STEP).alias("rate"))
+    )
+    return slot_rate.groupBy("path").agg(
+        F.round(F.expr("percentile(rate, 0.95)"), 4).alias("p95_rate"),
+        F.count(F.lit(1)).alias("n_slots"),
+    )
+
+
+@op(
+    "ts_interpolate",
+    oracle=f"""
+WITH {OBS_CTE},
+slots AS (
+  SELECT path, CAST(unnest(generate_series({T_JAN10}, {T_JAN11} - {STEP},
+                                           {STEP})) AS BIGINT) AS slot
+  FROM (SELECT DISTINCT path FROM obs)
+),
+observed AS (
+  SELECT path, tse - tse % {STEP} AS slot, round(avg(value), 6) AS v
+  FROM obs WHERE (flags & 1) != 0 AND tse >= {T_JAN10} AND tse < {T_JAN11}
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT s.path, s.slot, o.v FROM slots s
+  LEFT JOIN observed o ON s.path = o.path AND s.slot = o.slot
+),
+ctx AS (
+  SELECT path, slot, v,
+         last_value(v IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN slot END IGNORE NULLS)
+           OVER wp AS pt,
+         first_value(v IGNORE NULLS) OVER wf AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN slot END IGNORE NULLS)
+           OVER wf AS nt
+  FROM grid
+  WINDOW wp AS (PARTITION BY path ORDER BY slot
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         wf AS (PARTITION BY path ORDER BY slot
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT path, slot,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NOT NULL AND nv IS NOT NULL
+            -- floor-quantize, not round(): interpolation at ratio 1/2 makes
+            -- exact .5 decimal ties where the engines' round() disagree
+            THEN floor((pv + (nv - pv) * (slot - pt) / (nt - pt))
+                       * 1000000.0 + 0.5) / 1000000.0
+       END AS value,
+       CASE WHEN v IS NOT NULL THEN 0 ELSE 1 END AS filled
+FROM ctx
+""",
+)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap-fill over the dense slot grid (one day, {STEP}s slots):
+    empty slots get the time-weighted line between the neighboring valid
+    readings; leading/trailing gaps stay NULL (the reference never
+    extrapolates †, and `ts_heartbeat_invalidate` is the op that refuses
+    to bridge outages — this one is the chart-friendly fill).
+
+    Spark twin of the oracle's IGNORE NULLS windows: `last`/`first` with
+    ignorenulls=True over the same frames.  The spine join broadcasts the
+    slot sequence; both windows ride the single shuffle on path."""
+    obs = _obs(spark, sf_dir)
+    paths = obs.select("path").distinct()
+    slots = paths.select(
+        "path",
+        F.explode(
+            F.sequence(
+                F.lit(T_JAN10).cast("bigint"),
+                F.lit(T_JAN11 - STEP).cast("bigint"),
+                F.lit(STEP).cast("bigint"),
+            )
+        ).alias("slot"),
+    )
+    observed = (
+        tsdb.valid_only(obs)
+        .filter((F.col("tse") >= T_JAN10) & (F.col("tse") < T_JAN11))
+        .groupBy("path", tsdb.slot_of(F.col("tse"), STEP).alias("slot"))
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    grid = slots.join(observed, ["path", "slot"], "left")
+    wp = (
+        Window.partitionBy("path")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy("path")
+        .orderBy("slot")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    slot_if_v = F.when(F.col("v").isNotNull(), F.col("slot"))
+    ctx = grid.select(
+        "path",
+        "slot",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(slot_if_v, ignorenulls=True).over(wp).alias("pt"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(slot_if_v, ignorenulls=True).over(wf).alias("nt"),
+    )
+    # floor-quantize (not round): midpoint interpolations land on exact .5
+    # decimal ties where Spark's and DuckDB's round() disagree by 1 ulp.
+    interp = (
+        F.floor(
+            (
+                F.col("pv")
+                + (F.col("nv") - F.col("pv"))
+                * (F.col("slot") - F.col("pt"))
+                / (F.col("nt") - F.col("pt"))
+            )
+            * 1000000.0
+            + 0.5
+        )
+        / 1000000.0
+    )
+    return ctx.select(
+        "path",
+        "slot",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+        .alias("value"),
+        F.when(F.col("v").isNotNull(), 0).otherwise(1).cast("int").alias("filled"),
+    )
+
+
+@op(
+    "ts_anomaly_zscore",
+    oracle=f"""
+WITH {OBS_CTE},
+stats AS (
+  SELECT path, tse, event_id, value,
+         avg(value) OVER w AS mu,
+         avg(value * value) OVER w AS m2,
+         count(*) OVER w AS n
+  FROM obs
+  WINDOW w AS (PARTITION BY path ORDER BY tse, event_id
+               ROWS BETWEEN {Z_WIN} PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT path, tse, value,
+         round((value - mu) / sqrt(greatest(m2 - mu * mu, 1e-12)), 4) AS z
+  FROM stats
+  WHERE n = {Z_WIN} AND m2 - mu * mu > 1e-12
+)
+SELECT path, tse, value, z FROM scored WHERE abs(z) > {Z_THRESH}
+""",
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each reading scored against the
+    mean/std of its own trailing {Z_WIN} samples (population moments via
+    the explicit E[x²]−E[x]² formula so both engines fold the identical
+    frame in the identical order); |z| > {Z_THRESH} flags the row.
+
+    The in/out decision compares the ROUNDED z on both sides — the only
+    way a float boundary can't flip the row set between engines.  One
+    window shuffle on path; map-only after."""
+    obs = _obs(spark, sf_dir)
+    w = (
+        Window.partitionBy("path")
+        .orderBy("tse", "event_id")
+        .rowsBetween(-Z_WIN, -1)
+    )
+    stats = obs.select(
+        "path",
+        "tse",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.avg(F.col("value") * F.col("value")).over(w).alias("m2"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    var = F.col("m2") - F.col("mu") * F.col("mu")
+    scored = stats.filter(
+        (F.col("n") == Z_WIN) & (var > 1e-12)
+    ).select(
+        "path",
+        "tse",
+        "value",
+        F.round(
+            (F.col("value") - F.col("mu")) / F.sqrt(F.greatest(var, F.lit(1e-12))),
+            4,
+        ).alias("z"),
+    )
+    return scored.filter(F.abs(F.col("z")) > Z_THRESH)
