@@ -58,6 +58,16 @@ def main() -> None:
     spark = get_session("bench")
     queries = registry.queries()
 
+    # SPARK_GRAFT_BENCH_ALL=1: time every registered batch op (full per-op
+    # table for BASELINE.md), not just the headline set.  Streaming ops and
+    # the write op run eagerly with checkpoint setup dominating — excluded.
+    bench_set = HEADLINE
+    if os.environ.get("SPARK_GRAFT_BENCH_ALL") == "1":
+        skip = {k for k in queries if k.startswith("stream_")} | {
+            "ingest_batch_append"
+        }
+        bench_set = sorted(k for k in queries if k not in skip)
+
     # JIT/session warmup outside timed region.
     materialize(queries["scan_parquet"](spark, sf_dir))
 
@@ -65,7 +75,7 @@ def main() -> None:
     # the engine's achievable time, the noise is the host's.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     per_query: dict[str, float] = {}
-    for key in HEADLINE:
+    for key in bench_set:
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()

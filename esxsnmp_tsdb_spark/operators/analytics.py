@@ -221,6 +221,11 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("value"), 6).alias("v"))
     )
     grid = slots.join(observed, ["path", "slot"], "left")
+    # Both context windows are RUNNING frames (unbounded-preceding → -1):
+    # the "next valid" side uses a descending sort instead of an
+    # UNBOUNDED FOLLOWING frame, which Spark's WindowExec evaluates
+    # O(partition²) — at 288 slots/day/path that's 80k evaluations per
+    # path-day; the reversed running frame is O(n) (17s → ~3s at sf0.1).
     wp = (
         Window.partitionBy("path")
         .orderBy("slot")
@@ -228,8 +233,8 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wf = (
         Window.partitionBy("path")
-        .orderBy("slot")
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.col("slot").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     slot_if_v = F.when(F.col("v").isNotNull(), F.col("slot"))
     ctx = grid.select(
@@ -238,8 +243,8 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.last("v", ignorenulls=True).over(wp).alias("pv"),
         F.last(slot_if_v, ignorenulls=True).over(wp).alias("pt"),
-        F.first("v", ignorenulls=True).over(wf).alias("nv"),
-        F.first(slot_if_v, ignorenulls=True).over(wf).alias("nt"),
+        F.last("v", ignorenulls=True).over(wf).alias("nv"),
+        F.last(slot_if_v, ignorenulls=True).over(wf).alias("nt"),
     )
     # floor-quantize (not round): midpoint interpolations land on exact .5
     # decimal ties where Spark's and DuckDB's round() disagree by 1 ulp.

@@ -1,0 +1,96 @@
+"""Semantic invariants for the curation + analytics modules (SURVEY.md
+§5.2) — properties the DuckDB oracle can't express (determinism across
+runs, bounds, monotonicity), checked on the smoke fixture."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from esxsnmp_tsdb_spark import registry
+from tests.conftest import SF_SMOKE
+
+registry.load_all()
+Q = registry.QUERIES
+
+
+def test_split_is_exhaustive_and_deterministic(spark):
+    rows = {r.split: r for r in Q["split_train_test"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    assert abs(sum(r.share for r in rows.values()) - 1.0) < 1e-6
+    # hash-based, so a second run returns the identical assignment
+    again = {r.split: r for r in Q["split_train_test"](spark, SF_SMOKE).collect()}
+    assert {k: v.n_docs for k, v in rows.items()} == {
+        k: v.n_docs for k, v in again.items()
+    }
+
+
+def test_stratified_sample_preserves_strata(spark):
+    out = Q["sample_stratified"](spark, SF_SMOKE).collect()
+    assert sum(r.n_total for r in out) == 500
+    for r in out:
+        # every stratum sampled at roughly 1/5 (hash-mod), never emptied
+        assert 0 < r.n_sample < r.n_total
+        assert 0.05 <= r.sample_ratio <= 0.40
+
+
+def test_funnel_is_monotone(spark):
+    out = sorted(
+        Q["quality_filter_funnel"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.stage_ord,
+    )
+    counts = [r.n_docs for r in out]
+    assert counts[0] == 500
+    assert counts == sorted(counts, reverse=True)  # each stage only drops
+
+
+def test_histogram_cdf_reaches_total(spark):
+    out = sorted(
+        Q["doc_length_histogram"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert sum(r.n_docs for r in out) == 500
+    assert out[-1].cum_docs == 500
+    cums = [r.cum_docs for r in out]
+    assert cums == sorted(cums)  # cumulative is nondecreasing
+
+
+def test_quantize_respects_int8_bounds(spark):
+    df = Q["embedding_quantize"](spark, SF_SMOKE)
+    bad = df.filter(
+        (F.col("q_min") < -127) | (F.col("q_max") > 127) | (F.col("scale") <= 0)
+    )
+    assert bad.count() == 0
+    # symmetric quantization always hits the max magnitude somewhere
+    hit = df.filter((F.col("q_max") == 127) | (F.col("q_min") == -127))
+    assert hit.count() == df.count()
+
+
+def test_top_talkers_ranked_by_volume(spark):
+    out = sorted(Q["ts_top_talkers"](spark, SF_SMOKE).collect(), key=lambda r: r.rank)
+    vols = [r.volume for r in out]
+    assert vols == sorted(vols, reverse=True)
+    assert len(out) == 10 and out[0].rank == 1
+
+
+def test_interpolate_fills_within_observed_range(spark):
+    out = Q["ts_interpolate"](spark, SF_SMOKE)
+    # observed slots keep their value; filled slots (when interpolable) lie
+    # within the path's observed [min, max] — linear interp never overshoots.
+    obs_rng = (
+        out.filter(F.col("filled") == 0)
+        .groupBy("path")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    bad = (
+        out.filter((F.col("filled") == 1) & F.col("value").isNotNull())
+        .join(obs_rng, "path")
+        .filter((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+    )
+    assert bad.count() == 0
+
+
+def test_billing_p95_bounded_by_slot_extremes(spark):
+    out = Q["ts_billing_p95"](spark, SF_SMOKE)
+    assert out.filter(F.col("p95_rate") < 0).count() == 0
+    assert out.filter(F.col("n_slots") <= 0).count() == 0
