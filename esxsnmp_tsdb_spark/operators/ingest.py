@@ -14,7 +14,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from esxsnmp_tsdb_spark.functions import tsdb
-from esxsnmp_tsdb_spark.operators._shared import BUCKET, OBS_CTE, T_JAN10, T_JAN20
+from esxsnmp_tsdb_spark.operators._shared import (
+    BUCKET,
+    OBS_CTE,
+    STEP,
+    T_JAN10,
+    T_JAN15_NOON,
+    T_JAN20,
+)
 from esxsnmp_tsdb_spark.registry import op
 from esxsnmp_tsdb_spark.sources import register_views
 
@@ -68,6 +75,65 @@ def _gc_old(keep: str) -> None:
         full = os.path.join(INGEST_ROOT, d)
         if full != keep and d.startswith("append_"):
             shutil.rmtree(full, ignore_errors=True)
+
+
+_LWW_SQL = """
+  SELECT path, slot, value FROM (
+    SELECT path, tse - tse % {step} AS slot, value,
+           row_number() OVER (PARTITION BY path, tse - tse % {step}
+                              ORDER BY tse DESC, event_id DESC) AS rn
+    FROM obs WHERE {pred}
+  ) WHERE rn = 1
+"""
+
+
+@op(
+    "ts_merge_upsert",
+    oracle=f"""
+WITH {OBS_CTE},
+base AS ({_LWW_SQL.format(step=STEP, pred=f"tse < {T_JAN15_NOON}")}),
+upd AS ({_LWW_SQL.format(step=STEP, pred=f"tse >= {T_JAN10} AND tse < {T_JAN20}")})
+SELECT coalesce(u.path, b.path) AS path,
+       coalesce(u.slot, b.slot) AS slot,
+       round(coalesce(u.value, b.value), 6) AS value,
+       CASE WHEN u.value IS NOT NULL THEN 'update' ELSE 'base' END AS src
+FROM base b FULL JOIN upd u ON b.path = u.path AND b.slot = u.slot
+""",
+)
+def ts_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics for the slot store (``TSDBVar.insert`` positional
+    overwrite †, extended to batch reconciliation): an update batch
+    overwrites matched (path, slot) rows, unmatched base rows survive,
+    brand-new slots insert — WHEN MATCHED UPDATE / WHEN NOT MATCHED
+    INSERT, expressed as a full outer join + coalesce (the declarative
+    form Catalyst can plan as one co-partitioned shuffle on (path, slot);
+    with the bucketed layout of ``sources.compaction`` the shuffle
+    disappears entirely, which is how the 100 TB nightly reconciliation
+    stays one pass)."""
+    obs = tsdb.obs_from_events(register_views(spark, sf_dir)["events"])
+    base = tsdb.slot_dedup(obs.filter(F.col("tse") < T_JAN15_NOON), STEP)
+    upd = tsdb.slot_dedup(
+        obs.filter((F.col("tse") >= T_JAN10) & (F.col("tse") < T_JAN20)), STEP
+    )
+    b = base.select("path", "slot", F.col("value").alias("b_value"))
+    u = upd.select(
+        F.col("path").alias("u_path"),
+        F.col("slot").alias("u_slot"),
+        F.col("value").alias("u_value"),
+    )
+    merged = b.join(
+        u,
+        (F.col("path") == F.col("u_path")) & (F.col("slot") == F.col("u_slot")),
+        "full",
+    )
+    return merged.select(
+        F.coalesce("u_path", "path").alias("path"),
+        F.coalesce("u_slot", "slot").alias("slot"),
+        F.round(F.coalesce("u_value", "b_value"), 6).alias("value"),
+        F.when(F.col("u_value").isNotNull(), "update")
+        .otherwise("base")
+        .alias("src"),
+    )
 
 
 @op(

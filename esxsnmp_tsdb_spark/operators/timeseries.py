@@ -38,11 +38,16 @@ FROM obs WHERE tse >= {T_JAN10} AND tse < {T_JAN20}
 def ts_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``TSDBVar.select(begin, end)`` † — time-range scan.
 
-    Scale: the predicate pushes to the parquet scan; with the production
-    date(slot)-partitioned layout it prunes partitions exactly like the
-    reference's YYYYMMDD chunk mapper (SURVEY.md §4).
-    """
-    return tsdb.range_scan(_obs(spark, sf_dir), T_JAN10, T_JAN20).select(
+    Scale: the range predicate is applied to the raw nano-long column
+    (``sources.load_events_range``) so it reaches the parquet scan as
+    PushedFilters — min/max row-group skipping now, partition pruning on
+    the production date-partitioned layout (the reference's YYYYMMDD
+    chunk mapper, SURVEY.md §4).  The semantic tse filter stays as a
+    cheap residual."""
+    from esxsnmp_tsdb_spark.sources import load_events_range
+
+    ev = load_events_range(spark, sf_dir, T_JAN10, T_JAN20)
+    return tsdb.range_scan(tsdb.obs_from_events(ev), T_JAN10, T_JAN20).select(
         "path", "tse", "value", "flags"
     )
 

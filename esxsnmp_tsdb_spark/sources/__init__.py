@@ -1,3 +1,8 @@
-from esxsnmp_tsdb_spark.sources.catalog import TABLES, load_table, register_views
+from esxsnmp_tsdb_spark.sources.catalog import (
+    TABLES,
+    load_events_range,
+    load_table,
+    register_views,
+)
 
-__all__ = ["TABLES", "load_table", "register_views"]
+__all__ = ["TABLES", "load_events_range", "load_table", "register_views"]

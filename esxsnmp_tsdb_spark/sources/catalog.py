@@ -64,6 +64,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_events_range(
+    spark: SparkSession, sf_dir: str, begin: int, end: int
+) -> DataFrame:
+    """`events` restricted to ``begin <= floor-epoch(ts) < end``, with the
+    predicate applied to the RAW nano-long column *before* the timestamp
+    rebuild.
+
+    Filtering the converted column wraps the comparison in
+    ``unix_timestamp(timestamp_micros(ts div 1000))`` — an expression the
+    parquet reader cannot push, so every row group is read.  On the raw
+    long, ``tse >= b  ⇔  ts >= b·10⁹`` exactly (positive epochs), and the
+    scan shows ``PushedFilters: [GreaterThanOrEqual(ts,…), LessThan(ts,…)]``
+    — min/max row-group skipping, the 100 TB analog of the reference's
+    YYYYMMDD chunk mapper working *within* a day file."""
+    tune(spark)
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.filter(
+            (F.col("ts") >= begin * 1_000_000_000)
+            & (F.col("ts") < end * 1_000_000_000)
+        ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:  # already proper timestamps (non-nanos source)
+        df = df.filter(
+            (F.unix_timestamp("ts") >= begin) & (F.unix_timestamp("ts") < end)
+        )
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Tune the session and register every fixture table as a temp view.
 

@@ -32,10 +32,12 @@ def test_projection_filter_pushdown(spark):
 
 def test_range_scan_filter_pushdown(spark):
     df = Q["ts_range_scan"](spark, SF_ORACLE)
-    # The epoch-range predicate lands on the ts column scan (the chunk-
-    # mapper analog); events carries ts as nanos-long so the pushed filter
-    # is on the raw long column.
-    assert "ts" in pushed_filters(df) or "ts" in read_schema(df)
+    # The epoch-range predicate MUST land on the parquet scan as pushed
+    # filters on the raw nanos-long ts column (row-group min/max skipping —
+    # the chunk-mapper analog).  A filter wrapped in unix_timestamp() would
+    # leave PushedFilters empty; load_events_range exists to prevent that.
+    pf = pushed_filters(df)
+    assert "GreaterThanOrEqual(ts" in pf and "LessThan(ts" in pf, pf
     assert "props" not in read_schema(df)  # unused column pruned
 
 
