@@ -110,10 +110,16 @@ def ts_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the bucketed layout of ``sources.compaction`` the shuffle
     disappears entirely, which is how the 100 TB nightly reconciliation
     stays one pass)."""
-    obs = tsdb.obs_from_events(register_views(spark, sf_dir)["events"])
-    base = tsdb.slot_dedup(obs.filter(F.col("tse") < T_JAN15_NOON), STEP)
+    from esxsnmp_tsdb_spark.sources import load_events_range
+
+    register_views(spark, sf_dir)  # keep session tuned/views consistent
+    base = tsdb.slot_dedup(
+        tsdb.obs_from_events(load_events_range(spark, sf_dir, 0, T_JAN15_NOON)),
+        STEP,
+    )
     upd = tsdb.slot_dedup(
-        obs.filter((F.col("tse") >= T_JAN10) & (F.col("tse") < T_JAN20)), STEP
+        tsdb.obs_from_events(load_events_range(spark, sf_dir, T_JAN10, T_JAN20)),
+        STEP,
     )
     b = base.select("path", "slot", F.col("value").alias("b_value"))
     u = upd.select(
