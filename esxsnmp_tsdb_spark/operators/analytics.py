@@ -32,7 +32,7 @@ from esxsnmp_tsdb_spark.operators._shared import (
     T_JAN11,
 )
 from esxsnmp_tsdb_spark.registry import op
-from esxsnmp_tsdb_spark.sources import register_views
+from esxsnmp_tsdb_spark.sources import load_events_range, register_views
 
 TOP_N = 10
 Z_WIN = 12  # rolling samples for the anomaly baseline
@@ -214,8 +214,14 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("slot"),
     )
+    # The day-window side re-reads events with the range pushed to the
+    # parquet scan (row-group skipping); the path universe above must stay
+    # the full table (paths silent that day still get a NULL-filled spine).
+    day_obs = tsdb.obs_from_events(
+        load_events_range(spark, sf_dir, T_JAN10, T_JAN11)
+    )
     observed = (
-        tsdb.valid_only(obs)
+        tsdb.valid_only(day_obs)
         .filter((F.col("tse") >= T_JAN10) & (F.col("tse") < T_JAN11))
         .groupBy("path", tsdb.slot_of(F.col("tse"), STEP).alias("slot"))
         .agg(F.round(F.avg("value"), 6).alias("v"))

@@ -23,7 +23,7 @@ from esxsnmp_tsdb_spark.operators._shared import (
     T_JAN20,
 )
 from esxsnmp_tsdb_spark.registry import op
-from esxsnmp_tsdb_spark.sources import register_views
+from esxsnmp_tsdb_spark.sources import load_events_range, register_views
 
 INGEST_ROOT = os.environ.get("SPARK_GRAFT_INGEST_DIR", "/tmp/esxsnmp_tsdb_ingest")
 
@@ -110,8 +110,6 @@ def ts_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the bucketed layout of ``sources.compaction`` the shuffle
     disappears entirely, which is how the 100 TB nightly reconciliation
     stays one pass)."""
-    from esxsnmp_tsdb_spark.sources import load_events_range
-
     register_views(spark, sf_dir)  # keep session tuned/views consistent
     base = tsdb.slot_dedup(
         tsdb.obs_from_events(load_events_range(spark, sf_dir, 0, T_JAN15_NOON)),
@@ -168,7 +166,8 @@ def api_timerange_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     Level routing mirrors the reference: the engine selects the stored
     aggregate whose step divides the request (here the 1h ladder level).
     """
-    obs = tsdb.obs_from_events(register_views(spark, sf_dir)["events"])
+    register_views(spark, sf_dir)
+    obs = tsdb.obs_from_events(load_events_range(spark, sf_dir, T_JAN10, T_JAN20))
     agg = (
         tsdb.range_scan(obs, T_JAN10, T_JAN20)
         .groupBy("path", tsdb.slot_of(F.col("tse"), BUCKET).alias("slot"))

@@ -41,6 +41,13 @@ def test_range_scan_filter_pushdown(spark):
     assert "props" not in read_schema(df)  # unused column pruned
 
 
+def test_point_lookup_and_last_known_pushdown(spark):
+    # The O(1) slot read and the as-of lookup both carry raw-ts range
+    # predicates into the scan (row-group skipping at scale).
+    assert "LessThan(ts" in pushed_filters(Q["ts_point_lookup"](spark, SF_ORACLE))
+    assert "LessThan(ts" in pushed_filters(Q["ts_last_known"](spark, SF_ORACLE))
+
+
 def test_broadcast_join_is_broadcast(spark):
     assert_contains(Q["broadcast_join"](spark, SF_ORACLE), "BroadcastHashJoin")
 
