@@ -151,3 +151,31 @@ def salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_value"),
         "n",
     )
+
+
+@op(
+    "window_distribution",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile quartiles, percent_rank,
+    cume_dist per order priority (the remaining window family beyond
+    rank/running/lag).  The compound (o_totalprice, o_orderkey) order
+    makes ntile's positional split deterministic under price ties.
+    Same single-shuffle shape as every other window op."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return _t(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
