@@ -136,29 +136,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op(
-    "dedup_near_minhash",
-    oracle=f"""
-WITH {NEAR_CTE}, {SHINGLE_SQL},
+# MinHash candidate pairs (doc_a < doc_b), as a reusable SQL CTE chain and
+# the Spark twin below — used by dedup_near_minhash and the clustering op.
+MINHASH_PAIRS_SQL = f"""{NEAR_CTE}, {SHINGLE_SQL},
 bands AS (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band),
 sigs AS (
   SELECT s.doc_id, b.band,
          min(md5(b.band || ':' || s.shingle)) AS sig
   FROM shingled s CROSS JOIN bands b
   GROUP BY s.doc_id, b.band
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
-                       AND a.doc_id < b.doc_id
-""",
-)
-def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidate pairs via shingle → MinHash → band → bucket-join
-    (one deterministic min-hash per band; md5 plays the permutation).
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+                         AND a.doc_id < b.doc_id
+)"""
 
-    Scale shape: signatures are tiny (doc_id, band, 32-byte sig); the only
-    join is an equi-join on (band, sig) — LSH's whole point is that the
-    candidate set, not the corpus square, is what gets compared."""
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of MINHASH_PAIRS_SQL's `pairs` CTE."""
     docs2 = _docs_with_near_copies(_t(spark, sf_dir)["documents"])
     sh = _shingled(docs2)
     bands = spark.range(N_BANDS).select(F.col("id").cast("int").alias("band"))
@@ -183,6 +179,103 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+
+
+@op(
+    "dedup_near_minhash",
+    oracle=f"""
+WITH {MINHASH_PAIRS_SQL}
+SELECT doc_a, doc_b FROM pairs
+""",
+)
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via shingle → MinHash → band → bucket-join
+    (one deterministic min-hash per band; md5 plays the permutation).
+
+    Scale shape: signatures are tiny (doc_id, band, 32-byte sig); the only
+    join is an equi-join on (band, sig) — LSH's whole point is that the
+    candidate set, not the corpus square, is what gets compared."""
+    return _minhash_pairs(spark, sf_dir)
+
+
+@op(
+    "dedup_connected_components",
+    oracle=f"""
+WITH RECURSIVE {MINHASH_PAIRS_SQL},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS doc FROM edges),
+reach(doc, label) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc
+),
+comp AS (SELECT doc, min(label) AS component FROM reach GROUP BY doc)
+SELECT doc AS doc_id, component,
+       count(*) OVER (PARTITION BY component) AS csize
+FROM comp
+""",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash candidate graph — the step
+    that turns pairwise near-dup hits into KEEP-one-per-cluster groups
+    (component id = min doc_id in the cluster).
+
+    Iterative min-label propagation WITH pointer jumping: each round every
+    node adopts the smallest label among itself and its neighbors, then
+    short-circuits to its label's label (path halving).  Plain propagation
+    alone needs diameter rounds — and an LSH candidate graph over a
+    shared-vocabulary corpus has long chains — while the jump step makes
+    convergence O(log diameter).  Every round is distributed join+groupBy;
+    the driver only runs the loop and the convergence count (the standard
+    Spark shape for iterative graph algorithms), and `localCheckpoint`
+    truncates lineage so plans don't grow exponentially.  Oracle twin:
+    DuckDB recursive CTE transitive closure."""
+    pairs = _minhash_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):
+        neigh = (
+            edges.join(labels, edges.src == labels.doc)
+            .groupBy(F.col("dst").alias("doc2"))
+            .agg(F.min("label").alias("nl"))
+        )
+        l1 = labels.join(neigh, labels.doc == neigh.doc2, "left").select(
+            "doc",
+            F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
+        )
+        # pointer jump: label <- label(label); labels are always node ids,
+        # so the self-join maps every label to its current representative.
+        m = l1.select(F.col("doc").alias("p_doc"), F.col("label").alias("p_label"))
+        l2 = (
+            l1.join(m, l1.label == m.p_doc, "left")
+            .select("doc", F.coalesce("p_label", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            l2.join(labels.withColumnRenamed("label", "old"), "doc")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = l2
+        if changed == 0:
+            break
+    w = Window.partitionBy("component")
+    return (
+        labels.select(F.col("doc").alias("doc_id"), F.col("label").alias("component"))
+        .withColumn("csize", F.count(F.lit(1)).over(w))
     )
 
 
