@@ -267,3 +267,45 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("h").cast("bigint").alias("fp_max"),
         F.countDistinct("h").alias("n_distinct_hashes"),
     )
+
+
+@op(
+    "text_unigram_logprob",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+total AS (SELECT count(*) AS n FROM toks)
+SELECT doc_id, count(*) AS n_tok,
+       round(avg(ln(CAST(v.c AS DOUBLE) / t.n)), 6) AS logprob
+FROM toks k JOIN vocab v ON k.tok = v.tok CROSS JOIN total t
+GROUP BY doc_id
+""",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model score: mean log-probability of a document's
+    tokens under the corpus's own unigram distribution — the classic
+    KenLM-perplexity stand-in used to drop gibberish / off-domain docs
+    (near-zero means typical text, strongly negative means rare tokens).
+
+    Two cheap shuffles (vocab count, per-doc mean); the vocab table is
+    tiny relative to the corpus (Heaps' law), so at 100 TB it broadcasts
+    and the scoring pass stays map-side — the token count `n` rides along
+    as a 1-row broadcast cross join."""
+    toks = _t(spark, sf_dir)["documents"].select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(F.avg(F.log(F.col("c").cast("double") / F.col("n"))), 6).alias(
+                "logprob"
+            ),
+        )
+    )

@@ -27,6 +27,7 @@ registry.load_all()
 
 _SKIP_EAGER = {k for k in registry.QUERIES if k.startswith("stream_")} | {
     "ingest_batch_append",  # write op: executes a durable append on call
+    "dedup_connected_components",  # iterative: runs its convergence loop on call
 }
 
 BATCH_OPS = sorted(k for k in registry.QUERIES if k not in _SKIP_EAGER)
