@@ -335,3 +335,39 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("z"),
     )
     return scored.filter(F.abs(F.col("z")) > Z_THRESH)
+
+
+@op(
+    "ts_seasonal_baseline",
+    oracle=f"""
+WITH {OBS_CTE}
+SELECT path,
+       CASE WHEN ((tse // 86400) + 4) % 7 IN (0, 6) THEN 'weekend'
+            ELSE 'weekday' END AS day_type,
+       (tse % 86400) // 3600 AS hod,
+       round(avg(value), 6) AS baseline, count(*) AS n
+FROM obs GROUP BY 1, 2, 3
+""",
+)
+def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal traffic profile: mean value per (series, weekday/weekend,
+    hour-of-day) — the baseline network operators diff live traffic
+    against ("is 3am Sunday unusually busy?").  Day-of-week and
+    hour-of-day are pure integer epoch arithmetic (1970-01-01 was a
+    Thursday ⇒ dow = (epoch_day + 4) mod 7), so both engines bucket
+    identically with no calendar/timezone functions involved.  One
+    group-by shuffle; 48 output rows per series regardless of input
+    size — the profile table broadcasts for the live-diff join."""
+    obs = _obs(spark, sf_dir)
+    dow = (F.floor(F.col("tse") / 86400) + 4) % 7
+    return (
+        obs.groupBy(
+            "path",
+            F.when(dow.isin(0, 6), "weekend").otherwise("weekday").alias("day_type"),
+            F.floor((F.col("tse") % 86400) / 3600).alias("hod"),
+        )
+        .agg(
+            F.round(F.avg("value"), 6).alias("baseline"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

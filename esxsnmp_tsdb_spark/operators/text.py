@@ -309,3 +309,36 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+@op(
+    "text_stopword_stats",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT doc_id, lang, count(*) AS n_tok,
+       CAST(sum(CASE WHEN tok IN {STOPWORDS} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stop,
+       round(sum(CASE WHEN tok IN {STOPWORDS} THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS stop_ratio
+FROM toks GROUP BY doc_id, lang
+""",
+)
+def text_stopword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio quality feature (north-star 'length/punct/stopword
+    ratios'): natural prose carries a stable stopword fraction; keyword
+    soup and boilerplate don't.  Map-only explode + one per-doc aggregate;
+    the stopword set is a literal IN-list, constant-folded into codegen."""
+    toks = _t(spark, sf_dir)["documents"].select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    is_stop = F.col("tok").isin(*STOPWORDS).cast("long")
+    return toks.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(is_stop).alias("n_stop"),
+        F.round(F.sum(is_stop) / F.count(F.lit(1)), 6).alias("stop_ratio"),
+    )
