@@ -303,3 +303,89 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max("qv").cast("bigint").alias("q_max"),
         )
     )
+
+
+@op(
+    "pipeline_corpus_curate",
+    oracle=f"""
+WITH feat AS (
+  SELECT doc_id, lang, text, n_chars,
+         length(regexp_replace(text, '[^a-z ]', '', 'g')) * 1.0
+           / length(text) AS clean_ratio
+  FROM documents
+),
+kept AS (
+  SELECT * FROM feat
+  WHERE n_chars >= 200 AND clean_ratio >= 0.7
+    AND lang IN ('en', 'de', 'fr', 'es')
+),
+deduped AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT doc_id, lang, text,
+           row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                              ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+),
+assigned AS (
+  SELECT lang, text,
+         CASE WHEN {_hex16("CAST(doc_id AS VARCHAR)")} % 10 < 8 THEN 'train'
+              WHEN {_hex16("CAST(doc_id AS VARCHAR)")} % 10 = 8 THEN 'val'
+              ELSE 'test' END AS split
+  FROM deduped
+),
+toks AS (
+  SELECT split, lang, unnest(string_split(text, ' ')) AS tok FROM assigned
+)
+SELECT split, lang,
+       count(DISTINCT tok) AS vocab, count(*) AS n_tok,
+       CAST(sum(CAST(ceil(length(tok) / 4.0) AS BIGINT)) AS BIGINT)
+         AS bpe_tokens
+FROM toks GROUP BY split, lang
+""",
+)
+def pipeline_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE declarative chain — quality
+    filter → exact dedup (normalized-hash LWW) → deterministic split →
+    per-(split, lang) token budget.  This is the flagship composition for
+    the training-data story: Catalyst fuses the filter+feature stage into
+    the scan, the dedup window and the final aggregate are the only
+    shuffles, and every stage reuses an operator family that is also
+    tested standalone (funnel, dedup_exact, split, token_count)."""
+    docs = _t(spark, sf_dir)["documents"]
+    clean = (
+        F.length(F.regexp_replace("text", "[^a-z ]", "")).cast("double")
+        / F.length("text")
+    )
+    kept = docs.filter(
+        (F.col("n_chars") >= 200)
+        & (clean >= 0.7)
+        & F.col("lang").isin("en", "de", "fr", "es")
+    )
+    wdup = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy(
+        "doc_id"
+    )
+    deduped = (
+        kept.withColumn("rn", F.row_number().over(wdup))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    bucket = F.expr(_DOC_HASH) % 10
+    assigned = deduped.select(
+        "lang",
+        "text",
+        F.when(bucket < 8, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    toks = assigned.select(
+        "split", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    return toks.groupBy("split", "lang").agg(
+        F.countDistinct("tok").alias("vocab"),
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(F.ceil(F.length("tok") / 4.0).cast("bigint"))
+        .cast("bigint")
+        .alias("bpe_tokens"),
+    )
