@@ -94,3 +94,29 @@ def test_billing_p95_bounded_by_slot_extremes(spark):
     out = Q["ts_billing_p95"](spark, SF_SMOKE)
     assert out.filter(F.col("p95_rate") < 0).count() == 0
     assert out.filter(F.col("n_slots") <= 0).count() == 0
+
+
+def test_merge_upsert_overlap_semantics(spark):
+    from esxsnmp_tsdb_spark.operators._shared import T_JAN10, T_JAN15_NOON
+
+    out = Q["ts_merge_upsert"](spark, SF_SMOKE).collect()
+    seen = set()
+    for r in out:
+        assert (r.path, r.slot) not in seen  # MERGE never duplicates a key
+        seen.add((r.path, r.slot))
+        if r.slot < T_JAN10:
+            assert r.src == "base"  # before the update window: untouched
+        elif r.slot < T_JAN15_NOON:
+            assert r.src == "update"  # overlap: update always wins
+        else:
+            assert r.src == "update"  # beyond base: pure inserts
+
+
+def test_seasonal_baseline_buckets(spark):
+    out = Q["ts_seasonal_baseline"](spark, SF_SMOKE).collect()
+    assert all(0 <= r.hod <= 23 for r in out)
+    assert {r.day_type for r in out} == {"weekday", "weekend"}
+    per_path = {}
+    for r in out:
+        per_path.setdefault(r.path, set()).add((r.day_type, r.hod))
+    assert all(len(v) <= 48 for v in per_path.values())
