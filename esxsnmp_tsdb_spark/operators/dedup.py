@@ -421,14 +421,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by `label` (the cluster id
     plays the IVF coarse cell): pairs are only formed inside a block, which
     is how this survives 100 TB — the all-pairs square never materializes.
+    Norms are hoisted per vector (one fold each) so each pair costs one
+    dot fold, not three — bit-identical, 3× less interpreted work.
     """
-    e = _t(spark, sf_dir)["embeddings"]
+    from esxsnmp_tsdb_spark.functions.vector import dot, norm
+
+    e = _t(spark, sf_dir)["embeddings"].select(
+        "vec_id",
+        "label",
+        "embedding",
+        norm(F.transform("embedding", lambda x: x.cast("double"))).alias("nrm"),
+    )
     a = e.alias("a")
     b = e.alias("b")
-    cos = cosine(
+    cos = dot(
         F.transform(F.col("a.embedding"), lambda x: x.cast("double")),
         F.transform(F.col("b.embedding"), lambda x: x.cast("double")),
-    )
+    ) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(
             b,

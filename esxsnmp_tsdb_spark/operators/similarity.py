@@ -233,8 +233,15 @@ def knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-1 neighbor per vector, blocked by label (the coarse quantizer):
     per-block pair join + per-vector window.  The block join bounds cost at
     Σ blockᵢ² instead of N²; at 100 TB blocks come from k-means/IVF cells
-    maintained at ingest."""
-    e = _t(spark, sf_dir)["embeddings"]
+    maintained at ingest.
+
+    Norms are precomputed per VECTOR before the join (O(N) folds), so each
+    of the O(Σ blockᵢ²) pairs evaluates one dot fold instead of three —
+    3× less interpreted higher-order work in the hot loop, with
+    bit-identical results (same fold, same data, just hoisted)."""
+    e = _t(spark, sf_dir)["embeddings"].select(
+        "vec_id", "label", "embedding", norm(_dbl(F.col("embedding"))).alias("nrm")
+    )
     a = e.alias("a")
     b = e.alias("b")
     pairs = (
@@ -246,9 +253,10 @@ def knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_id"),
             F.col("b.vec_id").alias("neighbor_id"),
-            cosine(_dbl(F.col("a.embedding")), _dbl(F.col("b.embedding"))).alias(
-                "cos_raw"
-            ),
+            (
+                dot(_dbl(F.col("a.embedding")), _dbl(F.col("b.embedding")))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cos_raw"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(
