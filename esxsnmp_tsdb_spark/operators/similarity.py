@@ -312,17 +312,25 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the corpus per probe — this op is the query-side plan.  Cell scoring
     and assignment are all zip_with/aggregate folds in codegen; the
     centroid set (10 rows) broadcasts."""
-    e = _t(spark, sf_dir)["embeddings"]
-    cent = (
-        e.filter(F.col("vec_id") % 50 == 0)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    e = _t(spark, sf_dir)["embeddings"].select(
+        "vec_id", "label", "embedding", norm(_dbl(F.col("embedding"))).alias("nrm")
     )
+    cent = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    # norms hoisted per vector/centroid: the k-way scoring fans each row
+    # out k times, but pays one dot fold per (row, centroid), not three.
     scored = e.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "label",
         "embedding",
         "cid",
-        cosine(_dbl(F.col("embedding")), _dbl(F.col("cv"))).alias("c_cos"),
+        (
+            dot(_dbl(F.col("embedding")), _dbl(F.col("cv")))
+            / (F.col("nrm") * F.col("cnrm"))
+        ).alias("c_cos"),
     )
     wassign = Window.partitionBy("vec_id").orderBy(
         F.col("c_cos").desc(), F.col("cid")
