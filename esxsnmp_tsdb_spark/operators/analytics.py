@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from esxsnmp_tsdb_spark.functions import tsdb
+from esxsnmp_tsdb_spark.functions.topk import ranked_topk
 from esxsnmp_tsdb_spark.operators._shared import (
     CNT_CTE,
     OBS_CTE,
@@ -81,8 +82,9 @@ SELECT path, volume, rank FROM (
 def ts_top_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE canonical SNMP report: total wrap-corrected counter movement
     per series, top-{TOP_N} by volume.  One shuffle on path for the lag
-    window, a partial-aggregated sum, then TakeOrdered-style top-k — the
-    ladder's delta level serves this without touching raw at 100 TB."""
+    window, a partial-aggregated sum, then a TakeOrderedAndProject top-k
+    (per-partition heaps, no global window) — the ladder's delta level
+    serves this without touching raw at 100 TB."""
     cnt = _counter(_obs(spark, sf_dir)).withColumn(
         "counter", F.col("counter") % SYNTH_WRAP
     )
@@ -93,12 +95,9 @@ def ts_top_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("path")
         .agg(F.sum("wd").cast("bigint").alias("volume"))
     )
-    w = Window.orderBy(F.col("volume").desc(), "path")
-    return (
-        vol.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= TOP_N)
-        .select("path", "volume", "rank")
-    )
+    return ranked_topk(
+        vol, TOP_N, [F.col("volume").desc(), F.col("path")]
+    ).select("path", "volume", "rank")
 
 
 @op(

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from esxsnmp_tsdb_spark.functions.topk import bounded_running
 from esxsnmp_tsdb_spark.registry import op
 from esxsnmp_tsdb_spark.sources import register_views
 
@@ -203,7 +204,7 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("n_chars") / float(HIST_BIN)).cast("bigint").alias("bucket")
     )
     h = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_docs"))
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w = bounded_running(F.col("bucket"), [F.col("bucket")])
     return h.select(
         "bucket",
         (F.col("bucket") * HIST_BIN).alias("lo"),

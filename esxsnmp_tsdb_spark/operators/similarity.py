@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from esxsnmp_tsdb_spark.functions.topk import ranked_topk
 from esxsnmp_tsdb_spark.functions.vector import cosine, dot, norm
 from esxsnmp_tsdb_spark.registry import op
 from esxsnmp_tsdb_spark.sources import register_views
@@ -67,7 +68,9 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k for one query vector — the exact ANN
     baseline.  The query vector is a 1-row broadcast; scoring is a map-only
     pass in whole-stage codegen (zip_with/aggregate), and the global top-k
-    is TakeOrdered (per-partition heaps), so nothing shuffles the corpus."""
+    plans as TakeOrderedAndProject (per-partition k-row heaps + driver
+    merge), so nothing shuffles the corpus and no single task sees more
+    than its own partition."""
     e = _t(spark, sf_dir)["embeddings"]
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qv")
@@ -81,12 +84,9 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(_dbl(F.col("embedding")), _dbl(F.col("qv"))).alias("cos_raw"),
         )
     )
-    w = Window.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= TOP_K)
-        .select("vec_id", "label", F.round("cos_raw", 6).alias("cos"), "rank")
-    )
+    return ranked_topk(
+        scored, TOP_K, [F.col("cos_raw").desc(), F.col("vec_id")]
+    ).select("vec_id", "label", F.round("cos_raw", 6).alias("cos"), "rank")
 
 
 LSH_BUCKET_SQL = f"""list_sum(list_transform(range(0, {N_PLANES}),
@@ -166,12 +166,9 @@ def _lsh_query(spark: SparkSession, sf_dir: str, probe_cond) -> DataFrame:
             cosine(_dbl(F.col("embedding")), _dbl(F.col("qv"))).alias("cos_raw"),
         )
     )
-    w = Window.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= TOP_K)
-        .select("vec_id", "label", F.round("cos_raw", 6).alias("cos"), "rank")
-    )
+    return ranked_topk(
+        cand, TOP_K, [F.col("cos_raw").desc(), F.col("vec_id")]
+    ).select("vec_id", "label", F.round("cos_raw", 6).alias("cos"), "rank")
 
 
 @op("sim_search_ann_lsh", oracle=_lsh_oracle("b.bucket = q.qbucket"))
@@ -352,12 +349,9 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(_dbl(F.col("embedding")), _dbl(F.col("qv"))).alias("cos_raw"),
         )
     )
-    w = Window.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= TOP_K)
-        .select("vec_id", "label", F.round("cos_raw", 6).alias("cos"), "rank")
-    )
+    return ranked_topk(
+        cand, TOP_K, [F.col("cos_raw").desc(), F.col("vec_id")]
+    ).select("vec_id", "label", F.round("cos_raw", 6).alias("cos"), "rank")
 
 
 @op(

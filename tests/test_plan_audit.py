@@ -1,6 +1,6 @@
 """Registry-wide physical-plan audit (SURVEY.md §4).
 
-Two invariants that decide whether ANY plan survives a 100× scale-up,
+Three invariants that decide whether ANY plan survives a 100× scale-up,
 checked for every registered batch op, not just the hand-picked set in
 test_plans.py:
 
@@ -9,6 +9,13 @@ test_plans.py:
    ``FlatMapGroupsInPandas``, ``MapInPandas``…).
 2. No ``CartesianProduct`` — an unbroadcast cross join shuffles |A|×|B|;
    a 1-row broadcast side must plan as ``BroadcastNestedLoopJoin``.
+3. No Window fed by ``Exchange SinglePartition`` — a global
+   ``Window.orderBy`` funnels every input row through one task.  Global
+   top-k must plan as ``TakeOrderedAndProject``
+   (functions/topk.py:ranked_topk); bounded running frames must carry a
+   non-foldable constant partition key (functions/topk.py:
+   bounded_running) so the single logical partition is explicit in code
+   and the exchange stays a hash exchange.
 
 Streaming ops and write ops execute eagerly on call, so they are skipped
 here (their semantics are covered by the oracle/rows checks; streaming
@@ -16,6 +23,8 @@ micro-batch plans are exercised in test_stateful_tws.py).
 """
 
 from __future__ import annotations
+
+import re
 
 import pytest
 
@@ -52,3 +61,28 @@ def test_no_row_at_a_time_python_udf(plans):
 def test_no_unbroadcast_cartesian(plans):
     offenders = [k for k, p in plans.items() if "CartesianProduct" in p]
     assert not offenders, f"unbroadcast cross join in: {offenders}"
+
+
+# A Window node whose child chain (through its Sort) is an
+# Exchange SinglePartition: the empty-partition-spec window.  In simple
+# mode the window's own required exchange prints directly beneath it, so
+# adjacency within two intermediate lines is the window's, not some
+# unrelated branch's.
+_GLOBAL_WINDOW_RE = re.compile(
+    r"Window [^\n]*\n(?:[^\n]*\n){0,2}?[^\n]*Exchange SinglePartition"
+)
+
+
+@pytest.fixture(scope="module")
+def simple_plans(spark):
+    return {
+        k: plan_str(registry.QUERIES[k](spark, SF_ORACLE), "simple")
+        for k in BATCH_OPS
+    }
+
+
+def test_no_single_partition_window(simple_plans):
+    offenders = [
+        k for k, p in simple_plans.items() if _GLOBAL_WINDOW_RE.search(p)
+    ]
+    assert not offenders, f"global (single-partition) window in: {offenders}"
