@@ -89,10 +89,17 @@ def _shingled(docs2: DataFrame) -> DataFrame:
 
     docs2 = fan_out(docs2)
     toks = F.split(F.col("text"), " ")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (SHINGLE_K - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_K)),
-    )
+    # Guarded: for docs with < SHINGLE_K tokens, sequence(1, size-k+1)
+    # would DESCEND (start > stop) and slice would throw / diverge from
+    # the oracle's empty generate_series — emit no shingles instead,
+    # matching SHINGLE_SQL.
+    sh = F.when(
+        F.size(toks) >= SHINGLE_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (SHINGLE_K - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_K)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return docs2.select(
         "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
     )

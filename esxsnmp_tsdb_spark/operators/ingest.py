@@ -146,7 +146,7 @@ def ts_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {OBS_CTE},
 agg AS (
   SELECT path, tse - tse % {BUCKET} AS slot,
-         CAST(round(avg(value) * 1000000) AS BIGINT) AS avg_micro
+         CAST(floor(avg(value) * 1000000 + 0.5) AS BIGINT) AS avg_micro
   FROM obs WHERE tse >= {T_JAN10} AND tse < {T_JAN20}
   GROUP BY 1, 2
 )
@@ -172,7 +172,9 @@ def api_timerange_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         tsdb.range_scan(obs, T_JAN10, T_JAN20)
         .groupBy("path", tsdb.slot_of(F.col("tse"), BUCKET).alias("slot"))
         .agg(
-            F.round(F.avg("value") * 1000000)
+            # floor(x + 0.5), not round(): Spark rounds half-up, DuckDB
+            # half-even — an avg on an exact .5 microunit would diverge.
+            F.floor(F.avg("value") * 1000000 + 0.5)
             .cast("bigint")
             .alias("avg_micro")
         )

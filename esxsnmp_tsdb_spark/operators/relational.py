@@ -622,16 +622,19 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "subquery_scalar",
     oracle="""
 SELECT o_orderkey, o_totalprice FROM orders
-WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+WHERE o_totalprice > round((SELECT avg(o_totalprice) FROM orders), 4)
 """,
 )
 def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery — Catalyst plans the inner aggregate once and
-    broadcasts the scalar."""
+    broadcasts the scalar.  The threshold is rounded on both engines:
+    partial-aggregate summation order differs between Spark and the
+    oracle, so a row within an ulp of the raw mean could otherwise flip
+    in/out of the result."""
     _t(spark, sf_dir)
     return spark.sql(
         """
         SELECT o_orderkey, o_totalprice FROM orders
-        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        WHERE o_totalprice > round((SELECT avg(o_totalprice) FROM orders), 4)
         """
     )

@@ -25,7 +25,7 @@ def _t(spark: SparkSession, sf_dir: str):
     oracle=f"""
 WITH {OBS_CTE},
 flagged AS (
-  SELECT path, tse,
+  SELECT path, tse, event_id,
          CASE WHEN tse - lag(tse) OVER w > {SESSION_GAP_SEC}
               OR lag(tse) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
   FROM obs
@@ -33,7 +33,7 @@ flagged AS (
 ),
 sessions AS (
   SELECT path, tse,
-         SUM(new_session) OVER (PARTITION BY path ORDER BY tse
+         SUM(new_session) OVER (PARTITION BY path ORDER BY tse, event_id
                                 ROWS UNBOUNDED PRECEDING) AS sid
   FROM flagged
 )
@@ -51,7 +51,9 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     obs = tsdb.obs_from_events(_t(spark, sf_dir)["events"])
     w = Window.partitionBy("path").orderBy("tse", "event_id")
-    wrun = Window.partitionBy("path").orderBy("tse").rowsBetween(
+    # Cumsum ordered by the SAME total order as the boundary flag — a
+    # tse tie at a session boundary must not reorder between engines.
+    wrun = Window.partitionBy("path").orderBy("tse", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     flagged = obs.withColumn(

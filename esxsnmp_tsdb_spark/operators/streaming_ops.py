@@ -108,7 +108,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {OBS_CTE},
 flagged AS (
-  SELECT path, tse,
+  SELECT path, tse, event_id,
          CASE WHEN tse - lag(tse) OVER w > {SESSION_GAP_SEC}
               OR lag(tse) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
   FROM obs
@@ -116,7 +116,7 @@ flagged AS (
 ),
 sessions AS (
   SELECT path, tse,
-         SUM(new_session) OVER (PARTITION BY path ORDER BY tse
+         SUM(new_session) OVER (PARTITION BY path ORDER BY tse, event_id
                                 ROWS UNBOUNDED PRECEDING) AS sid
   FROM flagged
 )
@@ -285,16 +285,31 @@ def _rate_fn(
         last_tse, last_value = state.get
     else:
         last_tse, last_value = None, None
-    outs = []
     for pdf in pdfs:
         pdf = pdf.sort_values(["tse", "event_id"])
-        for _, row in pdf.iterrows():
-            if last_tse is not None and row.tse > last_tse:
-                rate = (row.value - last_value) / (row.tse - last_tse)
-                outs.append((path, int(row.tse), round(rate, 6)))
-            last_tse, last_value = int(row.tse), float(row.value)
+        # Vectorized: each row rates against its predecessor via shift();
+        # the state row splices in as the predecessor of row 0.  dt == 0
+        # (same-timestamp consecutive samples) masks out, matching the
+        # oracle's nullif(dt, 0).
+        prev_tse = pdf["tse"].astype("float64").shift()
+        prev_val = pdf["value"].astype("float64").shift()
+        if last_tse is not None and len(pdf):
+            prev_tse.iloc[0] = float(last_tse)
+            prev_val.iloc[0] = float(last_value)
+        dt = pdf["tse"] - prev_tse
+        keep = dt > 0
+        if len(pdf):
+            last_tse = int(pdf["tse"].iloc[-1])
+            last_value = float(pdf["value"].iloc[-1])
+        if keep.any():
+            yield pd.DataFrame(
+                {
+                    "path": path,
+                    "tse": pdf.loc[keep, "tse"].astype("int64"),
+                    "rate": ((pdf["value"] - prev_val) / dt)[keep].round(6),
+                }
+            )
     state.update((last_tse, last_value))
-    yield pd.DataFrame(outs, columns=["path", "tse", "rate"])
 
 
 @op(
@@ -303,7 +318,8 @@ def _rate_fn(
 WITH {OBS_CTE},
 d AS (
   SELECT path, tse,
-         round((value - lag(value) OVER w) / (tse - lag(tse) OVER w), 6) AS rate
+         round((value - lag(value) OVER w) /
+               nullif(tse - lag(tse) OVER w, 0), 6) AS rate
   FROM obs
   WINDOW w AS (PARTITION BY path ORDER BY tse, event_id)
 )
@@ -330,9 +346,10 @@ def stream_stateful_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     out = run_to_memory(result, "append", spark)
-    # Same-timestamp consecutive samples produce no row (dt=0 guard); the
-    # oracle's division yields inf there — filter both sides via NOT NULL
-    # (SQL) and the tse>last guard (here).
+    # Same-timestamp consecutive samples produce no row on either side:
+    # here via the dt > 0 mask, in the oracle via nullif(dt, 0) -> NULL
+    # rate -> NOT NULL filter (explicit, not dependent on the engine's
+    # division-by-zero default).
     return out
 
 

@@ -45,16 +45,30 @@ class RateProcessor(StatefulProcessor):
             last_tse, last_value = self._last.get()
         else:
             last_tse, last_value = None, None
-        out = []
         for pdf in rows:
             pdf = pdf.sort_values(["tse", "event_id"])
-            for _, row in pdf.iterrows():
-                if last_tse is not None and row.tse > last_tse:
-                    rate = (row.value - last_value) / (row.tse - last_tse)
-                    out.append((path, int(row.tse), round(rate, 6)))
-                last_tse, last_value = int(row.tse), float(row.value)
+            # Vectorized shift()-based rate, state row spliced in as the
+            # predecessor of row 0 (same formulation as the
+            # applyInPandasWithState twin in operators/streaming_ops.py).
+            prev_tse = pdf["tse"].astype("float64").shift()
+            prev_val = pdf["value"].astype("float64").shift()
+            if last_tse is not None and len(pdf):
+                prev_tse.iloc[0] = float(last_tse)
+                prev_val.iloc[0] = float(last_value)
+            dt = pdf["tse"] - prev_tse
+            keep = dt > 0
+            if len(pdf):
+                last_tse = int(pdf["tse"].iloc[-1])
+                last_value = float(pdf["value"].iloc[-1])
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "path": path,
+                        "tse": pdf.loc[keep, "tse"].astype("int64"),
+                        "rate": ((pdf["value"] - prev_val) / dt)[keep].round(6),
+                    }
+                )
         self._last.update((last_tse, last_value))
-        yield pd.DataFrame(out, columns=["path", "tse", "rate"])
 
     def close(self) -> None:
         pass
