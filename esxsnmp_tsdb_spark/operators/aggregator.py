@@ -131,6 +131,67 @@ def ts_counter_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WRAP64 = "18446744073709551616"  # 2**64 — Counter64's modulus
+# Lifts the synthetic counter into 2**64 range so wraps actually occur at
+# test scale.  2**64/_C64_SCALE ~ 61489: above the largest single-step
+# increment (max value*100 ~ 49k — a real counter never moves >= the
+# modulus between samples) and below most series' final counter, so both
+# fixtures exercise the wrap branch.
+_C64_SCALE = 300_000_000_000_000
+
+
+@op(
+    "ts_counter_wrap64",
+    oracle=f"""
+WITH {OBS_CTE}, {CNT_CTE},
+c64 AS (
+  SELECT path, tse, event_id,
+         (CAST(counter AS HUGEINT) * {_C64_SCALE}) % {WRAP64} AS cw
+  FROM cnt
+),
+d AS (
+  SELECT path, tse, cw - lag(cw) OVER w AS delta
+  FROM c64
+  WINDOW w AS (PARTITION BY path ORDER BY tse, event_id)
+)
+SELECT path, tse,
+       CAST(CASE WHEN delta < 0 THEN delta + {WRAP64} ELSE delta END
+            AS VARCHAR) AS wrapped_delta64
+FROM d
+""",
+)
+def ts_counter_wrap64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Counter64 wrap at 2⁶⁴ (``tsdb/row.py`` Counter64 †), exercised
+    at ORACLE level — not just the unit test: counter values are lifted
+    into 2⁶⁴ range (×1e12) so real wraps occur at test scale, the modulus
+    and wrap correction run in DecimalType(38,0) end to end (no double
+    round-trip — a 2⁶⁴-adjacent value is not representable in float64),
+    and the oracle does the same math in DuckDB HUGEINT.  The delta is
+    emitted as a decimal STRING so the comparison is digit-exact and
+    engine-neutral."""
+    dec = "decimal(38,0)"
+    wrap64 = F.lit(WRAP64).cast(dec)
+    cnt = _counter(_obs(spark, sf_dir))
+    c64 = cnt.select(
+        "path",
+        "tse",
+        "event_id",
+        ((F.col("counter").cast(dec) * F.lit(_C64_SCALE).cast(dec)) % wrap64).alias(
+            "cw"
+        ),
+    )
+    w = Window.partitionBy("path").orderBy("tse", "event_id")
+    d = c64.withColumn("delta", F.col("cw") - F.lag("cw").over(w))
+    return d.select(
+        "path",
+        "tse",
+        F.when(F.col("delta") < 0, F.col("delta") + wrap64)
+        .otherwise(F.col("delta"))
+        .cast("string")
+        .alias("wrapped_delta64"),
+    )
+
+
 @op(
     "ts_heartbeat_invalidate",
     oracle=f"""
