@@ -20,6 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from esxsnmp_tsdb_spark import registry
+from esxsnmp_tsdb_spark.plans import plan_violations
 from esxsnmp_tsdb_spark.session import get_session
 
 # One headline per operator family (SURVEY.md §2.1-§2.6).
@@ -75,7 +76,14 @@ def main() -> None:
     # the engine's achievable time, the noise is the host's.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     per_query: dict[str, float] = {}
+    violations: dict[str, list[str]] = {}
     for key in bench_set:
+        # Plan hygiene gate (outside the timed region): the bench is also
+        # a plan regression test — zero single-partition windows, zero
+        # cartesians, zero row-at-a-time Python UDFs in what it times.
+        bad = plan_violations(queries[key](spark, sf_dir))
+        if bad:
+            violations[key] = bad
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
@@ -95,9 +103,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "plan_violations": violations,
             }
         )
     )
+    if violations:
+        raise SystemExit(f"plan hygiene gate failed: {violations}")
 
 
 if __name__ == "__main__":

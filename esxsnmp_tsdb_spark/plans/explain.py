@@ -48,6 +48,30 @@ def codegen_span_count(df: DataFrame) -> int:
     )
 
 
+# A Window whose child chain (through its Sort) is Exchange
+# SinglePartition — the empty-partition-spec global window, the one plan
+# shape that funnels an unbounded input through a single task.  Shared by
+# tests/test_plan_audit.py and the bench.py hygiene gate.
+GLOBAL_WINDOW_RE = re.compile(
+    r"Window [^\n]*\n(?:[^\n]*\n){0,2}?[^\n]*Exchange SinglePartition"
+)
+
+
+def plan_violations(df: DataFrame) -> list[str]:
+    """Scale anti-patterns present in the plan (empty list = clean):
+    row-at-a-time Python UDFs, unbroadcast cartesian products, and
+    single-partition windows."""
+    p = plan_str(df, "simple")
+    out = []
+    if "BatchEvalPython" in p:
+        out.append("BatchEvalPython")
+    if "CartesianProduct" in p:
+        out.append("CartesianProduct")
+    if GLOBAL_WINDOW_RE.search(p):
+        out.append("single-partition Window")
+    return out
+
+
 def assert_contains(df: DataFrame, *needles: str) -> None:
     plan = plan_str(df)
     missing = [n for n in needles if n not in plan]

@@ -126,3 +126,45 @@ def test_write_obs_bucketed_roundtrip(spark, obs):
     plan = plan_str(back.groupBy("path").agg(F.count(F.lit(1))), "simple")
     assert "Exchange" not in plan
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_sql_ladder_routing_scans_routed_level_only(spark, obs):
+    """VERDICT r1 item 8: a raw-SQL 1h-step query must scan the 1h ladder
+    table — not raw obs, not a finer level."""
+    from esxsnmp_tsdb_spark.plans import plan_str
+    from esxsnmp_tsdb_spark.sources import ladder_sql
+
+    with tempfile.TemporaryDirectory() as d:
+        ladder_sql.materialize_ladder(spark, obs, d, levels=(300, 3600))
+        df = spark.sql(ladder_sql.route_sql(3600, 0, 93_600, levels=(300, 3600)))
+        plan = plan_str(df)
+        assert f"{d}/agg_3600" in plan          # scans the 1h table
+        assert f"{d}/agg_300" not in plan       # not the finer level
+        assert "agg_300" not in plan
+
+        # Values equal the DataFrame-API router on the same ladder.
+        api = timerange(build_ladder(obs, levels=(300, 3600)), 0, 93_600,
+                        step=3600, cf="average")
+        got = {(r.path, r.slot): (r.value, r.n) for r in df.collect()}
+        want = {(r.path, r.slot): (r.value, r.n) for r in api.collect()}
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k][0] == pytest.approx(want[k][0])
+            assert got[k][1] == want[k][1]
+
+
+def test_sql_ladder_routing_reconsolidates(spark, obs):
+    """A 2h request routes to the 1h level and re-consolidates in SQL."""
+    from esxsnmp_tsdb_spark.sources import ladder_sql
+
+    with tempfile.TemporaryDirectory() as d:
+        ladder_sql.materialize_ladder(spark, obs, d, levels=(300, 3600))
+        df = spark.sql(ladder_sql.route_sql(7200, 0, 93_600, levels=(300, 3600)))
+        api = timerange(build_ladder(obs, levels=(300, 3600)), 0, 93_600,
+                        step=7200, cf="average")
+        got = {(r.path, r.slot): (r.value, r.n) for r in df.collect()}
+        want = {(r.path, r.slot): (r.value, r.n) for r in api.collect()}
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k][0] == pytest.approx(want[k][0])
+            assert got[k][1] == want[k][1]

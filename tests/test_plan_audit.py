@@ -24,12 +24,10 @@ micro-batch plans are exercised in test_stateful_tws.py).
 
 from __future__ import annotations
 
-import re
-
 import pytest
 
 from esxsnmp_tsdb_spark import registry
-from esxsnmp_tsdb_spark.plans import plan_str
+from esxsnmp_tsdb_spark.plans import GLOBAL_WINDOW_RE, plan_str
 from tests.conftest import SF_ORACLE
 
 registry.load_all()
@@ -63,16 +61,11 @@ def test_no_unbroadcast_cartesian(plans):
     assert not offenders, f"unbroadcast cross join in: {offenders}"
 
 
-# A Window node whose child chain (through its Sort) is an
-# Exchange SinglePartition: the empty-partition-spec window.  In simple
-# mode the window's own required exchange prints directly beneath it, so
-# adjacency within two intermediate lines is the window's, not some
-# unrelated branch's.
-_GLOBAL_WINDOW_RE = re.compile(
-    r"Window [^\n]*\n(?:[^\n]*\n){0,2}?[^\n]*Exchange SinglePartition"
-)
-
-
+# GLOBAL_WINDOW_RE (plans/explain.py): a Window node whose child chain
+# (through its Sort) is an Exchange SinglePartition — the
+# empty-partition-spec window.  In simple mode the window's own required
+# exchange prints directly beneath it, so adjacency within two
+# intermediate lines is the window's, not some unrelated branch's.
 @pytest.fixture(scope="module")
 def simple_plans(spark):
     return {
@@ -83,6 +76,6 @@ def simple_plans(spark):
 
 def test_no_single_partition_window(simple_plans):
     offenders = [
-        k for k, p in simple_plans.items() if _GLOBAL_WINDOW_RE.search(p)
+        k for k, p in simple_plans.items() if GLOBAL_WINDOW_RE.search(p)
     ]
     assert not offenders, f"global (single-partition) window in: {offenders}"
