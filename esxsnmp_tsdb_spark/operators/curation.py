@@ -390,3 +390,66 @@ def pipeline_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bpe_tokens"),
     )
+
+
+EVAL_MOD = 97  # doc_id % EVAL_MOD == 0 -> held-out eval doc
+DECON_K = 3  # shingle width for contamination detection
+
+
+@op(
+    "decontaminate_ngram",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id,
+         array_to_string(list_slice(string_split(text, ' '), i,
+                                    i + {DECON_K - 1}), ' ') AS shingle
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, len(string_split(text, ' '))
+                                         - {DECON_K - 1})) AS i
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {DECON_K})
+),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+eval_sh AS (SELECT DISTINCT shingle FROM dsh
+            WHERE doc_id % {EVAL_MOD} = 0)
+SELECT t.doc_id, count(DISTINCT t.shingle) AS n_shared_shingles
+FROM dsh t JOIN eval_sh e ON t.shingle = e.shingle
+WHERE t.doc_id % {EVAL_MOD} != 0
+GROUP BY t.doc_id
+""",
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination by n-gram overlap: training documents
+    that share any {DECON_K}-token shingle with the held-out eval slice
+    (doc_id % {EVAL_MOD} == 0), with the shared-shingle count — the
+    standard pre-training hygiene pass (eval leakage detection).
+
+    Scale: candidate generation is an equi-join on the shingle string
+    (at 100 TB: on its 64-bit hash) — never an all-pairs compare; the
+    eval side is the small distinct-shingle set of the benchmark and
+    broadcasts.  Short docs have no shingles and cannot be flagged,
+    matching the oracle's generate_series guard."""
+    from esxsnmp_tsdb_spark.session import fan_out
+
+    docs = fan_out(_t(spark, sf_dir)["documents"])
+    tcol = F.split("text", " ")
+    sh = docs.filter(F.size(tcol) >= DECON_K).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tcol) - (DECON_K - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(tcol, i, DECON_K)),
+                )
+            )
+        ).alias("shingle"),
+    )
+    eval_sh = (
+        sh.filter(F.col("doc_id") % EVAL_MOD == 0).select("shingle").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_shared_shingles"))
+    )

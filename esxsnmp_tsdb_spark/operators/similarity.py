@@ -377,3 +377,38 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("embedding").cast("bigint").alias("dim"),
         )
     )
+
+
+@op(
+    "embedding_centroid_per_label",
+    oracle="""
+WITH dims AS (
+  SELECT unnest(range(1, (SELECT max(len(embedding)) FROM embeddings) + 1))
+    AS dim
+)
+SELECT label, dim,
+       round(avg(CAST(embedding[dim] AS DOUBLE)), 6) AS centroid,
+       count(*) AS n_vectors
+FROM embeddings CROSS JOIN dims
+WHERE dim <= len(embedding)
+GROUP BY label, dim
+""",
+)
+def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (the k-means M-step / class centroid used
+    by IVF index maintenance and embedding-space diagnostics), one row
+    per (label, dimension).
+
+    Scale: posexplode fans each vector into dim rows map-side; the
+    aggregate is partially combined before the one shuffle on
+    (label, dim) — cardinality #labels x dim, independent of corpus
+    size.  No vector is ever collected; the fold stays in codegen."""
+    e = _t(spark, sf_dir)["embeddings"]
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", (F.col("pos") + 1).cast("bigint").alias("dim"))
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )

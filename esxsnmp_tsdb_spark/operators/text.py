@@ -342,3 +342,78 @@ def text_stopword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_stop).alias("n_stop"),
         F.round(F.sum(is_stop) / F.count(F.lit(1)), 6).alias("stop_ratio"),
     )
+
+
+@op(
+    "text_repetition_stats",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+per_doc AS (
+  SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_c,
+         count(*) AS n_distinct
+  FROM tf GROUP BY doc_id
+),
+grams AS (
+  SELECT doc_id,
+         array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' ')
+           AS bigram
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 2)
+),
+bg AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         count(DISTINCT bigram) AS n_distinct_bigrams
+  FROM grams GROUP BY doc_id
+)
+SELECT p.doc_id, CAST(p.n_tokens AS BIGINT) AS n_tokens,
+       round(p.top_c * 1.0 / p.n_tokens, 6) AS top_token_ratio,
+       round(1.0 - b.n_distinct_bigrams * 1.0 / b.n_bigrams, 6)
+         AS dup_bigram_ratio
+FROM per_doc p JOIN bg b ON p.doc_id = b.doc_id
+""",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: most-frequent-token
+    mass fraction and duplicate-bigram fraction — the standard filters
+    for boilerplate/keyword-stuffed pages in a training corpus.
+
+    Scale: both signals are explode → per-doc aggregate, partitioned by
+    doc_id — embarrassingly parallel, map-side combined; the bigram set
+    is never collected, only counted.  Short docs (<2 tokens) have no
+    bigrams and drop from the join, matching the oracle."""
+    from esxsnmp_tsdb_spark.session import fan_out
+
+    docs = fan_out(_t(spark, sf_dir)["documents"])
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("top_c"),
+    )
+    tcol = F.split("text", " ")
+    bigrams = docs.filter(F.size(tcol) >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tcol) - 1),
+                lambda i: F.concat_ws(" ", F.slice(tcol, i, 2)),
+            )
+        ).alias("bigram"),
+    )
+    bg = bigrams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.count_distinct("bigram").alias("n_distinct_bigrams"),
+    )
+    return per_doc.join(bg, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("top_c") / F.col("n_tokens"), 6).alias("top_token_ratio"),
+        F.round(
+            1.0 - F.col("n_distinct_bigrams") / F.col("n_bigrams"), 6
+        ).alias("dup_bigram_ratio"),
+    )
