@@ -66,7 +66,9 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the property `df.randomSplit` does NOT have).
 
     Map-only at scale: the split column is a pure expression, so shards
-    can be written with ``partitionBy('split')`` in the same pass."""
+    can be written with ``partitionBy('split')`` in the same pass.  The
+    denominator for `share` is the sum over the (≤3-row) per-split
+    aggregate broadcast back — ONE corpus scan, no driver-side count."""
     docs = _t(spark, sf_dir)["documents"]
     bucket = F.expr(_DOC_HASH) % 10
     assigned = docs.select(
@@ -76,11 +78,16 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
-    total = docs.count()  # tiny scalar; at scale pass it in or window it
-    return assigned.groupBy("split").agg(
+    agg = assigned.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("tot_chars"),
-        F.round(F.count(F.lit(1)) / F.lit(float(total)), 6).alias("share"),
+    )
+    total = agg.agg(F.sum("n_docs").cast("double").alias("_total"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "split",
+        "n_docs",
+        "tot_chars",
+        F.round(F.col("n_docs") / F.col("_total"), 6).alias("share"),
     )
 
 
