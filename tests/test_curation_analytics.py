@@ -120,3 +120,46 @@ def test_seasonal_baseline_buckets(spark):
     for r in out:
         per_path.setdefault(r.path, set()).add((r.day_type, r.hod))
     assert all(len(v) <= 48 for v in per_path.values())
+
+
+def test_repetition_ratios_bounded(spark):
+    from esxsnmp_tsdb_spark import registry
+
+    df = registry.QUERIES["text_repetition_stats"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.top_token_ratio <= 1.0
+        assert 0 <= r.dup_bigram_ratio < 1.0
+        assert r.n_tokens >= 2  # docs with bigrams only
+
+
+def test_decontaminate_never_flags_eval_docs(spark):
+    from esxsnmp_tsdb_spark import registry
+    from esxsnmp_tsdb_spark.operators.curation import EVAL_MOD
+
+    df = registry.QUERIES["decontaminate_ngram"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows  # the fixture corpus has overlapping boilerplate
+    for r in rows:
+        assert r.doc_id % EVAL_MOD != 0
+        assert r.n_shared_shingles >= 1
+
+
+def test_centroid_counts_match_label_sizes(spark):
+    from esxsnmp_tsdb_spark import registry
+    from esxsnmp_tsdb_spark.sources import register_views
+
+    df = registry.QUERIES["embedding_centroid_per_label"](spark, SF_SMOKE)
+    per_label = {
+        r.label: r.cnt
+        for r in register_views(spark, SF_SMOKE)["embeddings"]
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    dims = set()
+    for r in df.collect():
+        assert r.n_vectors == per_label[r.label]
+        dims.add(r.dim)
+    assert dims == set(range(1, 65))  # every dimension covered exactly
