@@ -1,6 +1,7 @@
-"""TPC-H-adapted query pack — 16 of 22 queries; Q2/Q9/Q11/Q16/Q20 need
-the absent `partsupp` table and Q12 needs `shipmode` (FIXTURES.md notes
-the column gaps).  Q4/Q21 substitute "shipped (long) after the order
+"""TPC-H-adapted query pack — 16 of the 22 queries live here; the six
+blocked on absent columns (Q2/Q9/Q11/Q16/Q20 need `partsupp`, Q12 needs
+shipmode/commit/receipt dates) live in ``tpch2.py`` on top of derived
+columns.  Q4/Q21 substitute "shipped (long) after the order
 date" for the missing commit/receipt-date lateness; Q22 substitutes
 market segment + order dormancy for the missing phone prefix.
 
