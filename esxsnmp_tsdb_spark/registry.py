@@ -71,6 +71,8 @@ _OPERATOR_MODULES = (
     "esxsnmp_tsdb_spark.operators.tpch2",
     "esxsnmp_tsdb_spark.operators.dedup",
     "esxsnmp_tsdb_spark.operators.curation",
+    "esxsnmp_tsdb_spark.operators.curation2",
+    "esxsnmp_tsdb_spark.operators.events_analytics",
     "esxsnmp_tsdb_spark.operators.similarity",
     "esxsnmp_tsdb_spark.operators.text",
     "esxsnmp_tsdb_spark.operators.multimodal",

@@ -1,0 +1,93 @@
+"""Semantic invariants for the events-analytics and curation-batch-2
+modules — properties the DuckDB oracle can't express (monotonicity,
+bounds, conservation), checked on the smoke fixture."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from esxsnmp_tsdb_spark import registry
+from esxsnmp_tsdb_spark.operators.curation2 import BLOCK, QUOTA
+from esxsnmp_tsdb_spark.sources import register_views
+from tests.conftest import SF_SMOKE
+
+registry.load_all()
+Q = registry.QUERIES
+
+
+def test_funnel_is_monotone_decreasing(spark):
+    rows = {r.step: r for r in Q["event_funnel"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {"step1_view", "step2_click", "step3_purchase"}
+    n1, n2, n3 = (
+        rows["step1_view"].n_users,
+        rows["step2_click"].n_users,
+        rows["step3_purchase"].n_users,
+    )
+    assert n1 >= n2 >= n3  # each step requires the previous one, strictly after
+    assert n1 > 0
+    assert abs(rows["step1_view"].conv_from_first - 1.0) < 1e-9
+
+
+def test_retention_cohort_day_zero_covers_all_users(spark):
+    out = Q["retention_cohort"](spark, SF_SMOKE).collect()
+    assert all(r.offset_days >= 0 for r in out)
+    # every user is active on their own cohort day, so summing day-0 rows
+    # across cohorts must count every distinct user exactly once
+    day0_users = sum(r.n_users for r in out if r.offset_days == 0)
+    total_users = (
+        register_views(spark, SF_SMOKE)["events"].select("user_id").distinct().count()
+    )
+    assert day0_users == total_users
+
+
+def test_event_bigrams_counts_consecutive_pairs(spark):
+    out = Q["event_bigrams"](spark, SF_SMOKE).collect()
+    assert out
+    ev = register_views(spark, SF_SMOKE)["events"]
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # limit-20 can truncate, so the total is at most (transitions overall)
+    assert sum(r.n for r in out) <= n_events - n_users
+    assert all(r.n > 0 for r in out)
+
+
+def test_domain_quota_caps_every_source(spark):
+    out = Q["domain_quota_sample"](spark, SF_SMOKE).collect()
+    for r in out:
+        assert r.n_kept <= QUOTA
+        assert r.n_kept <= r.n_total
+        if r.n_total <= QUOTA:
+            assert r.n_kept == r.n_total  # quota only truncates, never drops
+
+
+def test_seq_packing_conserves_tokens(spark):
+    out = Q["seq_packing"](spark, SF_SMOKE).collect()
+    for r in out:
+        # ceil division: blocks cover all tokens with less than one block spare
+        assert (r.n_blocks - 1) * BLOCK < r.tot_tokens <= r.n_blocks * BLOCK
+        assert 0 <= r.n_straddling < r.n_docs
+
+
+def test_ngram_topk_is_sorted_and_bounded(spark):
+    out = Q["ngram_topk"](spark, SF_SMOKE).collect()
+    assert len(out) == 25
+    counts = [r.n for r in out]
+    assert counts == sorted(counts, reverse=True)
+    assert all(" " in r.bigram for r in out)  # really two tokens
+
+
+def test_exact_substring_flags_are_symmetric(spark):
+    # a shared chunk involves >= 2 docs, so the flagged set can never be 1 doc
+    out = Q["exact_substring_dedup"](spark, SF_SMOKE).collect()
+    assert len(out) != 1
+    for r in out:
+        assert 1 <= r.n_shared <= r.n_chunks
+        assert 0 < r.shared_ratio <= 1.0
+
+
+def test_norm_outliers_are_rare_and_extreme(spark):
+    out = Q["embedding_norm_outliers"](spark, SF_SMOKE).collect()
+    total = register_views(spark, SF_SMOKE)["embeddings"].count()
+    assert len(out) < total * 0.1  # >2 sigma should be a small minority
+    assert all(abs(r.zscore) > 2.0 for r in out)
+    assert all(r.vnorm > 0 for r in out)
