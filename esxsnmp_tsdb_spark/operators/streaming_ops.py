@@ -388,3 +388,56 @@ def stream_tws_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeMode="none",
     )
     return run_to_memory(result, "append", spark)
+
+
+@op(
+    "stream_ladder_maintenance",
+    oracle=f"""
+WITH {OBS_CTE}
+SELECT path, tse - tse % 3600 AS slot,
+       round(avg(value), 6) AS average,
+       min(value) AS vmin, max(value) AS vmax, count(*) AS n
+FROM obs GROUP BY path, tse - tse % 3600
+""",
+)
+def stream_ladder_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time aggregate-ladder maintenance as a REGISTERED op: the
+    ``foreachBatch`` upsert pipeline (streaming/maintenance.py) runs the
+    event stream through per-micro-batch partial aggregation, merges the
+    partials into a day-partitioned parquet level (dynamic partition
+    overwrite — only touched days rewritten), and the stored level is
+    read back consolidated.
+
+    The batch-twin oracle is the plain per-slot aggregate over all events
+    — equality proves the incremental path converges to the batch answer
+    (partials are algebraic, so micro-batch boundaries can't change the
+    result).  At 100 TB this is the property that lets the 1h ladder stay
+    current without ever re-reading historical raws."""
+    import tempfile
+
+    from esxsnmp_tsdb_spark.streaming.maintenance import (
+        maintain_levels,
+        read_level,
+    )
+
+    out = tempfile.mkdtemp(prefix="ladder_op_")
+    ev = events_stream(spark, sf_dir)
+    obs = ev.select(
+        F.concat_ws("/", "user_id", "event_type").alias("path"),
+        F.unix_timestamp("ts").alias("tse"),
+        F.col("value").cast("double").alias("value"),
+    )
+    q = maintain_levels(obs, out, levels=(3600,))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    lvl = read_level(spark, out, 3600)
+    return lvl.select(
+        "path",
+        "slot",
+        F.round("average", 6).alias("average"),
+        "vmin",
+        "vmax",
+        "n",
+    )
