@@ -26,6 +26,7 @@ from esxsnmp_tsdb_spark.functions import tsdb
 from esxsnmp_tsdb_spark.functions.topk import ranked_topk
 from esxsnmp_tsdb_spark.operators._shared import (
     CNT_CTE,
+    HEARTBEAT,
     OBS_CTE,
     STEP,
     SYNTH_WRAP,
@@ -369,4 +370,47 @@ def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 6).alias("baseline"),
             F.count(F.lit(1)).alias("n"),
         )
+    )
+
+
+@op(
+    "ts_gap_report",
+    oracle=f"""
+WITH {OBS_CTE},
+gaps AS (
+  SELECT path,
+         tse - lag(tse) OVER (PARTITION BY path ORDER BY tse, event_id)
+           AS gap
+  FROM obs
+)
+SELECT path, count(*) AS n_intervals,
+       CAST(sum(CASE WHEN gap > {HEARTBEAT} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_heartbeat_gaps,
+       max(gap) AS max_gap,
+       round(avg(gap), 6) AS avg_gap
+FROM gaps WHERE gap IS NOT NULL
+GROUP BY path
+""",
+)
+def ts_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series sampling-health report: inter-sample gaps via lag(),
+    flagged against the HEARTBEAT bound the Aggregator uses to invalidate
+    rates — the operational "which series have holes" query behind the
+    reference's heartbeat semantics.
+
+    One shuffle on `path` (lag window + group-by share the partitioning);
+    gaps are BIGINT second deltas with (tse, event_id) ordering so both
+    engines difference the identical sequence."""
+    obs = _obs(spark, sf_dir)
+    w = Window.partitionBy("path").orderBy("tse", "event_id")
+    gaps = obs.select(
+        "path", (F.col("tse") - F.lag("tse").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    return gaps.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum((F.col("gap") > HEARTBEAT).cast("int"))
+        .cast("bigint")
+        .alias("n_heartbeat_gaps"),
+        F.max("gap").alias("max_gap"),
+        F.round(F.avg("gap"), 6).alias("avg_gap"),
     )

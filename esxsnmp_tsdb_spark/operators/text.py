@@ -417,3 +417,96 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.col("n_distinct_bigrams") / F.col("n_bigrams"), 6
         ).alias("dup_bigram_ratio"),
     )
+
+
+# BM25 constants (Robertson/Sparck-Jones defaults) and the demo query.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("spark", "merge", "window")
+
+
+@op(
+    "bm25_topdocs",
+    oracle=f"""
+WITH dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+),
+corpus AS (
+  SELECT count(*) AS n_docs, round(avg(dl), 6) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok IN ('spark', 'merge', 'window')
+  GROUP BY doc_id, tok
+),
+idf AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln((corpus.n_docs - idf.df + 0.5) / (idf.df + 0.5) + 1.0)
+             * tf.tf * ({BM25_K1} + 1.0)
+             / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                     + {BM25_B} * dl.dl / corpus.avgdl)))
+           AS score
+  FROM tf
+  JOIN idf ON tf.tok = idf.tok
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN corpus
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS bm25
+FROM scored
+ORDER BY round(score, 4) DESC, doc_id
+LIMIT 10
+""",
+)
+def bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking for a fixed 3-term query — the lexical-retrieval
+    counterpart to `tfidf_topterms`, and the classic quality-weighted
+    join shape: per-(doc, term) tf is the only corpus-scale shuffle; df
+    (≤|terms| rows) and the corpus length stats (1 row) broadcast back
+    onto it, the per-doc score is a second keyed reduce, and the top-10
+    is TakeOrdered on the ROUNDED score with a doc_id tiebreak (ulp-level
+    summation differences cannot flip a rank).
+
+    At 100 TB the same plan serves real queries: nothing depends on the
+    term list being small except the broadcast, and a large term set
+    degrades to a shuffled join on `tok` — never to a scan per term."""
+    docs = _t(spark, sf_dir)["documents"]
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dl")
+    )
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("dl"), 6).alias("avgdl")
+    )
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    term_score = (
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        * F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("score"))
+        .select("doc_id", F.round("score", 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )

@@ -91,3 +91,23 @@ def test_norm_outliers_are_rare_and_extreme(spark):
     assert len(out) < total * 0.1  # >2 sigma should be a small minority
     assert all(abs(r.zscore) > 2.0 for r in out)
     assert all(r.vnorm > 0 for r in out)
+
+
+def test_gap_report_bounds(spark):
+    from esxsnmp_tsdb_spark.operators._shared import HEARTBEAT
+
+    out = Q["ts_gap_report"](spark, SF_SMOKE).collect()
+    assert out
+    for r in out:
+        assert r.max_gap >= r.avg_gap > 0
+        assert 0 <= r.n_heartbeat_gaps <= r.n_intervals
+        if r.max_gap <= HEARTBEAT:
+            assert r.n_heartbeat_gaps == 0
+
+
+def test_bm25_ranked_and_positive(spark):
+    out = Q["bm25_topdocs"](spark, SF_SMOKE).collect()
+    assert len(out) == 10
+    scores = [r.bm25 for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
