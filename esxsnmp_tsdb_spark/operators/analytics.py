@@ -414,3 +414,42 @@ def ts_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap").alias("max_gap"),
         F.round(F.avg("gap"), 6).alias("avg_gap"),
     )
+
+
+@op(
+    "ts_rolling_1h",
+    oracle=f"""
+WITH {OBS_CTE}
+SELECT path, tse, event_id,
+       round(sum(value) OVER w, 6) AS roll_sum,
+       round(avg(value) OVER w, 6) AS roll_avg,
+       count(*) OVER w AS roll_n
+FROM obs
+WINDOW w AS (PARTITION BY path ORDER BY tse
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+""",
+)
+def ts_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based rolling window (RANGE frame): per-series trailing-hour
+    sum/avg/count at every sample — the "current hour so far" ticker a
+    monitoring dashboard polls.
+
+    The RANGE frame is defined on the VALUE of tse, not row position, so
+    irregular sampling and same-second peers are handled identically on
+    both engines (peers share one frame, hence one result).  One shuffle
+    on path; the frame advances with two pointers over the sorted
+    partition — O(n), no per-row rescan."""
+    obs = _obs(spark, sf_dir)
+    w = (
+        Window.partitionBy("path")
+        .orderBy("tse")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return obs.select(
+        "path",
+        "tse",
+        "event_id",
+        F.round(F.sum("value").over(w), 6).alias("roll_sum"),
+        F.round(F.avg("value").over(w), 6).alias("roll_avg"),
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+    )

@@ -1,0 +1,125 @@
+"""Storage-layer ops (§2.3/§3 surface, driver-checked): interchange-format
+round-trips and the day-partitioned chunk layout, proven through the same
+DuckDB-oracle gate as the query ops.
+
+Each op WRITES a real dataset (temp dir), reads it back through the
+schema-pinned reader, and aggregates — equality with the oracle (which
+aggregates the source directly) proves the round-trip is lossless,
+including double precision through text formats (Spark emits shortest
+round-trip decimal strings for CSV/JSON).
+
+Scale posture: writes go through the same ``repartition(day)`` /
+``sortWithinPartitions(path, tse)`` layout the production path uses;
+the read-back carries a day predicate that prunes partitions (asserted
+plan-level in tests/test_formats.py — here the oracle proves the VALUES
+survive the layout)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from esxsnmp_tsdb_spark.functions import tsdb
+from esxsnmp_tsdb_spark.operators._shared import OBS_CTE, T_JAN10, T_JAN20
+from esxsnmp_tsdb_spark.registry import op
+from esxsnmp_tsdb_spark.sources import register_views
+from esxsnmp_tsdb_spark.sources.compaction import write_obs
+from esxsnmp_tsdb_spark.sources.formats import read_obs, write_obs_as
+
+
+def _obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tsdb.obs_from_events(register_views(spark, sf_dir)["events"])
+
+
+def _roundtrip_agg(df: DataFrame) -> DataFrame:
+    """Shared read-back aggregate: per event-type count / value sum /
+    time bounds — any row or value lost or reparsed differently in the
+    round-trip changes a cell."""
+    return (
+        df.select(F.split("path", "/").getItem(1).alias("event_type"), "tse", "value")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.min("tse").alias("first_tse"),
+            F.max("tse").alias("last_tse"),
+        )
+    )
+
+
+_ROUNDTRIP_ORACLE = f"""
+WITH {OBS_CTE}
+SELECT split_part(path, '/', 2) AS event_type, count(*) AS n,
+       round(sum(value), 6) AS sum_value,
+       min(tse) AS first_tse, max(tse) AS last_tse
+FROM obs GROUP BY split_part(path, '/', 2)
+"""
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix=f"obs_{fmt}_")
+    write_obs_as(_obs(spark, sf_dir), fmt, out)
+    return _roundtrip_agg(read_obs(spark, fmt, out))
+
+
+@op("format_roundtrip_csv", oracle=_ROUNDTRIP_ORACLE)
+def format_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """obs → CSV (header, schema-pinned read — no inference pass) → obs.
+    Doubles survive because Spark writes shortest-round-trip decimals and
+    the reader parses against the pinned DoubleType, never inferring."""
+    return _roundtrip(spark, sf_dir, "csv")
+
+
+@op("format_roundtrip_json", oracle=_ROUNDTRIP_ORACLE)
+def format_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """obs → JSON-lines → obs, schema-pinned both ways (the ingest-edge
+    format a poller dump or API export actually arrives in)."""
+    return _roundtrip(spark, sf_dir, "json")
+
+
+@op("format_roundtrip_orc", oracle=_ROUNDTRIP_ORACLE)
+def format_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """obs → ORC → obs (the columnar alternative; binary, so the check is
+    about layout/written-schema fidelity rather than text parsing)."""
+    return _roundtrip(spark, sf_dir, "orc")
+
+
+@op(
+    "storage_day_partitioned_scan",
+    oracle=f"""
+WITH {OBS_CTE}
+SELECT path, count(*) AS n, round(avg(value), 6) AS avg_value
+FROM obs
+WHERE tse >= {T_JAN10} AND tse < {T_JAN20}
+GROUP BY path
+""",
+)
+def storage_day_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the obs stream into the production day-partitioned layout
+    (``sources.compaction.write_obs``: repartition(day) +
+    sortWithinPartitions(path, tse)), then answer a 10-day range query
+    from the written copy.
+
+    The range predicate lands on the `day` partition column, so the scan
+    reads only the 10 touched partitions (partition pruning — the chunk
+    mapper); within each file the (path, tse) sort makes row-group stats
+    selective.  Oracle equality proves the layout loses nothing and the
+    day-boundary arithmetic (UTC epoch-day) matches the second-level
+    range exactly."""
+    out = tempfile.mkdtemp(prefix="obs_daypart_")
+    write_obs(_obs(spark, sf_dir), out, mode="overwrite")
+    back = spark.read.parquet(out)
+    return (
+        back.filter(
+            (F.col("day") >= F.to_date(F.timestamp_seconds(F.lit(T_JAN10))))
+            & (F.col("day") < F.to_date(F.timestamp_seconds(F.lit(T_JAN20))))
+        )
+        .filter((F.col("tse") >= T_JAN10) & (F.col("tse") < T_JAN20))
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )

@@ -77,6 +77,7 @@ _OPERATOR_MODULES = (
     "esxsnmp_tsdb_spark.operators.text",
     "esxsnmp_tsdb_spark.operators.multimodal",
     "esxsnmp_tsdb_spark.operators.ingest",
+    "esxsnmp_tsdb_spark.operators.storage",
     "esxsnmp_tsdb_spark.operators.streaming_ops",
 )
 
