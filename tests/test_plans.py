@@ -89,3 +89,26 @@ def test_asof_join_no_join_explosion(spark):
 def test_sim_search_broadcasts_query_vector(spark):
     plan = plan_str(Q["sim_search_topk"](spark, SF_ORACLE))
     assert "Broadcast" in plan
+
+
+def test_day_partitioned_scan_prunes_partitions(spark):
+    # The written copy is day-partitioned; the 10-day range query must
+    # carry the predicate as PartitionFilters (partition pruning — the
+    # chunk-mapper analog for the stored layout).
+    plan = plan_str(Q["storage_day_partitioned_scan"](spark, SF_ORACLE))
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(day" in plan or "(day" in plan, plan
+
+
+def test_rolling_1h_single_shuffle_range_frame(spark):
+    plan = plan_str(Q["ts_rolling_1h"](spark, SF_ORACLE))
+    # One shuffle on path feeds the window; the frame is a RANGE spec.
+    assert plan.count("Exchange") <= 2  # window shuffle (+AQE read)
+    assert "RangeFrame" in plan or "specifiedwindowframe(RangeFrame" in plan
+
+
+def test_event_funnel_single_shuffle(spark):
+    # Three chained min-windows + per-user reduce ride ONE hash exchange;
+    # the only SinglePartition is the final 3-row funnel aggregate.
+    plan = plan_str(Q["event_funnel"](spark, SF_ORACLE), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
