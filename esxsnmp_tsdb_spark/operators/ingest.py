@@ -190,3 +190,46 @@ def api_timerange_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("]"),
         ).alias("json_row"),
     )
+
+
+@op(
+    "ingest_replay_idempotent",
+    oracle=f"""
+WITH {OBS_CTE}
+SELECT path, tse - tse % {STEP} AS slot, count(*) AS n_raw,
+       round(avg(value), 6) AS avg_value
+FROM obs WHERE tse >= {T_JAN10} AND tse < {T_JAN15_NOON}
+GROUP BY path, tse - tse % {STEP}
+""",
+)
+def ingest_replay_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery made exactly-once: the same poller batch is
+    appended TWICE (the reference's re-delivery case — a poller retries
+    after an ack timeout), then the read path collapses replays by
+    identity (path, tse, event_id) before consolidating.
+
+    The oracle sees the batch ONCE — equality proves the dedup restores
+    exactly-once semantics regardless of how many times the writer
+    retried.  The identity dedup is a hash aggregate on the natural key
+    (partial map-side — replayed copies of a row land in the same
+    partition), not a window; at 100 TB it rides the same (path-keyed)
+    shuffle the consolidation needs anyway."""
+    obs = tsdb.obs_from_events(
+        load_events_range(spark, sf_dir, T_JAN10, T_JAN15_NOON)
+    )
+    # NOTE: the temp dir must outlive this function — the returned
+    # DataFrame is lazy and reads these files when the caller executes it.
+    target = tempfile.mkdtemp(prefix="replay_", dir=_ensure_root())
+    for _ in range(2):  # the retry: same batch, appended twice
+        obs.write.mode("append").parquet(target)
+    back = spark.read.parquet(target)
+    deduped = back.groupBy("path", "tse", "event_id").agg(
+        F.first("value").alias("value")
+    )
+    return (
+        deduped.groupBy("path", tsdb.slot_of(F.col("tse"), STEP).alias("slot"))
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )

@@ -123,3 +123,43 @@ def storage_day_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 6).alias("avg_value"),
         )
     )
+
+
+@op(
+    "storage_retention_expire",
+    oracle=f"""
+WITH {OBS_CTE}
+SELECT CAST(floor(tse / 86400) AS BIGINT) AS day_num,
+       count(*) AS n, count(DISTINCT path) AS n_paths
+FROM obs WHERE tse >= {T_JAN10}
+GROUP BY CAST(floor(tse / 86400) AS BIGINT)
+""",
+)
+def storage_retention_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-policy expiry on the day-partitioned store: partitions
+    older than the cutoff are dropped AS DIRECTORIES — the object-store
+    lifecycle primitive (delete a day prefix), never a data rewrite.  The
+    read-back aggregate proves exactly the retained days survive, intact.
+
+    At 100 TB this is the only affordable expiry: dropping a partition is
+    O(1) metadata per day, while a filter-and-rewrite would re-shuffle
+    the entire store.  (With a Delta/Iceberg catalog the same op is
+    ``DELETE WHERE day < cutoff`` → metadata-only tombstones.)"""
+    import os
+    import shutil
+    from datetime import datetime, timezone
+
+    out = tempfile.mkdtemp(prefix="obs_retention_")
+    write_obs(_obs(spark, sf_dir), out, mode="overwrite")
+    cutoff_day = datetime.fromtimestamp(T_JAN10, timezone.utc).strftime("%Y-%m-%d")
+    for d in os.listdir(out):
+        if d.startswith("day=") and d.split("=", 1)[1] < cutoff_day:
+            shutil.rmtree(os.path.join(out, d))
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy(F.floor(F.col("tse") / 86400).cast("bigint").alias("day_num"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("path").alias("n_paths"),
+        )
+    )
