@@ -437,3 +437,36 @@ def ts_valid_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@op(
+    "ts_downsample_percentile",
+    oracle=f"""
+WITH {OBS_CTE}
+SELECT path, tse - tse % {BUCKET} AS slot,
+       round(quantile_cont(CAST(value AS DOUBLE), 0.5), 4) AS p50,
+       round(quantile_cont(CAST(value AS DOUBLE), 0.95), 4) AS p95,
+       count(*) AS n
+FROM obs GROUP BY path, tse - tse % {BUCKET}
+""",
+)
+def ts_downsample_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile consolidation (p50/p95 per 1h slot) — the distribution-
+    preserving downsample an SLO dashboard needs where avg/minmax levels
+    hide tail behavior.
+
+    Exact linear-interpolation percentile per (path, slot) group: Spark
+    `percentile` ≡ DuckDB `quantile_cont` on DOUBLE (same parity as
+    ts_billing_p95, rounded to 4).  Per-slot groups are bounded (≤ slot
+    width / sample interval rows), so the exact sort-based percentile
+    costs the same one shuffle as every other consolidation — at 100 TB
+    the approx sketch (`approx_percentiles`) is the knob, not a rewrite."""
+    obs = tsdb.obs_from_events(register_views(spark, sf_dir)["events"])
+    return (
+        obs.groupBy("path", tsdb.slot_of(F.col("tse"), BUCKET).alias("slot"))
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -310,3 +310,129 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("zscore")) > 2.0)
         .select("vec_id", "label", F.round("vnorm", 6).alias("vnorm"), "zscore")
     )
+
+
+PR_DAMP = 0.85
+PR_ITERS = 3
+PR_MAX_BUCKET = 5  # chunk hashes shared by more docs are boilerplate — skip
+
+
+@op(
+    "doc_pagerank",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+ch AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(list_slice(tk, s.s, s.s + {CHUNK_K - 1}), ' ')) AS h
+  FROM toks,
+       LATERAL (SELECT unnest(range(1, len(tk) - {CHUNK_K - 2}, {CHUNK_STRIDE}))
+                AS s) s
+  WHERE len(tk) >= {CHUNK_K}
+),
+ok AS (
+  SELECT h FROM ch GROUP BY h
+  HAVING count(*) BETWEEN 2 AND {PR_MAX_BUCKET}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM ch a JOIN ch b ON a.h = b.h AND a.doc_id < b.doc_id
+  JOIN ok ON ok.h = a.h
+),
+edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+n AS (SELECT count(*) AS cnt FROM deg),
+pr0 AS (SELECT u, round(1.0 / (SELECT cnt FROM n), 9) AS pr FROM deg),
+pr1 AS (
+  SELECT e.v AS u,
+         round((SELECT 0.15 / cnt FROM n) + {PR_DAMP} * sum(p.pr / d.d), 9) AS pr
+  FROM edges e JOIN pr0 p ON e.u = p.u JOIN deg d ON d.u = e.u
+  GROUP BY e.v
+),
+pr2 AS (
+  SELECT e.v AS u,
+         round((SELECT 0.15 / cnt FROM n) + {PR_DAMP} * sum(p.pr / d.d), 9) AS pr
+  FROM edges e JOIN pr1 p ON e.u = p.u JOIN deg d ON d.u = e.u
+  GROUP BY e.v
+),
+pr3 AS (
+  SELECT e.v AS u,
+         round((SELECT 0.15 / cnt FROM n) + {PR_DAMP} * sum(p.pr / d.d), 9) AS pr
+  FROM edges e JOIN pr2 p ON e.u = p.u JOIN deg d ON d.u = e.u
+  GROUP BY e.v
+)
+SELECT u AS doc_id, round(pr, 6) AS pagerank FROM pr3
+ORDER BY pagerank DESC, doc_id
+""",
+)
+def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the verbatim-overlap document graph ({PR_ITERS}
+    damped iterations): nodes are documents sharing an exact 8-token
+    chunk, edges undirected — the "template hub" detector that surfaces
+    the most-copied documents in a corpus.
+
+    The iterative algorithm is EXACTLY oracle-checked (rare for graph
+    ops): the DuckDB twin unrolls the same {PR_ITERS} iterations as
+    chained CTEs, and every iteration rounds to 9 decimals on both engines so
+    summation-order ulps can never compound across iterations.
+
+    Scale shape: edge generation is the chunk-hash equi-join (hub hashes
+    capped at {PR_MAX_BUCKET} docs — boilerplate never becomes a clique);
+    each iteration is one join + one keyed reduce over (edges ⋈ ranks),
+    the standard distributed-PageRank dataflow — the driver only unrolls
+    the loop, it never touches data."""
+    docs = _t(spark, sf_dir)["documents"]
+    tk = F.split("text", " ")
+    starts = F.when(
+        F.size(tk) >= CHUNK_K,
+        F.sequence(F.lit(1), F.size(tk) - (CHUNK_K - 1), F.lit(CHUNK_STRIDE)),
+    ).otherwise(F.array().cast("array<int>"))
+    ch = (
+        docs.select("doc_id", F.explode(starts).alias("s"), tk.alias("tk"))
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.slice(F.col("tk"), F.col("s"), CHUNK_K))).alias(
+                "h"
+            ),
+        )
+        .distinct()
+    )
+    ok = (
+        ch.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd").between(2, PR_MAX_BUCKET))
+        .select(F.col("h").alias("okh"))
+    )
+    a = ch.alias("a")
+    b = ch.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .join(ok, F.col("a.h") == F.col("okh"))
+        .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+        .distinct()
+    )
+    edges = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    base = deg.agg(
+        F.round(1.0 / F.count(F.lit(1)), 9).alias("pr_init"),
+        (0.15 / F.count(F.lit(1))).alias("b"),
+    )
+    pr = deg.join(F.broadcast(base)).select("u", F.col("pr_init").alias("pr"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(pr, "u")
+            .join(deg, "u")
+            .groupBy("v")
+            .agg(F.sum(F.col("pr") / F.col("d")).alias("s"))
+        )
+        pr = (
+            contrib.join(F.broadcast(base))
+            .select(
+                F.col("v").alias("u"),
+                F.round(F.col("b") + PR_DAMP * F.col("s"), 9).alias("pr"),
+            )
+        )
+    return pr.select(
+        F.col("u").alias("doc_id"), F.round("pr", 6).alias("pagerank")
+    ).orderBy(F.col("pagerank").desc(), "doc_id")

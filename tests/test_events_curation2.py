@@ -111,3 +111,58 @@ def test_bm25_ranked_and_positive(spark):
     scores = [r.bm25 for r in out]
     assert scores == sorted(scores, reverse=True)
     assert all(s > 0 for s in scores)
+
+
+def test_pagerank_mass_and_determinism(spark):
+    out = Q["doc_pagerank"](spark, SF_SMOKE).collect()
+    assert out
+    # damped PageRank over a connected-enough graph: mass stays near 1
+    total = sum(r.pagerank for r in out)
+    assert 0.5 < total <= 1.5
+    assert all(r.pagerank > 0 for r in out)
+    again = Q["doc_pagerank"](spark, SF_SMOKE).collect()
+    assert [(r.doc_id, r.pagerank) for r in out] == [
+        (r.doc_id, r.pagerank) for r in again
+    ]
+
+
+def test_percentile_downsample_ordering(spark):
+    out = Q["ts_downsample_percentile"](spark, SF_SMOKE).collect()
+    assert out
+    for r in out:
+        assert r.p50 <= r.p95
+        assert r.n >= 1
+
+
+def test_retention_drops_only_old_days(spark):
+    from esxsnmp_tsdb_spark.operators._shared import T_JAN10
+
+    out = Q["storage_retention_expire"](spark, SF_SMOKE).collect()
+    assert out
+    cutoff_day = T_JAN10 // 86400
+    assert all(r.day_num >= cutoff_day for r in out)
+
+
+def test_replay_dedup_matches_single_ingest(spark):
+    # the replayed (doubled) store must aggregate to the same slot counts
+    # a single ingest of the range produces
+    from esxsnmp_tsdb_spark.functions import tsdb
+    from esxsnmp_tsdb_spark.operators._shared import STEP, T_JAN10, T_JAN15_NOON
+    from esxsnmp_tsdb_spark.sources import load_events_range
+
+    out = {
+        (r.path, r.slot): r.n_raw
+        for r in Q["ingest_replay_idempotent"](spark, SF_SMOKE).collect()
+    }
+    obs = tsdb.obs_from_events(
+        load_events_range(spark, SF_SMOKE, T_JAN10, T_JAN15_NOON)
+    )
+    direct = {
+        (r.path, r.slot): r.n
+        for r in obs.groupBy(
+            "path", tsdb.slot_of(F.col("tse"), STEP).alias("slot")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert out == direct
