@@ -470,3 +470,68 @@ def ts_downsample_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@op(
+    "ts_rate_invalid_reasons",
+    oracle=f"""
+WITH {OBS_CTE},
+lagged AS (
+  SELECT path, tse, value, flags,
+         lag(tse) OVER w AS prev_tse,
+         lag(value) OVER w AS prev_value,
+         lag(flags) OVER w AS prev_flags
+  FROM obs
+  WINDOW w AS (PARTITION BY path ORDER BY tse, event_id)
+),
+classified AS (
+  SELECT CASE WHEN prev_tse IS NULL THEN 'first'
+              WHEN (flags & 1) = 0 OR (prev_flags & 1) = 0 THEN 'flagged'
+              WHEN tse - prev_tse > {HEARTBEAT} THEN 'heartbeat'
+              WHEN value < prev_value THEN 'decrease'
+              ELSE 'ok' END AS reason
+  FROM lagged
+)
+SELECT reason, count(*) AS n,
+       round(count(*) * 1.0 / (SELECT count(*) FROM classified), 6) AS share
+FROM classified GROUP BY reason
+""",
+)
+def ts_rate_invalid_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-derivation triage: every sample classified by WHY its rate is
+    (in)valid — no predecessor, invalid flag on either endpoint, heartbeat
+    exceeded, or a value decrease (gauge drop / counter-wrap candidate).
+    The operational "why is my graph empty" report behind the
+    Aggregator's validity rules, with CASE precedence matching the rate
+    path's checks in order.
+
+    One shuffle on path for the lag window; the 5-row roll-up and its
+    share denominator ride a broadcast 1-row total (one data pass)."""
+    obs = tsdb.obs_from_events(register_views(spark, sf_dir)["events"])
+    w = Window.partitionBy("path").orderBy("tse", "event_id")
+    lagged = obs.select(
+        "tse",
+        "value",
+        "flags",
+        F.lag("tse").over(w).alias("prev_tse"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.lag("flags").over(w).alias("prev_flags"),
+    )
+    reason = (
+        F.when(F.col("prev_tse").isNull(), "first")
+        .when(
+            (F.col("flags").bitwiseAND(1) == 0)
+            | (F.col("prev_flags").bitwiseAND(1) == 0),
+            "flagged",
+        )
+        .when(F.col("tse") - F.col("prev_tse") > HEARTBEAT, "heartbeat")
+        .when(F.col("value") < F.col("prev_value"), "decrease")
+        .otherwise("ok")
+    )
+    agg = lagged.select(reason.alias("reason")).groupBy("reason").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = agg.agg(F.sum("n").cast("double").alias("_total"))
+    return agg.join(F.broadcast(total)).select(
+        "reason", "n", F.round(F.col("n") / F.col("_total"), 6).alias("share")
+    )

@@ -181,3 +181,92 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@op(
+    "asof_join_nearest",
+    oracle="""
+WITH e AS (SELECT event_id, user_id, event_type,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS tse
+           FROM events),
+tagged AS (
+  SELECT user_id, tse, event_id, event_type,
+         CASE WHEN event_type = 'click' THEN event_id END AS click_id_t,
+         CASE WHEN event_type = 'click' THEN tse END AS click_tse_t
+  FROM e WHERE event_type IN ('click', 'purchase')
+),
+filled AS (
+  SELECT user_id, tse, event_id, event_type,
+         last_value(click_id_t IGNORE NULLS) OVER wb AS prev_id,
+         last_value(click_tse_t IGNORE NULLS) OVER wb AS prev_tse,
+         first_value(click_id_t IGNORE NULLS) OVER wf AS next_id,
+         first_value(click_tse_t IGNORE NULLS) OVER wf AS next_tse
+  FROM tagged
+  WINDOW wb AS (PARTITION BY user_id ORDER BY tse, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY tse, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id AS purchase_id, user_id, tse AS purchase_tse,
+       CASE WHEN next_tse IS NULL THEN prev_id
+            WHEN prev_tse IS NULL THEN next_id
+            WHEN tse - prev_tse <= next_tse - tse THEN prev_id
+            ELSE next_id END AS near_click_id,
+       CASE WHEN next_tse IS NULL THEN tse - prev_tse
+            WHEN prev_tse IS NULL THEN next_tse - tse
+            WHEN tse - prev_tse <= next_tse - tse THEN tse - prev_tse
+            ELSE next_tse - tse END AS near_gap
+FROM filled WHERE event_type = 'purchase'
+""",
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of variant: each purchase pairs with its CLOSEST
+    click per user, before or after (backward as-of is `asof_join`; the
+    nearest flavor is what sensor alignment and feature-store lookups
+    want).  Ties (equidistant) take the earlier click — both engines
+    break them with `<=` on the backward gap.
+
+    Same union+window shape as `asof_join` — backward forward-fill plus
+    a mirrored forward fill over ONE user_id shuffle (both window frames
+    share the sort), then an arithmetic pick.  No inequality join, no
+    explosion, no second shuffle."""
+    e = _t(spark, sf_dir)["events"].select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("tse"),
+    )
+    tagged = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "tse",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("click_id_t"),
+        F.when(F.col("event_type") == "click", F.col("tse")).alias("click_tse_t"),
+    )
+    ob = Window.partitionBy("user_id").orderBy("tse", "event_id")
+    wb = ob.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = ob.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    filled = tagged.select(
+        "user_id",
+        "tse",
+        "event_id",
+        "event_type",
+        F.last("click_id_t", ignorenulls=True).over(wb).alias("prev_id"),
+        F.last("click_tse_t", ignorenulls=True).over(wb).alias("prev_tse"),
+        F.first("click_id_t", ignorenulls=True).over(wf).alias("next_id"),
+        F.first("click_tse_t", ignorenulls=True).over(wf).alias("next_tse"),
+    )
+    prev_gap = F.col("tse") - F.col("prev_tse")
+    next_gap = F.col("next_tse") - F.col("tse")
+    take_prev = F.col("next_tse").isNull() | (
+        F.col("prev_tse").isNotNull() & (prev_gap <= next_gap)
+    )
+    return filled.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("tse").alias("purchase_tse"),
+        F.when(take_prev, F.col("prev_id")).otherwise(F.col("next_id"))
+        .alias("near_click_id"),
+        F.when(take_prev, prev_gap).otherwise(next_gap).alias("near_gap"),
+    )

@@ -510,3 +510,53 @@ def bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
+
+
+ZIPF_TOP = 500  # ranks fitted per language
+
+
+@op(
+    "term_zipf_slope",
+    oracle=f"""
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT lang, tok, count(*) AS n FROM toks GROUP BY lang, tok),
+ranked AS (
+  SELECT lang, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rnk
+  FROM tf
+)
+SELECT lang,
+       round(regr_slope(ln(n), ln(rnk)), 4) AS zipf_slope,
+       round(regr_r2(ln(n), ln(rnk)), 4) AS r2,
+       count(*) AS n_terms
+FROM ranked WHERE rnk <= {ZIPF_TOP}
+GROUP BY lang
+""",
+)
+def term_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per language: OLS slope of log-frequency over log-rank
+    for the top {ZIPF_TOP} terms — a natural-language health check for a
+    corpus (natural text ≈ −1; templated/synthetic text drifts shallow).
+
+    Term counting is the standard explode + partial-aggregated count;
+    ranks are a per-language window (bounded by vocab, never global); the
+    regression is Spark's/DuckDB's built-in `regr_slope`/`regr_r2`
+    aggregate — identical closed forms, rounded to 4 so summation-order
+    ulps can't leak into the hash."""
+    docs = _t(spark, sf_dir)["documents"]
+    tf = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "tok")
+    ranked = tf.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= ZIPF_TOP
+    )
+    return ranked.groupBy("lang").agg(
+        F.round(F.expr("regr_slope(ln(n), ln(rnk))"), 4).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(ln(n), ln(rnk))"), 4).alias("r2"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
