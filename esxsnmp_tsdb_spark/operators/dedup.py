@@ -460,3 +460,105 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= 0.6)
         .select("vec_a", "vec_b", "label", F.round("cos_raw", 6).alias("cos"))
     )
+
+
+@op(
+    "minhash_jaccard_estimate",
+    oracle=f"""
+WITH {MINHASH_PAIRS_SQL},
+band_match AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(sum(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_match
+  FROM pairs p
+  JOIN sigs a ON a.doc_id = p.doc_a
+  JOIN sigs b ON b.doc_id = p.doc_b AND b.band = a.band
+  GROUP BY p.doc_a, p.doc_b
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS ni
+  FROM pairs p
+  JOIN shingled sa ON sa.doc_id = p.doc_a
+  JOIN shingled sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT m.doc_a, m.doc_b,
+       round(m.n_match / {N_BANDS}.0, 6) AS est_jaccard,
+       round(i.ni * 1.0 / (za.sz + zb.sz - i.ni), 6) AS exact_jaccard,
+       round(abs(m.n_match / {N_BANDS}.0
+                 - i.ni * 1.0 / (za.sz + zb.sz - i.ni)), 6) AS abs_err
+FROM band_match m
+JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+JOIN sizes za ON za.doc_id = m.doc_a
+JOIN sizes zb ON zb.doc_id = m.doc_b
+""",
+)
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy measurement: for every LSH candidate pair, the
+    MinHash-estimated Jaccard (matching bands / {N_BANDS}) next to the
+    exact shingle-set Jaccard and the absolute error — the eval an
+    engineer runs before trusting a dedup threshold at corpus scale.
+
+    Everything is blocked by the candidate pairs (estimate AND exact):
+    the corpus square never materializes, signatures are 32-byte strings,
+    and the exact intersection is the shingle equi-join restricted to
+    candidates — the same shapes the dedup ops already proved at scale.
+    Both ratios are small-denominator rationals rounded on both sides."""
+    docs2 = _docs_with_near_copies(_t(spark, sf_dir)["documents"])
+    sh = _shingled(docs2)
+    bands = spark.range(N_BANDS).select(F.col("id").cast("int").alias("band"))
+    sigs = (
+        sh.crossJoin(F.broadcast(bands))
+        .select(
+            "doc_id",
+            "band",
+            F.md5(F.concat_ws(":", F.col("band"), F.col("shingle"))).alias("bh"),
+        )
+        .groupBy("doc_id", "band")
+        .agg(F.min("bh").alias("sig"))
+    )
+    pairs = _minhash_pairs(spark, sf_dir)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("band").alias("band_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("db"), F.col("band").alias("band_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    band_match = (
+        pairs.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("db")) & (F.col("band_a") == F.col("band_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum((F.col("sig_a") == F.col("sig_b")).cast("int"))
+            .cast("bigint")
+            .alias("n_match")
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("db2"), F.col("shingle").alias("sh_b"))
+    inter = (
+        pairs.join(sha, "doc_a")
+        .join(shb, (F.col("doc_b") == F.col("db2")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    est = F.col("n_match") / float(N_BANDS)
+    exact = F.col("ni") / (F.col("sz_a") + F.col("sz_b") - F.col("ni"))
+    return (
+        band_match.join(inter, ["doc_a", "doc_b"])
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(exact, 6).alias("exact_jaccard"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
+    )

@@ -270,3 +270,28 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("near_click_id"),
         F.when(take_prev, prev_gap).otherwise(next_gap).alias("near_gap"),
     )
+
+
+@op(
+    "array_agg_sorted",
+    oracle="""
+SELECT lang, count(DISTINCT source) AS n_sources,
+       string_agg(DISTINCT source, ',' ORDER BY source) AS sources_csv
+FROM documents GROUP BY lang
+""",
+)
+def array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered set aggregation parity: the distinct sources per language
+    as a canonical sorted CSV — Spark's `sort_array(collect_set(...))` ≡
+    DuckDB's ordered `string_agg(DISTINCT ...)`.  Collection aggregates
+    are unordered by contract on both engines, so any op that EMITS a
+    collection must impose the order itself; this op is the registry's
+    proof of that rule.
+
+    Per-group state is the distinct source set (bounded by domain
+    cardinality); one shuffle, partial collect_set map-side."""
+    docs = _t(spark, sf_dir)["documents"]
+    return docs.groupBy("lang").agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.concat_ws(",", F.sort_array(F.collect_set("source"))).alias("sources_csv"),
+    )

@@ -412,3 +412,56 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vectors"),
         )
     )
+
+
+BATCH_Q_MOD = 97  # vec_id % 97 == 3 selects the deterministic query batch
+BATCH_TOP_K = 5
+
+
+@op(
+    "sim_search_batch",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv, len(embedding) AS d
+           FROM embeddings WHERE vec_id % {BATCH_Q_MOD} = 3),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         {DOT_SQL.format(d='q.d', a='e.embedding', b='q.qv')} /
+         (sqrt({DOT_SQL.format(d='q.d', a='e.embedding', b='e.embedding')}) *
+          sqrt({DOT_SQL.format(d='q.d', a='q.qv', b='q.qv')})) AS cos
+  FROM embeddings e JOIN q ON e.vec_id != q.qid
+)
+SELECT qid, vec_id, round(cos, 6) AS cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)
+         AS rank
+  FROM scored
+) WHERE rank <= {BATCH_TOP_K}
+""",
+)
+def sim_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN: top-{BATCH_TOP_K} neighbors for a SET of query vectors
+    in one pass — the serving-path shape (requests arrive batched, the
+    corpus is scanned once for all of them, not once per query).
+
+    The query batch is a broadcast; scoring is the same codegen'd
+    map-only pass as `sim_search_topk` fanned out ×|batch|; the top-k is
+    a window PARTITIONED BY query id — per-query state, never a global
+    window, so corpus scale only widens the map stage."""
+    e = _t(spark, sf_dir)["embeddings"]
+    q = e.filter(F.col("vec_id") % BATCH_Q_MOD == 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine(_dbl(F.col("embedding")), _dbl(F.col("qv"))).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= BATCH_TOP_K)
+        .select("qid", "vec_id", F.round("cos_raw", 6).alias("cos"), "rank")
+    )
