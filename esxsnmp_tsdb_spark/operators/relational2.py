@@ -295,3 +295,109 @@ def array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("source").alias("n_sources"),
         F.concat_ws(",", F.sort_array(F.collect_set("source"))).alias("sources_csv"),
     )
+
+
+BASKET_TOP = 20
+
+
+@op(
+    "market_basket_pairs",
+    oracle=f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, count(*) AS n_orders
+FROM pairs GROUP BY part_a, part_b
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT {BASKET_TOP}
+""",
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the part pairs most often bought in the
+    same order.  The pair space is generated by a SELF-JOIN ON THE ORDER
+    KEY — pairs explode per order (k items → k·(k−1)/2 rows), never
+    across orders, so the blow-up is bounded by basket size, not corpus
+    size.  Distinct (order, part) first so duplicate lines don't inflate
+    counts; top-{BASKET_TOP} is TakeOrdered on the counted aggregate."""
+    li = (
+        _t(spark, sf_dir)["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(BASKET_TOP)
+    )
+
+
+@op(
+    "customer_rfm",
+    oracle="""
+WITH base AS (
+  SELECT o_custkey,
+         max(CAST(floor(epoch(o_orderdate)) AS BIGINT)) AS recency_tse,
+         count(*) AS frequency,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+th AS (
+  SELECT round(quantile_cont(CAST(recency_tse AS DOUBLE), 0.5), 4) AS r_med,
+         round(quantile_cont(CAST(frequency AS DOUBLE), 0.5), 4) AS f_med,
+         round(quantile_cont(monetary, 0.5), 4) AS m_med
+  FROM base
+)
+SELECT concat(CASE WHEN recency_tse > r_med THEN 'R1' ELSE 'R0' END,
+              CASE WHEN frequency > f_med THEN 'F1' ELSE 'F0' END,
+              CASE WHEN monetary > m_med THEN 'M1' ELSE 'M0' END) AS rfm,
+       count(*) AS n_customers,
+       round(sum(monetary), 2) AS seg_monetary
+FROM base, th
+GROUP BY 1
+""",
+)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation done the scale-correct way: instead of a global
+    ``ntile() OVER (ORDER BY …)`` — a single-partition window the plan
+    audit forbids — the split thresholds are exact medians computed as a
+    1-row aggregate and BROADCAST back onto the per-customer stream.
+    Same segmentation, no global sort, no single-task funnel.
+
+    Two shuffles total (per-customer base aggregate; 8-row segment
+    roll-up).  Medians use the proven Spark-percentile ≡ DuckDB-
+    quantile_cont parity, rounded before the strict compare so both
+    engines cut every customer on the same side."""
+    base = (
+        _t(spark, sf_dir)["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.unix_timestamp("o_orderdate")).alias("recency_tse"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    th = base.agg(
+        F.round(F.expr("percentile(CAST(recency_tse AS DOUBLE), 0.5)"), 4).alias("r_med"),
+        F.round(F.expr("percentile(CAST(frequency AS DOUBLE), 0.5)"), 4).alias("f_med"),
+        F.round(F.expr("percentile(monetary, 0.5)"), 4).alias("m_med"),
+    )
+    rfm = F.concat(
+        F.when(F.col("recency_tse") > F.col("r_med"), "R1").otherwise("R0"),
+        F.when(F.col("frequency") > F.col("f_med"), "F1").otherwise("F0"),
+        F.when(F.col("monetary") > F.col("m_med"), "M1").otherwise("M0"),
+    )
+    return (
+        base.join(F.broadcast(th))
+        .groupBy(rfm.alias("rfm"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("monetary"), 2).alias("seg_monetary"),
+        )
+    )
