@@ -30,6 +30,7 @@ from esxsnmp_tsdb_spark.operators._shared import (
     OBS_CTE,
     STEP,
     SYNTH_WRAP,
+    T_JAN01,
     T_JAN10,
     T_JAN11,
 )
@@ -452,4 +453,43 @@ def ts_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(w), 6).alias("roll_sum"),
         F.round(F.avg("value").over(w), 6).alias("roll_avg"),
         F.count(F.lit(1)).over(w).alias("roll_n"),
+    )
+
+
+@op(
+    "ts_linear_trend",
+    oracle=f"""
+WITH {OBS_CTE}
+SELECT path,
+       round(regr_slope(value, CAST(tse - {T_JAN01} AS DOUBLE)), 6) + 0 AS slope,
+       round(regr_intercept(value, CAST(tse - {T_JAN01} AS DOUBLE)), 4) + 0
+         AS intercept,
+       round(regr_r2(value, CAST(tse - {T_JAN01} AS DOUBLE)), 4) + 0 AS r2,
+       count(*) AS n
+FROM obs GROUP BY path
+""",
+)
+def ts_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series OLS trend line (slope / intercept / R²) — the capacity-
+    planning primitive ("when does this link saturate") layered on the
+    same closed-form regression aggregates as `term_zipf_slope`.
+
+    The time axis is centered on the fixture epoch start so intercepts
+    stay in value range (raw epoch seconds would put x≈1.7e9 and make
+    the intercept a catastrophic-cancellation trap).  One partial-
+    aggregated shuffle on path; regr_* are algebraic aggregates, so the
+    map-side combine works exactly like sum/count at 100 TB."""
+    obs = _obs(spark, sf_dir)
+    x = (F.col("tse") - T_JAN01).cast("double")
+    return (
+        obs.select("path", "value", x.alias("x"))
+        .groupBy("path")
+        .agg(
+            # + 0.0 normalizes IEEE negative zero (-0.0 vs 0.0 would
+            # string-diverge in the driver's comparator) — same on both sides
+            (F.round(F.expr("regr_slope(value, x)"), 6) + 0.0).alias("slope"),
+            (F.round(F.expr("regr_intercept(value, x)"), 4) + 0.0).alias("intercept"),
+            (F.round(F.expr("regr_r2(value, x)"), 4) + 0.0).alias("r2"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )
