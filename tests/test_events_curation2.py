@@ -166,3 +166,86 @@ def test_replay_dedup_matches_single_ingest(spark):
         .collect()
     }
     assert out == direct
+
+
+def test_batch_ann_matches_single_query_for_vec0(spark):
+    # query vec 0 is in the batch (0 % 97 != 3 -> actually 3 % 97 == 3);
+    # instead check internal consistency: each qid has exactly top-5,
+    # ranks 1..5, cos non-increasing
+    rows = Q["sim_search_batch"](spark, SF_SMOKE).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    assert by_q
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        cs = [r.cos for r in rs]
+        assert all(a >= b for a, b in zip(cs, cs[1:]))
+        assert all(r.vec_id != qid for r in rs)
+
+
+def test_minhash_estimate_bounds(spark):
+    rows = Q["minhash_jaccard_estimate"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert 0.0 < r.exact_jaccard <= 1.0  # candidates share >= 1 shingle
+        # abs_err rounds the unrounded difference; recomputing from the
+        # independently-rounded columns can differ by one rounding unit
+        assert abs(r.abs_err - abs(r.est_jaccard - r.exact_jaccard)) < 2e-6
+        assert r.doc_a < r.doc_b
+
+
+def test_nearest_asof_never_farther_than_backward(spark):
+    near = {
+        r.purchase_id: r.near_gap
+        for r in Q["asof_join_nearest"](spark, SF_SMOKE).collect()
+        if r.near_gap is not None
+    }
+    back = {
+        r.purchase_id: r.purchase_tse - r.click_tse
+        for r in Q["asof_join"](spark, SF_SMOKE).collect()
+        if r.click_tse is not None
+    }
+    assert near and back
+    for pid, bgap in back.items():
+        assert near[pid] <= bgap  # nearest can only improve on backward-only
+
+
+def test_rfm_segments_partition_customers(spark):
+    rows = Q["customer_rfm"](spark, SF_SMOKE).collect()
+    n_cust = (
+        register_views(spark, SF_SMOKE)["orders"]
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    assert all(len(r.rfm) == 6 and r.rfm[0] == "R" for r in rows)
+
+
+def test_basket_pairs_canonical_and_bounded(spark):
+    rows = Q["market_basket_pairs"](spark, SF_SMOKE).collect()
+    assert rows
+    n_orders = (
+        register_views(spark, SF_SMOKE)["orders"].select("o_orderkey").count()
+    )
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert 1 <= r.n_orders <= n_orders
+
+
+def test_linear_trend_r2_bounds(spark):
+    rows = Q["ts_linear_trend"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        if r.r2 is not None:
+            assert -1e-9 <= r.r2 <= 1.0 + 1e-9
+        assert r.n >= 1
+
+
+def test_invalid_reason_shares_sum_to_one(spark):
+    rows = Q["ts_rate_invalid_reasons"](spark, SF_SMOKE).collect()
+    assert {r.reason for r in rows} <= {"first", "flagged", "heartbeat", "decrease", "ok"}
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-6
