@@ -123,3 +123,77 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(0).cast("bigint"), F.col("n_frames") - 1, F.lit(FRAME_STEP).cast("bigint"))
         ).alias("frame_idx"),
     )
+
+
+EMB_DIM = 8  # fake embedding width
+
+
+def _embed_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic fake 'embedding': 8 scaled residues of the blob's
+    byte-sum — stands in for a vision encoder.  Emits an Arrow
+    list<double> column (the real multimodal-embedding output shape)."""
+    for pdf in batches:
+        sums = pdf["img"].map(lambda b: sum(b) % 65536)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "emb": sums.map(
+                    lambda s: [((s * (j + 13)) % 1000) / 1000.0 for j in range(EMB_DIM)]
+                ),
+            }
+        )
+
+
+@op(
+    "multimodal_embed",
+    oracle=f"""
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+sums AS (
+  SELECT doc_id, CAST(sum(ascii(ch)) % 65536 AS BIGINT) AS s
+  FROM chars GROUP BY doc_id
+),
+norms AS (
+  SELECT d.source,
+         sqrt(list_sum(list_transform(range(0, {EMB_DIM}),
+              j -> pow(((s.s * (j + 13)) % 1000) / 1000.0, 2)))) AS nrm
+  FROM documents d JOIN sums s ON d.doc_id = s.doc_id
+)
+SELECT source, count(*) AS n, round(avg(nrm), 6) AS avg_emb_norm
+FROM norms GROUP BY source
+""",
+)
+def multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob → embedding through the REAL multimodal plumbing: binary
+    column in, ``mapInPandas`` batch encode out as an Arrow
+    ``array<double>`` column (the schema a vision/audio encoder
+    produces), then JVM-side vector math (norm via higher-order
+    ``aggregate``) and a per-source roll-up.
+
+    The encoder itself is the deterministic byte-residue fake (no image
+    libs in the container — same seam as `multimodal_decode`), so the
+    oracle can recompute the whole pipeline in SQL: equality proves the
+    Arrow list transfer and the downstream JVM fold, not just scalars.
+    At scale the Python stage is batch-bounded and the vector never
+    leaves the executor until the 20-row aggregate."""
+    from esxsnmp_tsdb_spark.session import fan_out
+
+    docs = register_views(spark, sf_dir)["documents"]
+    blobs = fan_out(docs.select("doc_id", F.encode("text", "utf-8").alias("img")))
+    embedded = blobs.mapInPandas(
+        _embed_batch, schema="doc_id bigint, emb array<double>"
+    )
+    nrm = F.sqrt(
+        F.aggregate(F.col("emb"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    src = docs.select("doc_id", "source")
+    return (
+        embedded.join(src, "doc_id")
+        .select("source", nrm.alias("nrm"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("nrm"), 6).alias("avg_emb_norm"),
+        )
+    )
