@@ -160,12 +160,12 @@ pairs AS (
 )"""
 
 
-def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of MINHASH_PAIRS_SQL's `pairs` CTE."""
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, band) MinHash signatures — Spark twin of the `sigs` CTE."""
     docs2 = _docs_with_near_copies(_t(spark, sf_dir)["documents"])
     sh = _shingled(docs2)
     bands = spark.range(N_BANDS).select(F.col("id").cast("int").alias("band"))
-    sigs = (
+    return (
         sh.crossJoin(F.broadcast(bands))
         .select(
             "doc_id",
@@ -175,6 +175,10 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "band")
         .agg(F.min("bh").alias("sig"))
     )
+
+
+def _pairs_from_sigs(sigs: DataFrame) -> DataFrame:
+    """Candidate pairs from a signature table (band-bucket equi-join)."""
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (
@@ -187,6 +191,11 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of MINHASH_PAIRS_SQL's `pairs` CTE."""
+    return _pairs_from_sigs(_minhash_sigs(spark, sf_dir))
 
 
 @op(
@@ -504,21 +513,16 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus square never materializes, signatures are 32-byte strings,
     and the exact intersection is the shingle equi-join restricted to
     candidates — the same shapes the dedup ops already proved at scale.
-    Both ratios are small-denominator rationals rounded on both sides."""
+    Both ratios are small-denominator rationals rounded on both sides.
+
+    The signature table feeds FOUR join sides (pair generation a/b,
+    band-compare a/b), so it is localCheckpoint-ed: one shingle+min
+    computation instead of four lineage replays — at corpus scale sigs
+    is |docs|×{N_BANDS} short rows, cheap to materialize."""
     docs2 = _docs_with_near_copies(_t(spark, sf_dir)["documents"])
     sh = _shingled(docs2)
-    bands = spark.range(N_BANDS).select(F.col("id").cast("int").alias("band"))
-    sigs = (
-        sh.crossJoin(F.broadcast(bands))
-        .select(
-            "doc_id",
-            "band",
-            F.md5(F.concat_ws(":", F.col("band"), F.col("shingle"))).alias("bh"),
-        )
-        .groupBy("doc_id", "band")
-        .agg(F.min("bh").alias("sig"))
-    )
-    pairs = _minhash_pairs(spark, sf_dir)
+    sigs = _minhash_sigs(spark, sf_dir).localCheckpoint()
+    pairs = _pairs_from_sigs(sigs)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"), F.col("band").alias("band_a"),
         F.col("sig").alias("sig_a"),
