@@ -412,7 +412,11 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
         .distinct()
     )
-    edges = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # The edge list feeds every iteration (×2 sides) — localCheckpoint so
+    # the chunk-hash expansion runs once, not once per lineage replay.
+    edges = pairs.union(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     base = deg.agg(
         F.round(1.0 / F.count(F.lit(1)), 9).alias("pr_init"),
