@@ -225,3 +225,56 @@ def event_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "prev_type", "next_type")
         .limit(20)
     )
+
+
+@op(
+    "cumulative_distinct_users",
+    oracle="""
+WITH ev AS (
+  SELECT event_type, user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+),
+firsts AS (
+  SELECT event_type, user_id, min(day) AS first_day
+  FROM ev GROUP BY event_type, user_id
+),
+per_day AS (
+  SELECT event_type, first_day AS day, count(*) AS n_new
+  FROM firsts GROUP BY event_type, first_day
+)
+SELECT event_type, day, n_new,
+       CAST(sum(n_new) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_users
+FROM per_day
+""",
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per event type by day — computed as
+    FIRST-TOUCH counts + a running integer sum, NOT a windowed
+    ``COUNT(DISTINCT)``.
+
+    The naive windowed-distinct formulation keeps every seen user id in
+    per-frame state (O(users) per row — a scale-killer, and Spark has no
+    exact windowed distinct anyway).  First-touch reduction makes it two
+    cheap shuffles: min(day) per (type, user), then a per-type running
+    sum over at most |days| rows.  Integer math end to end, so no float
+    discipline is even needed."""
+    ev = _t(spark, sf_dir)["events"].select(
+        "event_type",
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+    )
+    firsts = ev.groupBy("event_type", "user_id").agg(F.min("day").alias("first_day"))
+    per_day = firsts.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_new"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_day.select(
+        "event_type", "day", "n_new", F.sum("n_new").over(w).alias("cum_users")
+    )

@@ -163,3 +163,46 @@ def storage_retention_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("path").alias("n_paths"),
         )
     )
+
+
+@op(
+    "storage_compaction_integrity",
+    oracle=f"""
+WITH {OBS_CTE}
+SELECT CAST(floor(tse / 86400) AS BIGINT) AS day_num,
+       count(*) AS n, round(sum(value), 6) AS sum_value
+FROM obs GROUP BY CAST(floor(tse / 86400) AS BIGINT)
+""",
+)
+def storage_compaction_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction, proven loss-free: the obs stream is written
+    FRAGMENTED (8 files per day partition — the poller-append pathology),
+    compacted with ``sources.compaction.compact`` (per-day rewrite toward
+    target file size, dynamic partition overwrite), and read back.  The
+    oracle aggregates the source directly — equality proves compaction
+    changed the file layout and nothing else.
+
+    At 100 TB compaction is the nightly job that keeps row-group skipping
+    effective; it runs per-day (`replaceWhere`-style) so it never
+    conflicts with ingest on other days."""
+    import os
+
+    from esxsnmp_tsdb_spark.sources.compaction import compact, with_day
+
+    out = tempfile.mkdtemp(prefix="obs_compact_")
+    (
+        with_day(_obs(spark, sf_dir))
+        .repartition(8)  # deliberately fragmented: ~8 files per partition
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(out)
+    )
+    compact(spark, out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy(F.floor(F.col("tse") / 86400).cast("bigint").alias("day_num"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
