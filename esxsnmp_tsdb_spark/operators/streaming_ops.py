@@ -441,3 +441,42 @@ def stream_ladder_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vmax",
         "n",
     )
+
+
+@op(
+    "stream_first_touch",
+    oracle="""
+WITH ev AS (
+  SELECT event_type, user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+),
+firsts AS (
+  SELECT event_type, user_id, min(day) AS first_day
+  FROM ev GROUP BY event_type, user_id
+)
+SELECT event_type, first_day AS day, count(*) AS n_new
+FROM firsts GROUP BY event_type, first_day
+""",
+)
+def stream_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `cumulative_distinct_users`'s first-touch stage:
+    per-(type, user) first-seen day maintained as STREAMING STATE (a
+    stateful min aggregate — order-free, so micro-batch arrival order
+    can't corrupt it, unlike a dropDuplicates formulation), then the
+    per-day new-user roll-up finishes batch-side on the sink table
+    (Structured Streaming allows one stateful aggregation per query).
+
+    The batch oracle computes the same min + count directly — equality
+    proves the streaming state converges to the batch answer regardless
+    of how the replay was micro-batched."""
+    ev = events_stream(spark, sf_dir).select(
+        "event_type",
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+    )
+    firsts = ev.groupBy("event_type", "user_id").agg(F.min("day").alias("first_day"))
+    out = run_to_memory(firsts, "complete", spark)
+    return out.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_new"))
