@@ -151,3 +151,34 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x), 4
         ).alias("sq_sum"),
     )
+
+
+@op(
+    "scalar_bitwise_funcs",
+    oracle="""
+SELECT event_id,
+       event_id & 255 AS low_byte,
+       event_id | 4096 AS set_bit,
+       xor(event_id, 1365) AS xored,
+       CAST(event_id << 3 AS BIGINT) AS shifted_l,
+       CAST(event_id >> 2 AS BIGINT) AS shifted_r,
+       CAST(bit_count(event_id) AS BIGINT) AS popcount
+FROM events WHERE event_id % 37 = 0
+""",
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function family parity (and/or/xor/shifts/popcount) — the
+    bit-packing toolkit the SimHash/LSH ops build on, checked as scalars
+    in their own right.  Spark's shiftleft/shiftright/bit_count line up
+    with DuckDB's operators once popcount is cast (DuckDB TINYINT vs
+    Spark int) — all map-side codegen."""
+    ev = _t(spark, sf_dir)["events"].filter(F.col("event_id") % 37 == 0)
+    return ev.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(255).alias("low_byte"),
+        F.col("event_id").bitwiseOR(4096).alias("set_bit"),
+        F.col("event_id").bitwiseXOR(1365).alias("xored"),
+        F.shiftleft(F.col("event_id"), 3).cast("bigint").alias("shifted_l"),
+        F.shiftright(F.col("event_id"), 2).cast("bigint").alias("shifted_r"),
+        F.bit_count("event_id").cast("bigint").alias("popcount"),
+    )
