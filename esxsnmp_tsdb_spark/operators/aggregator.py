@@ -163,7 +163,7 @@ FROM d
 def ts_counter_wrap64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True Counter64 wrap at 2⁶⁴ (``tsdb/row.py`` Counter64 †), exercised
     at ORACLE level — not just the unit test: counter values are lifted
-    into 2⁶⁴ range (×1e12) so real wraps occur at test scale, the modulus
+    into 2⁶⁴ range (×_C64_SCALE = 3e14) so real wraps occur at test scale, the modulus
     and wrap correction run in DecimalType(38,0) end to end (no double
     round-trip — a 2⁶⁴-adjacent value is not representable in float64),
     and the oracle does the same math in DuckDB HUGEINT.  The delta is

@@ -6,14 +6,11 @@ partitioned parquet write and a parameterized SQL template.
 
 from __future__ import annotations
 
-import os
-import shutil
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from esxsnmp_tsdb_spark.functions import tsdb
+from esxsnmp_tsdb_spark.operators._workdirs import op_dir
 from esxsnmp_tsdb_spark.operators._shared import (
     BUCKET,
     OBS_CTE,
@@ -24,8 +21,6 @@ from esxsnmp_tsdb_spark.operators._shared import (
 )
 from esxsnmp_tsdb_spark.registry import op
 from esxsnmp_tsdb_spark.sources import load_events_range, register_views
-
-INGEST_ROOT = os.environ.get("SPARK_GRAFT_INGEST_DIR", "/tmp/esxsnmp_tsdb_ingest")
 
 
 @op("ingest_batch_append")
@@ -42,39 +37,22 @@ def ingest_batch_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sources.compaction``).
     """
     obs = tsdb.obs_from_events(register_views(spark, sf_dir)["events"])
-    target = tempfile.mkdtemp(prefix="append_", dir=_ensure_root())
-    try:
-        (
-            obs.withColumn("day", F.to_date(F.timestamp_seconds(F.col("tse"))))
-            .repartition("day")
-            .sortWithinPartitions("path", "tse")
-            .write.mode("append")
-            .partitionBy("day")
-            .parquet(target)
-        )
-        back = spark.read.parquet(target)
-        return (
-            back.groupBy("day")
-            .agg(F.count(F.lit(1)).alias("n_rows"))
-            .select(F.col("day").cast("string").alias("day"), "n_rows")
-            .orderBy("day")
-        )
-    finally:
-        # Materialize before cleanup: the driver collects after we return,
-        # so defer deletion to the next call instead of deleting now.
-        _gc_old(target)
-
-
-def _ensure_root() -> str:
-    os.makedirs(INGEST_ROOT, exist_ok=True)
-    return INGEST_ROOT
-
-
-def _gc_old(keep: str) -> None:
-    for d in os.listdir(INGEST_ROOT):
-        full = os.path.join(INGEST_ROOT, d)
-        if full != keep and d.startswith("append_"):
-            shutil.rmtree(full, ignore_errors=True)
+    target = op_dir("append")  # cleared on next call / at process exit
+    (
+        obs.withColumn("day", F.to_date(F.timestamp_seconds(F.col("tse"))))
+        .repartition("day")
+        .sortWithinPartitions("path", "tse")
+        .write.mode("append")
+        .partitionBy("day")
+        .parquet(target)
+    )
+    back = spark.read.parquet(target)
+    return (
+        back.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.col("day").cast("string").alias("day"), "n_rows")
+        .orderBy("day")
+    )
 
 
 _LWW_SQL = """
@@ -217,9 +195,10 @@ def ingest_replay_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = tsdb.obs_from_events(
         load_events_range(spark, sf_dir, T_JAN10, T_JAN15_NOON)
     )
-    # NOTE: the temp dir must outlive this function — the returned
-    # DataFrame is lazy and reads these files when the caller executes it.
-    target = tempfile.mkdtemp(prefix="replay_", dir=_ensure_root())
+    # The dir must outlive this function (the returned DataFrame is lazy
+    # and reads these files when the caller executes it) — op_dir defers
+    # clearing to the next call and removes everything at process exit.
+    target = op_dir("replay")
     for _ in range(2):  # the retry: same batch, appended twice
         obs.write.mode("append").parquet(target)
     back = spark.read.parquet(target)

@@ -16,7 +16,7 @@ survive the layout)."""
 
 from __future__ import annotations
 
-import tempfile
+from esxsnmp_tsdb_spark.operators._workdirs import op_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -59,7 +59,7 @@ FROM obs GROUP BY split_part(path, '/', 2)
 
 
 def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
-    out = tempfile.mkdtemp(prefix=f"obs_{fmt}_")
+    out = op_dir(f"obs_{fmt}")
     write_obs_as(_obs(spark, sf_dir), fmt, out)
     return _roundtrip_agg(read_obs(spark, fmt, out))
 
@@ -108,7 +108,7 @@ def storage_day_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     selective.  Oracle equality proves the layout loses nothing and the
     day-boundary arithmetic (UTC epoch-day) matches the second-level
     range exactly."""
-    out = tempfile.mkdtemp(prefix="obs_daypart_")
+    out = op_dir("obs_daypart")
     write_obs(_obs(spark, sf_dir), out, mode="overwrite")
     back = spark.read.parquet(out)
     return (
@@ -149,7 +149,7 @@ def storage_retention_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     from datetime import datetime, timezone
 
-    out = tempfile.mkdtemp(prefix="obs_retention_")
+    out = op_dir("obs_retention")
     write_obs(_obs(spark, sf_dir), out, mode="overwrite")
     cutoff_day = datetime.fromtimestamp(T_JAN10, timezone.utc).strftime("%Y-%m-%d")
     for d in os.listdir(out):
@@ -189,7 +189,7 @@ def storage_compaction_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from esxsnmp_tsdb_spark.sources.compaction import compact, with_day
 
-    out = tempfile.mkdtemp(prefix="obs_compact_")
+    out = op_dir("obs_compact")
     (
         with_day(_obs(spark, sf_dir))
         .repartition(8)  # deliberately fragmented: ~8 files per partition

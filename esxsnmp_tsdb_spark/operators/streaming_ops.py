@@ -413,14 +413,13 @@ def stream_ladder_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partials are algebraic, so micro-batch boundaries can't change the
     result).  At 100 TB this is the property that lets the 1h ladder stay
     current without ever re-reading historical raws."""
-    import tempfile
-
+    from esxsnmp_tsdb_spark.operators._workdirs import op_dir
     from esxsnmp_tsdb_spark.streaming.maintenance import (
         maintain_levels,
         read_level,
     )
 
-    out = tempfile.mkdtemp(prefix="ladder_op_")
+    out = op_dir("ladder_op")
     ev = events_stream(spark, sf_dir)
     obs = ev.select(
         F.concat_ws("/", "user_id", "event_type").alias("path"),

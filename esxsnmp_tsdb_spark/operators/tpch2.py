@@ -65,7 +65,7 @@ partsupp AS (
 LINEITEM_EXT_CTE = """li_ext AS (
   SELECT *,
          list_extract(['MAIL','SHIP','AIR','TRUCK','RAIL','FOB','REG AIR'],
-                      CAST((l_orderkey * 7 + l_linenumber) % 7 + 1 AS INTEGER))
+                      CAST((l_orderkey * 11 + l_linenumber) % 7 + 1 AS INTEGER))
            AS l_shipmode,
          l_shipdate + INTERVAL 1 DAY * ((l_orderkey + l_linenumber * 7) % 45)
            AS l_commitdate,
@@ -109,7 +109,9 @@ def _partsupp(t) -> DataFrame:
 def _lineitem_ext(t) -> DataFrame:
     """lineitem + derived shipmode/commitdate/receiptdate (map-side)."""
     li = t["lineitem"]
-    idx = F.pmod(F.col("l_orderkey") * 7 + F.col("l_linenumber"), F.lit(7))
+    # Multiplier must be coprime to 7 — `* 7` would algebraically reduce to
+    # `l_linenumber % 7`, erasing the orderkey contribution from the hash.
+    idx = F.pmod(F.col("l_orderkey") * 11 + F.col("l_linenumber"), F.lit(7))
     return (
         li.withColumn(
             "l_shipmode",

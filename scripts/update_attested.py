@@ -3,7 +3,7 @@
 CORRECTNESS_r*.json files.
 
 The driver attests only the first 50 entries of ``queries()`` per round, so
-``registry.py`` orders not-yet-attested ops first (``_R01_ATTESTED``).  Run
+``registry.py`` orders not-yet-attested ops first (``_ATTESTED``).  Run
 this at the start of each round to fold the latest round's attested keys in:
 
     python scripts/update_attested.py          # prints the union + diff
@@ -57,7 +57,7 @@ def main() -> int:
     registry.load_all()
     known = set(registry.QUERIES)
     attested &= known  # ignore keys renamed/removed since attestation
-    current = set(registry._R01_ATTESTED)
+    current = set(registry._ATTESTED)
     new = attested - current
     print(f"union: {len(attested)} of {len(known)} registered ops attested")
     print(f"newly attested since the set in registry.py: {len(new)}")
@@ -71,8 +71,8 @@ def main() -> int:
         for chunk in [sorted(attested)[i : i + 4] for i in range(0, len(attested), 4)]
     )
     src = open(REG).read()
-    pat = re.compile(r"_R01_ATTESTED = frozenset\(\s*\{.*?\}\s*\)", re.S)
-    repl = "_R01_ATTESTED = frozenset(\n    {\n" + lines + ",\n    }\n)"
+    pat = re.compile(r"_ATTESTED = frozenset\(\s*\{.*?\}\s*\)", re.S)
+    repl = "_ATTESTED = frozenset(\n    {\n" + lines + ",\n    }\n)"
     new_src, n = pat.subn(repl, src)
     assert n == 1, "could not locate the attested-set literal"
     open(REG, "w").write(new_src)

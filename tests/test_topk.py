@@ -69,13 +69,14 @@ def test_bounded_running_no_single_partition_exchange(spark):
 
 def test_attestation_ordering_unattested_first():
     """The driver attests the first 50 queries() entries per round; every
-    op without a CORRECTNESS_r01 row must sort before every op with one."""
-    from esxsnmp_tsdb_spark.registry import _R01_ATTESTED
+    op without a driver CORRECTNESS row must sort before every op with
+    one."""
+    from esxsnmp_tsdb_spark.registry import _ATTESTED
 
     keys = list(registry.queries())
     seen_attested = False
     for k in keys:
-        if k in _R01_ATTESTED:
+        if k in _ATTESTED:
             seen_attested = True
         else:
             assert not seen_attested, (
