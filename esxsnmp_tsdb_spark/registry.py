@@ -76,6 +76,7 @@ _OPERATOR_MODULES = (
     "esxsnmp_tsdb_spark.operators.aggregator",
     "esxsnmp_tsdb_spark.operators.analytics",
     "esxsnmp_tsdb_spark.operators.analytics2",
+    "esxsnmp_tsdb_spark.operators.analytics3",
     "esxsnmp_tsdb_spark.operators.relational",
     "esxsnmp_tsdb_spark.operators.relational2",
     "esxsnmp_tsdb_spark.operators.scalar",
