@@ -90,6 +90,7 @@ _OPERATOR_MODULES = (
     "esxsnmp_tsdb_spark.operators.events2",
     "esxsnmp_tsdb_spark.operators.similarity",
     "esxsnmp_tsdb_spark.operators.text",
+    "esxsnmp_tsdb_spark.operators.text2",
     "esxsnmp_tsdb_spark.operators.multimodal",
     "esxsnmp_tsdb_spark.operators.ingest",
     "esxsnmp_tsdb_spark.operators.storage",
