@@ -86,9 +86,14 @@ def load_events_range(
             & (F.col("ts") < end * 1_000_000_000)
         ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:  # already proper timestamps (non-nanos source)
-        df = df.filter(
-            (F.unix_timestamp("ts") >= begin) & (F.unix_timestamp("ts") < end)
-        )
+        # Compare against foldable timestamp literals (NOT unix_timestamp(ts),
+        # which wraps the column and kills pushdown): floor-epoch(ts) >= b
+        # ⇔ ts >= b exactly for integral b, so the scan still shows
+        # PushedFilters on ts and skips row groups by min/max.
+        ts_type = dict(df.dtypes)["ts"]
+        lo = F.timestamp_seconds(F.lit(begin)).cast(ts_type)
+        hi = F.timestamp_seconds(F.lit(end)).cast(ts_type)
+        df = df.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
     return df
 
 

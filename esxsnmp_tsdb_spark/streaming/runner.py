@@ -24,17 +24,17 @@ from esxsnmp_tsdb_spark.session import tune
 
 _SINK_IDS = itertools.count()
 
-# Raw schema of events.parquet under nanosAsLong (ts arrives as nano longs).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# The streaming file source needs an explicit schema; take it from a batch
+# read of the same file so the stream always matches the fixture's actual
+# physical types (TIMESTAMP(NANOS)-as-long under the legacy flag in older
+# fixture generations, native timestamp[us] in current ones).
+_RAW_SCHEMA_CACHE: dict[str, T.StructType] = {}
+
+
+def _raw_schema(spark: SparkSession, path: str) -> T.StructType:
+    if path not in _RAW_SCHEMA_CACHE:
+        _RAW_SCHEMA_CACHE[path] = spark.read.parquet(path).schema
+    return _RAW_SCHEMA_CACHE[path]
 
 
 def _stream_dir(sf_dir: str, table: str) -> str:
@@ -54,11 +54,15 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming twin of ``sources.catalog.load_table('events')``."""
     tune(spark)
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_raw_schema(spark, f"{sf_dir}/events.parquet"))
         .option("maxFilesPerTrigger", 1)
         .parquet(_stream_dir(sf_dir, "events"))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(raw.dtypes)["ts"] == "bigint":  # legacy nanos-as-long fixture
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:  # native parquet timestamp (ntz) — event-time ops need TimestampType
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def run_to_memory(
