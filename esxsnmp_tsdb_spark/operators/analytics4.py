@@ -1,0 +1,266 @@
+"""§2.2-adjacent TSDB analytics, batch 4 (EXT): seasonal-trend
+decomposition, robust (MAD) anomaly detection, capacity-exhaustion
+forecasting, and a seasonal-naive forecast with holdout error.
+
+Contract discipline as in ``analytics2/3``: the shared 1h slot-average
+series is rounded at 6 before anything else sees it, every derived stage
+rounds before the next stage consumes it (chain rounding — the two
+engines agree on each intermediate, so no ulp drift can compound), and
+discrete decisions (anomaly flags, ceil of an ETA) are taken on already-
+rounded values only.
+
+Scale posture: every op is one shuffle on `path` (plus one bounded
+hour-of-day re-shuffle in the STL seasonal step); all windows are
+bounded ROWS frames or per-path aggregates with map-side combine.  The
+MAD op's exact medians are per-path ``percentile``/``quantile_cont``
+aggregates — at 100 TB you'd swap in t-digest sketches per path, which
+is a one-line change because the median is already an aggregate, not a
+sort."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from esxsnmp_tsdb_spark.functions import tsdb
+from esxsnmp_tsdb_spark.operators._shared import BUCKET, OBS_CTE, T_JAN10, T_JAN20
+from esxsnmp_tsdb_spark.registry import op
+from esxsnmp_tsdb_spark.sources import register_views
+
+STL_HALF = 12  # centered trend MA: 11 preceding + current + 12 following
+MAD_K = 1.4826  # normal-consistency constant for MAD→σ
+MAD_CUT = 3.0  # |x-med| > 3σ̂ = anomaly
+CAP_THRESH = 120.0  # capacity forecast: slot-average "full" line
+CAP_ETA_MAX = 999999  # ETA cap (hours) so near-zero slopes stay finite
+T_JAN19 = T_JAN20 - 86400  # holdout day for the seasonal-naive forecast
+
+# 1h slot averages over Jan-10..Jan-20, rounded at 6 — the shared base.
+_SLOT_CTE = f"""slotavg AS (
+  SELECT path, tse - tse % {BUCKET} AS slot,
+         round(avg(value), 6) AS x
+  FROM obs WHERE tse >= {T_JAN10} AND tse < {T_JAN20}
+  GROUP BY 1, 2
+)"""
+
+
+def _obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tsdb.obs_from_events(register_views(spark, sf_dir)["events"])
+
+
+def _slot_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _obs(spark, sf_dir)
+        .filter((F.col("tse") >= T_JAN10) & (F.col("tse") < T_JAN20))
+        .groupBy("path", tsdb.slot_of(F.col("tse"), BUCKET).alias("slot"))
+        .agg(F.round(F.avg("value"), 6).alias("x"))
+    )
+
+
+@op(
+    "ts_stl_decompose",
+    oracle=f"""
+WITH {OBS_CTE}, {_SLOT_CTE},
+tr AS (
+  SELECT path, slot, x,
+         round(avg(x) OVER (PARTITION BY path ORDER BY slot
+                            ROWS BETWEEN {STL_HALF - 1} PRECEDING
+                                     AND {STL_HALF} FOLLOWING), 6) AS trend
+  FROM slotavg
+),
+se AS (
+  SELECT path, slot, x, trend,
+         round(avg(x - trend) OVER (
+           PARTITION BY path, CAST((slot % 86400) // 3600 AS INTEGER)), 6) + 0
+           AS seasonal
+  FROM tr
+)
+SELECT path, slot, x, trend, seasonal,
+       round(x - trend - seasonal, 6) + 0 AS resid
+FROM se
+""",
+)
+def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal-trend decomposition (moving-average STL): trend =
+    centered 24h moving average of the 1h series; seasonal = mean
+    detrended value per (series, hour-of-day); residual = the rest — the
+    classic first look at any periodic telemetry series.
+
+    Chain rounding: the trend is rounded before the seasonal step and the
+    seasonal before the residual, so each stage's cross-engine agreement
+    is exact by construction.  Plan: one shuffle on path for the trend
+    frame, one on (path, hour-of-day) for the seasonal mean — the second
+    key is a 24-way refinement of the first, and both aggregates are
+    algebraic (map-side combined) at any scale."""
+    s = _slot_series(spark, sf_dir)
+    wt = (
+        Window.partitionBy("path")
+        .orderBy("slot")
+        .rowsBetween(-(STL_HALF - 1), STL_HALF)
+    )
+    tr = s.withColumn("trend", F.round(F.avg("x").over(wt), 6))
+    hod = F.expr("CAST((slot % 86400) div 3600 AS INT)")
+    ws = Window.partitionBy("path", hod)
+    se = tr.withColumn(
+        "seasonal",
+        # + 0.0 normalizes IEEE negative zero (house rule — the driver
+        # comparator is string-level)
+        F.round(F.avg(F.col("x") - F.col("trend")).over(ws), 6) + 0.0,
+    )
+    return se.select(
+        "path",
+        "slot",
+        "x",
+        "trend",
+        "seasonal",
+        (F.round(F.col("x") - F.col("trend") - F.col("seasonal"), 6) + 0.0).alias(
+            "resid"
+        ),
+    )
+
+
+@op(
+    "ts_anomaly_mad",
+    oracle=f"""
+WITH {OBS_CTE}, {_SLOT_CTE},
+med AS (
+  SELECT path, round(quantile_cont(x, 0.5), 6) AS med FROM slotavg GROUP BY path
+),
+dev AS (
+  SELECT s.path, s.slot, s.x, m.med,
+         round(abs(s.x - m.med), 6) AS dev
+  FROM slotavg s JOIN med m ON s.path = m.path
+),
+mad AS (
+  SELECT path, round(quantile_cont(dev, 0.5), 6) AS mad FROM dev GROUP BY path
+)
+SELECT d.path, d.slot, d.x, d.med,
+       round(d.dev / ({MAD_K} * m.mad), 6) AS score
+FROM dev d JOIN mad m ON d.path = m.path
+WHERE m.mad > 0 AND round(d.dev / ({MAD_K} * m.mad), 6) > {MAD_CUT}
+""",
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: score = |x − median| / (1.4826·MAD) — the
+    outlier test that, unlike z-scores (`ts_anomaly_zscore`), is not
+    itself corrupted by the outliers it hunts.
+
+    Two per-path exact medians (value, then absolute deviation), each an
+    algebraic-style aggregate with a broadcast join back onto the rows;
+    flags compare only rounded values.  Path cardinality is the series
+    catalog (small vs the data), so both joins broadcast at any scale."""
+    s = _slot_series(spark, sf_dir)
+    med = s.groupBy("path").agg(
+        F.round(F.expr("percentile(x, 0.5)"), 6).alias("med")
+    )
+    dev = (
+        s.join(F.broadcast(med), "path")
+        .withColumn("dev", F.round(F.abs(F.col("x") - F.col("med")), 6))
+    )
+    mad = dev.groupBy("path").agg(
+        F.round(F.expr("percentile(dev, 0.5)"), 6).alias("mad")
+    )
+    score = F.round(F.col("dev") / (MAD_K * F.col("mad")), 6)
+    return (
+        dev.join(F.broadcast(mad), "path")
+        .filter((F.col("mad") > 0) & (score > MAD_CUT))
+        .select("path", "slot", "x", "med", score.alias("score"))
+    )
+
+
+@op(
+    "ts_capacity_forecast",
+    oracle=f"""
+WITH {OBS_CTE}, {_SLOT_CTE},
+fit AS (
+  SELECT path,
+         round(regr_slope(x, CAST((slot - {T_JAN10}) // 3600 AS DOUBLE)), 6) + 0
+           AS slope,
+         round(regr_intercept(x, CAST((slot - {T_JAN10}) // 3600 AS DOUBLE)), 4) + 0
+           AS intercept,
+         CAST(max((slot - {T_JAN10}) // 3600) AS DOUBLE) AS t_last
+  FROM slotavg GROUP BY path
+),
+cur AS (
+  SELECT path, slope, round(intercept + slope * t_last, 4) AS current
+  FROM fit WHERE slope > 0
+)
+SELECT path, slope, current,
+       CAST(least(CASE WHEN current >= {CAP_THRESH} THEN 0
+                       ELSE ceil(({CAP_THRESH} - current) / slope) END,
+                  {CAP_ETA_MAX}) AS BIGINT) AS eta_hours
+FROM cur
+""",
+)
+def ts_capacity_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-exhaustion ETA: fit the per-series hourly OLS trend, then
+    project hours until the slot average crosses the "full" threshold —
+    the 'when does this link saturate' report, built on the same regr_*
+    closed forms as `ts_linear_trend`.
+
+    The ceil/compare chain runs on already-rounded slope/current values
+    (identical doubles cross-engine), and near-zero slopes are capped so
+    the ETA stays a finite bigint.  One algebraic aggregate per path —
+    the whole fit is a map-side-combined groupBy at any scale."""
+    s = _slot_series(spark, sf_dir)
+    t = F.expr(f"CAST((slot - {T_JAN10}) div 3600 AS DOUBLE)")
+    fit = (
+        s.select("path", "x", t.alias("t"))
+        .groupBy("path")
+        .agg(
+            (F.round(F.expr("regr_slope(x, t)"), 6) + 0.0).alias("slope"),
+            (F.round(F.expr("regr_intercept(x, t)"), 4) + 0.0).alias("intercept"),
+            F.max("t").alias("t_last"),
+        )
+        .filter(F.col("slope") > 0)
+        .withColumn(
+            "current",
+            F.round(F.col("intercept") + F.col("slope") * F.col("t_last"), 4),
+        )
+    )
+    eta = F.when(F.col("current") >= CAP_THRESH, F.lit(0.0)).otherwise(
+        F.ceil((F.lit(CAP_THRESH) - F.col("current")) / F.col("slope"))
+    )
+    return fit.select(
+        "path",
+        "slope",
+        "current",
+        F.least(eta.cast("bigint"), F.lit(CAP_ETA_MAX)).alias("eta_hours"),
+    )
+
+
+@op(
+    "ts_forecast_seasonal_naive",
+    oracle=f"""
+WITH {OBS_CTE}, {_SLOT_CTE},
+test AS (SELECT * FROM slotavg WHERE slot >= {T_JAN19}),
+fc AS (
+  SELECT t.path, t.slot, t.x, b.x AS xf
+  FROM test t JOIN slotavg b
+    ON b.path = t.path AND b.slot = t.slot - 86400
+)
+SELECT path, count(*) AS n_test,
+       round(avg(abs(x - xf)), 6) AS mae,
+       round(avg(x - xf), 6) AS bias
+FROM fc GROUP BY path
+""",
+)
+def ts_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluated on a holdout day: predict each
+    final-day 1h slot with the value 24h earlier, then report per-series
+    MAE and bias — the baseline every fancier forecaster must beat.
+
+    The forecast is an equi-join on (path, slot−86400): both sides hash
+    the same path key, so the join rides the slot series' existing
+    partitioning; gaps in either day simply drop out (inner join), which
+    is the correct scoring rule for a forecast with no value to compare."""
+    s = _slot_series(spark, sf_dir)
+    test = s.filter(F.col("slot") >= T_JAN19)
+    base = s.select(
+        "path", (F.col("slot") + 86400).alias("slot"), F.col("x").alias("xf")
+    )
+    fc = test.join(base, ["path", "slot"])
+    return fc.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.round(F.avg(F.abs(F.col("x") - F.col("xf"))), 6).alias("mae"),
+        F.round(F.avg(F.col("x") - F.col("xf")), 6).alias("bias"),
+    )

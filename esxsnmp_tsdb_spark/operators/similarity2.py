@@ -1,0 +1,265 @@
+"""§2.5 similarity search, batch 2 (EXT): product-quantization ADC
+search, cosine radius (range) search, and a recall@k evaluation of the
+LSH index against the exact baseline.
+
+Same determinism discipline as ``similarity.py``: codebooks are drawn
+from the corpus itself by a closed-form rule (``vec_id % 25 = 0``, the
+IVF centroid trick), distances are left-to-right fold sums identical in
+both engines, ties break on vec_id / code id, and every reported float
+is rounded on both sides.
+
+Scale posture:
+
+* ``vector_pq_adc`` — the codebook is O(M·K) and broadcast; encoding is
+  a map-only pass (N·K·M fold evaluations, K and M constants); ADC
+  lookup joins the (tiny) per-query distance table against the code
+  column.  At 100 TB the codes are 4 bytes/vector stored at ingest —
+  the scan reads codes, not vectors, which is the whole point of PQ.
+* ``sim_search_range`` — map-only score + filter; no top-k tail at all,
+  output size is data-dependent (the radius), not corpus-sized.
+* ``ann_recall_eval`` — joins two k-row results; everything after the
+  two searches touches 2k rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from esxsnmp_tsdb_spark.functions.topk import ranked_topk
+from esxsnmp_tsdb_spark.functions.vector import cosine, norm
+from esxsnmp_tsdb_spark.operators.similarity import (
+    DOT_SQL,
+    QUERY_VEC_ID,
+    TOP_K,
+    _dbl,
+    _lsh_oracle,
+    sim_search_ann_lsh,
+    sim_search_topk,
+)
+from esxsnmp_tsdb_spark.registry import op
+from esxsnmp_tsdb_spark.sources import register_views
+
+PQ_M = 8  # subspaces (64-dim fixture → 8 dims each)
+PQ_SUB = 8  # dims per subspace
+RANGE_TAU = 0.35  # cosine radius (fixture-tuned: selective but non-empty)
+
+# Σᵢ (a[off+i] − b[off+i])² over one subspace, i = 1..PQ_SUB (1-based).
+# Written as (x−y)*(x−y) — NOT pow(x−y, 2) — so both engines evaluate the
+# identical multiply and the fold stays bit-deterministic.
+_SUB_L2_SQL = f"""list_sum(list_transform(range(1, {PQ_SUB} + 1),
+    i -> (CAST({{a}}[{{off}} + i] AS DOUBLE) - CAST({{b}}[{{off}} + i] AS DOUBLE)) *
+         (CAST({{a}}[{{off}} + i] AS DOUBLE) - CAST({{b}}[{{off}} + i] AS DOUBLE))))"""
+
+
+def _sub_l2(a, b, m):
+    """Spark twin of ``_SUB_L2_SQL``: fold over element_at with the same
+    1-based offsets and the same left-to-right order."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(PQ_SUB)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + (
+            F.element_at(a, m * PQ_SUB + i).cast("double")
+            - F.element_at(b, m * PQ_SUB + i).cast("double")
+        )
+        * (
+            F.element_at(a, m * PQ_SUB + i).cast("double")
+            - F.element_at(b, m * PQ_SUB + i).cast("double")
+        ),
+    )
+
+
+def _t(spark: SparkSession, sf_dir: str):
+    return register_views(spark, sf_dir)
+
+
+_NORM_SQL = """list_transform({v}, x -> CAST(x AS DOUBLE) /
+    sqrt(list_sum(list_transform({v}, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))"""
+
+
+@op(
+    "vector_pq_adc",
+    oracle=f"""
+WITH en AS (  -- unit-normalized corpus: sub-L2² then ranks like cosine
+  SELECT vec_id, label, {_NORM_SQL.format(v='embedding')} AS nv FROM embeddings
+),
+cb AS (SELECT vec_id AS cid, nv AS cv FROM en WHERE vec_id % 25 = 0),
+ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+enc AS (  -- per (vector, subspace): nearest code
+  SELECT vec_id, label, m, cid AS code FROM (
+    SELECT e.vec_id, e.label, ms.m, cb.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id, ms.m
+             ORDER BY {_SUB_L2_SQL.format(a='e.nv', b='cb.cv', off='ms.m * ' + str(PQ_SUB))},
+                      cb.cid) AS rn
+    FROM en e CROSS JOIN ms CROSS JOIN cb
+  ) WHERE rn = 1
+),
+qd AS (  -- ADC table: query subvector ↔ every code, per subspace
+  SELECT ms.m, cb.cid,
+         {_SUB_L2_SQL.format(a='q.nv', b='cb.cv', off='ms.m * ' + str(PQ_SUB))} AS d2
+  FROM (SELECT nv FROM en WHERE vec_id = {QUERY_VEC_ID}) q
+  CROSS JOIN ms CROSS JOIN cb
+),
+adc AS (
+  SELECT enc.vec_id, enc.label, SUM(qd.d2) AS dist
+  FROM enc JOIN qd ON enc.m = qd.m AND enc.code = qd.cid
+  WHERE enc.vec_id != {QUERY_VEC_ID}
+  GROUP BY enc.vec_id, enc.label
+)
+SELECT vec_id, label, round(dist, 6) AS adc, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY dist, vec_id) AS rank FROM adc
+) WHERE rank <= {TOP_K}
+""",
+)
+def vector_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization search with asymmetric distance computation.
+
+    Index side: each vector is encoded as M=8 code ids — per subspace,
+    the nearest codebook entry by sub-L2 (codebook = every 25th corpus
+    vector, the same closed-form rule as the IVF centroids).  Query
+    side: one M×K distance table between the query's subvectors and the
+    codebook; a vector's approximate distance is the sum of M table
+    lookups on its codes (never a full-dim computation per vector at
+    query time).
+
+    Vectors are unit-normalized before encoding, so sub-L2² sums rank
+    exactly like cosine (‖a−b‖² = 2−2cos on the unit sphere) and the op
+    approximates the same metric as `sim_search_topk`.
+
+    Plan: codebook and query table are broadcast (O(M·K) rows); encoding
+    is a map-only argmin via ``min_by`` over a broadcast-joined
+    (vector × subspace × code) stream, so the corpus is never shuffled;
+    the final top-k is ``TakeOrderedAndProject``.  At 100 TB the enc
+    step runs once at ingest and persists 4 small ints per vector."""
+    e = _t(spark, sf_dir)["embeddings"]
+    nrm = norm(_dbl(F.col("embedding")))
+    en = e.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double") / nrm).alias(
+            "nv"
+        ),
+    )
+    cb = en.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
+    )
+    ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+    # Encode: nearest code per (vector, subspace).  min_by on the
+    # (dist, cid) struct == the oracle's row_number ORDER BY dist, cid.
+    enc = (
+        en.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(ms))
+        .crossJoin(F.broadcast(cb))
+        .withColumn("d2", _sub_l2(F.col("nv"), F.col("cv"), F.col("m")))
+        .groupBy("vec_id", "label", "m")
+        .agg(F.min_by("cid", F.struct(F.col("d2"), F.col("cid"))).alias("code"))
+    )
+    q = en.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("nv").alias("qv"))
+    qd = (
+        q.crossJoin(F.broadcast(ms.select(F.col("m").alias("qm"))))
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "qm",
+            F.col("cid").alias("qcid"),
+            _sub_l2(F.col("qv"), F.col("cv"), F.col("qm")).alias("d2"),
+        )
+    )
+    adc = (
+        enc.join(
+            F.broadcast(qd),
+            (F.col("m") == F.col("qm")) & (F.col("code") == F.col("qcid")),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum("d2").alias("dist"))
+    )
+    return ranked_topk(adc, TOP_K, [F.col("dist"), F.col("vec_id")]).select(
+        "vec_id", "label", F.round("dist", 6).alias("adc"), "rank"
+    )
+
+
+@op(
+    "sim_search_range",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv, len(embedding) AS d FROM embeddings
+           WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, label, round(cos, 6) AS cos FROM (
+  SELECT e.vec_id, e.label,
+         {DOT_SQL.format(d='q.d', a='e.embedding', b='q.qv')} /
+         (sqrt({DOT_SQL.format(d='q.d', a='e.embedding', b='e.embedding')}) *
+          sqrt({DOT_SQL.format(d='q.d', a='q.qv', b='q.qv')})) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != {QUERY_VEC_ID}
+) WHERE cos >= {RANGE_TAU}
+""",
+)
+def sim_search_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search: every vector within cosine ≥ τ of the query
+    — the 'find all near-duplicates of X' primitive, vs top-k's 'find the
+    k nearest'.
+
+    Map-only: broadcast 1-row query, score in codegen, filter.  No
+    ranking tail of any kind — the result is as parallel as the scan, so
+    this is the cheapest similarity op at any scale (and the kernel the
+    LSH/IVF-pruned variants run per bucket)."""
+    e = _t(spark, sf_dir)["embeddings"]
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos_raw", cosine(_dbl(F.col("embedding")), _dbl(F.col("qv"))))
+        .filter(F.col("cos_raw") >= RANGE_TAU)
+        .select("vec_id", "label", F.round("cos_raw", 6).alias("cos"))
+    )
+
+
+_EXACT_TOPK_CTE = f"""
+exact AS (
+  SELECT vec_id FROM (
+    SELECT e.vec_id,
+           row_number() OVER (ORDER BY
+             {DOT_SQL.format(d='q.d', a='e.embedding', b='q.qv')} /
+             (sqrt({DOT_SQL.format(d='q.d', a='e.embedding', b='e.embedding')}) *
+              sqrt({DOT_SQL.format(d='q.d', a='q.qv', b='q.qv')})) DESC, e.vec_id)
+             AS rank
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding AS qv, len(embedding) AS d FROM embeddings
+                WHERE vec_id = {QUERY_VEC_ID}) q
+    WHERE e.vec_id != {QUERY_VEC_ID}
+  ) WHERE rank <= {TOP_K}
+)"""
+
+
+@op(
+    "ann_recall_eval",
+    oracle=f"""
+WITH {_EXACT_TOPK_CTE},
+ann AS (
+  SELECT vec_id FROM ({_lsh_oracle("b.bucket = q.qbucket")})
+)
+SELECT {TOP_K} AS k,
+       (SELECT count(*) FROM ann) AS n_ann,
+       (SELECT count(*) FROM exact JOIN ann USING (vec_id)) AS hits,
+       round((SELECT count(*) FROM exact JOIN ann USING (vec_id)) * 1.0
+             / {TOP_K}, 6) AS recall
+""",
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the single-probe LSH index against the exact
+    brute-force baseline — the evaluation loop every ANN deployment
+    needs before trusting an index.
+
+    Both searches end at k rows, so the comparison join touches 2k rows
+    regardless of corpus size; the measurement costs exactly one exact
+    search + one ANN search."""
+    exact = sim_search_topk(spark, sf_dir).select("vec_id")
+    ann = sim_search_ann_lsh(spark, sf_dir).select("vec_id")
+    hits = exact.join(ann, "vec_id").count()
+    n_ann = ann.count()
+    return spark.createDataFrame(
+        [(TOP_K, n_ann, hits, round(hits / TOP_K, 6))],
+        "k int, n_ann bigint, hits bigint, recall double",
+    )

@@ -77,6 +77,7 @@ _OPERATOR_MODULES = (
     "esxsnmp_tsdb_spark.operators.analytics",
     "esxsnmp_tsdb_spark.operators.analytics2",
     "esxsnmp_tsdb_spark.operators.analytics3",
+    "esxsnmp_tsdb_spark.operators.analytics4",
     "esxsnmp_tsdb_spark.operators.relational",
     "esxsnmp_tsdb_spark.operators.relational2",
     "esxsnmp_tsdb_spark.operators.scalar",
@@ -89,8 +90,10 @@ _OPERATOR_MODULES = (
     "esxsnmp_tsdb_spark.operators.events_analytics",
     "esxsnmp_tsdb_spark.operators.events2",
     "esxsnmp_tsdb_spark.operators.similarity",
+    "esxsnmp_tsdb_spark.operators.similarity2",
     "esxsnmp_tsdb_spark.operators.text",
     "esxsnmp_tsdb_spark.operators.text2",
+    "esxsnmp_tsdb_spark.operators.text3",
     "esxsnmp_tsdb_spark.operators.multimodal",
     "esxsnmp_tsdb_spark.operators.ingest",
     "esxsnmp_tsdb_spark.operators.storage",
