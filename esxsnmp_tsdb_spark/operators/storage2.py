@@ -1,0 +1,231 @@
+"""Storage-layer ops, batch 2 (§3/§4 surface): bucketed co-located
+joins, z-order (Morton) clustering, and schema evolution — the three
+layout techniques a 100 TB deployment leans on hardest, each proven
+through the same write → read-back → DuckDB-oracle gate as
+``storage.py`` (the oracle aggregates the fixture directly; equality
+proves the layout changed the PHYSICS, not the values).
+
+* ``storage_bucketed_join`` — both fact tables are written
+  ``bucketBy(8, key).sortBy(key)``; the join then consumes the bucket
+  layout instead of shuffling either side.  tests/test_storage2.py
+  asserts the physical plan has a SortMergeJoin with NO Exchange on
+  either side — at 100 TB that is the difference between a join that
+  moves 100 TB over the network and one that moves nothing.
+* ``storage_zorder_scan`` — obs rows are ordered by the interleaved
+  bits (Morton code) of the series-hash and the time slot, so files are
+  simultaneously tight in BOTH dimensions and a (path-range × time-
+  range) predicate prunes by row-group min/max on either axis.  The
+  z-value is layout-only — it never appears in the result, so the
+  engine-specific hash inside it needs no oracle twin.
+* ``storage_schema_evolution`` — day partitions written before the
+  schema change lack the new column; ``mergeSchema`` reads the union
+  schema with NULLs backfilled, which is exactly how a long-lived
+  ladder store absorbs a new quality/flags column without rewriting
+  history.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from esxsnmp_tsdb_spark.functions import tsdb
+from esxsnmp_tsdb_spark.operators._shared import (
+    OBS_CTE,
+    T_JAN10,
+    T_JAN15_NOON,
+    T_JAN20,
+)
+from esxsnmp_tsdb_spark.operators._workdirs import op_dir
+from esxsnmp_tsdb_spark.registry import op
+from esxsnmp_tsdb_spark.sources import register_views
+
+N_BUCKETS = 8
+ZBITS = 8  # Morton bits per dimension
+
+
+def _obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tsdb.obs_from_events(register_views(spark, sf_dir)["events"])
+
+
+def _bucketed_table(
+    spark: SparkSession, df: DataFrame, name: str, key: str
+) -> DataFrame:
+    """(Re)create an external bucketed+sorted parquet table and return it.
+
+    The table lives in the op's scratch dir (never the warehouse), so the
+    driver's vanilla session leaves nothing in cwd; DROP+overwrite makes
+    repeated bench/driver invocations idempotent."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        df.write.format("parquet")
+        .option("path", os.path.join(op_dir(name), "t"))
+        .bucketBy(N_BUCKETS, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    return spark.table(name)
+
+
+@op(
+    "storage_bucketed_join",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def storage_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-fact join via bucketing: lineitem and orders are
+    both stored ``bucketBy(8, orderkey).sortBy(orderkey)``, so the sort-
+    merge join consumes the files' bucket layout directly — zero Exchange
+    in the plan (asserted in tests/test_storage2.py).
+
+    The ``merge`` hint pins SMJ (locally AQE would broadcast the small
+    side, hiding the property under test); at 100 TB neither side
+    broadcasts and the pre-bucketed layout IS the join strategy.  This is
+    the batch analog of the obs store's hash(path) bucket axis
+    (SURVEY.md §4)."""
+    t = register_views(spark, sf_dir)
+    li = _bucketed_table(
+        spark,
+        t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount"),
+        "bkt_lineitem",
+        "l_orderkey",
+    )
+    od = _bucketed_table(
+        spark,
+        t["orders"].select("o_orderkey", "o_orderpriority"),
+        "bkt_orders",
+        "o_orderkey",
+    )
+    return (
+        li.hint("merge")
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+def _morton(a, b):
+    """Interleave the low ZBITS bits of two int columns (a even lanes,
+    b odd) — pure bitwise codegen, no UDF."""
+    z = F.lit(0).cast("bigint")
+    for i in range(ZBITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+@op(
+    "storage_zorder_scan",
+    oracle=f"""
+WITH {OBS_CTE}
+SELECT path, count(*) AS n, round(sum(value), 6) AS sum_value,
+       min(tse) AS first_tse, max(tse) AS last_tse
+FROM obs
+WHERE path >= '3/' AND path < '6/' AND tse >= {T_JAN10} AND tse < {T_JAN20}
+GROUP BY path
+""",
+)
+def storage_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-clustered obs store: rows are range-partitioned and sorted
+    by the Morton interleave of (series-hash, hour slot), then a
+    two-dimensional predicate (path range × time range) is answered from
+    the read-back.
+
+    Interleaved ordering keeps every file tight in BOTH dimensions, so
+    parquet row-group min/max prunes on either axis — the standard cure
+    when range scans come keyed by path sometimes and by time other
+    times, and a single-key sort would only serve one of them.  The
+    z-value is engine-local layout (Spark's hash feeds it) and never
+    escapes: the oracle checks the VALUES straight off the fixture."""
+    out = op_dir("zorder_obs")
+    obs = _obs(spark, sf_dir)
+    zed = obs.withColumn(
+        "zval",
+        _morton(
+            F.pmod(F.hash("path"), F.lit(1 << ZBITS)).cast("bigint"),
+            F.pmod((F.col("tse") / 3600).cast("bigint"), F.lit(1 << ZBITS)),
+        ),
+    )
+    (
+        zed.repartitionByRange(8, "zval")
+        .sortWithinPartitions("zval")
+        .drop("zval")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.filter(
+            (F.col("path") >= "3/")
+            & (F.col("path") < "6/")
+            & (F.col("tse") >= T_JAN10)
+            & (F.col("tse") < T_JAN20)
+        )
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.min("tse").alias("first_tse"),
+            F.max("tse").alias("last_tse"),
+        )
+    )
+
+
+@op(
+    "storage_schema_evolution",
+    oracle=f"""
+WITH {OBS_CTE}
+SELECT split_part(path, '/', 2) AS event_type,
+       count(*) AS n,
+       count(CASE WHEN tse >= {T_JAN15_NOON} THEN 1 END) AS n_quality,
+       CAST(sum(CASE WHEN tse >= {T_JAN15_NOON} THEN flags END) AS BIGINT)
+         AS sum_quality
+FROM obs GROUP BY split_part(path, '/', 2)
+""",
+)
+def storage_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across partition generations: history written as
+    (path, tse, value), newer data with an added ``quality`` column;
+    ``mergeSchema`` reads the union schema and backfills NULLs for the
+    old files — no rewrite of history, which at 100 TB is the only
+    affordable way to add a column.
+
+    The aggregate proves both generations surface in one scan with the
+    new column NULL exactly where it predates the change."""
+    out = op_dir("schema_evo")
+    obs = _obs(spark, sf_dir)
+    old = obs.filter(F.col("tse") < T_JAN15_NOON).select("path", "tse", "value")
+    new = obs.filter(F.col("tse") >= T_JAN15_NOON).select(
+        "path", "tse", "value", F.col("flags").alias("quality")
+    )
+    old.write.mode("overwrite").parquet(os.path.join(out, "gen=1"))
+    new.write.mode("overwrite").parquet(os.path.join(out, "gen=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "gen=1"), os.path.join(out, "gen=2")
+    )
+    return (
+        back.select(
+            F.split("path", "/").getItem(1).alias("event_type"), "quality"
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("quality").alias("n_quality"),
+            F.sum("quality").alias("sum_quality"),
+        )
+    )

@@ -1,0 +1,54 @@
+"""Layout-level proofs for the storage batch-2 ops: the oracle gate
+shows the values survive; these tests show the LAYOUT does what the
+docstrings claim (no exchange under the bucketed join, dimensionally
+tight z-ordered files, union schema with NULL backfill)."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from esxsnmp_tsdb_spark.operators import storage2
+from tests.conftest import SF_SMOKE
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    df = storage2.storage_bucketed_join(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    # the join consumes the bucket layout: nothing shuffles under it
+    join_part = plan[plan.index("SortMergeJoin") :]
+    assert "Exchange" not in join_part
+
+
+def test_zorder_files_are_tight_in_both_dims(spark):
+    import glob
+    import os
+
+    storage2.storage_zorder_scan(spark, SF_SMOKE).collect()
+    from esxsnmp_tsdb_spark.operators._workdirs import op_dir
+
+    out = op_dir("zorder_obs", fresh=False)
+    files = sorted(glob.glob(os.path.join(out, "*.parquet")))
+    assert len(files) > 1
+    spans = []
+    g_min, g_max = None, None
+    for f in files:
+        t = pq.read_table(f, columns=["tse"])
+        lo, hi = t["tse"][0].as_py(), t["tse"][0].as_py()
+        col = t["tse"].to_pylist()
+        lo, hi = min(col), max(col)
+        spans.append(hi - lo)
+        g_min = lo if g_min is None else min(g_min, lo)
+        g_max = hi if g_max is None else max(g_max, hi)
+    # every z-ordered file covers a strictly smaller time span than the
+    # dataset: time-range predicates can skip files
+    assert all(s < (g_max - g_min) for s in spans)
+
+
+def test_schema_evolution_backfills_nulls(spark):
+    df = storage2.storage_schema_evolution(spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.n_quality < r.n  # old generation really is NULL
