@@ -1,0 +1,178 @@
+"""§2.6 streaming surface, batch 2 (EXT): windowed top-k talkers and a
+stateful online z-score anomaly detector.
+
+Same batch-twin discipline as ``streaming_ops.py``: each op runs a real
+``readStream`` micro-batch pipeline to completion and the DuckDB oracle
+recomputes the identical semantics from the batch fixture — equality
+proves the streaming formulation converges to the batch answer.
+
+Determinism note for the z-score op: values are lifted to integer cents
+(the ``floor(value*100)`` house trick), so the running sums the state
+carries are EXACT integers and the mean/variance every row sees are
+identical doubles in the pandas state path and the oracle's cumulative
+window — no float-accumulation-order drift between engines."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+from esxsnmp_tsdb_spark.registry import op
+from esxsnmp_tsdb_spark.streaming import events_stream, run_to_memory
+
+TOPK_WINDOW_SEC = 6 * 3600
+TOPK_K = 3
+Z_CUT = 3.0  # |z| above this = anomaly
+Z_MIN_PRIOR = 10  # need this many prior samples before judging
+
+
+@op(
+    "stream_topk_talkers",
+    oracle=f"""
+WITH agg AS (
+  SELECT concat_ws('/', user_id, event_type) AS path,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(ts)) AS BIGINT) % {TOPK_WINDOW_SEC} AS slot,
+         count(*) AS n, round(sum(value), 6) AS total
+  FROM events GROUP BY 1, 2
+)
+SELECT slot, path, n, total, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY slot
+                               ORDER BY total DESC, path) AS rank
+  FROM agg
+) WHERE rank <= {TOPK_K}
+""",
+)
+def stream_topk_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k talkers per tumbling window — the live 'who is
+    hammering the network right now' board (`ts_top_talkers` as a
+    stream).
+
+    The stream side does only the windowed aggregate (state = one row
+    per live (window, path) — bounded by the window retention, never the
+    event volume); ranking runs on the materialized window set, where
+    each window holds at most the path catalog, so the rank window is
+    per-slot and bounded.  At 100 TB the same split holds: aggregate in
+    the stream, rank in the (tiny) serving layer."""
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy(
+        F.window("ts", f"{TOPK_WINDOW_SEC} seconds"),
+        F.concat_ws("/", "user_id", "event_type").alias("path"),
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_raw"))
+    out = run_to_memory(agg, "complete", spark)
+    scored = out.select(
+        F.unix_timestamp(F.col("window.start")).alias("slot"),
+        "path",
+        "n",
+        F.round("total_raw", 6).alias("total"),
+    )
+    w = Window.partitionBy("slot").orderBy(F.col("total").desc(), F.col("path"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK_K)
+        .select("slot", "path", "n", "total", "rank")
+    )
+
+
+def _zscore_fn(key, pdfs, state):
+    """Per-series online z-score: state carries exact integer (n, Σc, Σc²)
+    over all prior samples; each row is scored against the statistics of
+    the rows BEFORE it (its own value joins the state afterwards).
+
+    Vectorized: prefix sums via cumsum + shift splice the carried state
+    in as the prefix of the batch — no per-row Python loop."""
+    (path,) = key
+    n0, s0, q0 = state.get if state.exists else (0, 0, 0)
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["tse", "event_id"])
+        c = pdf["cents"].astype("int64")
+        n_prior = n0 + pd.RangeIndex(len(pdf))
+        s_prior = (c.cumsum().shift(fill_value=0) + s0).astype("int64")
+        q_prior = ((c * c).cumsum().shift(fill_value=0) + q0).astype("int64")
+        n0 = int(n0 + len(pdf))
+        s0 = int(s0 + int(c.sum()))
+        q0 = int(q0 + int((c * c).sum()))
+        nf = pd.Series(n_prior, index=c.index).astype("float64")
+        mean = s_prior / nf
+        var = q_prior / nf - mean * mean
+        ok = (pd.Series(n_prior, index=c.index) >= Z_MIN_PRIOR) & (var > 0)
+        z = ((c - mean) / (var**0.5)).round(6)
+        hit = ok & (z.abs() > Z_CUT)
+        if hit.any():
+            yield pd.DataFrame(
+                {
+                    "path": path,
+                    "tse": pdf.loc[hit, "tse"].astype("int64"),
+                    "event_id": pdf.loc[hit, "event_id"].astype("int64"),
+                    "cents": c[hit],
+                    "z": z[hit],
+                }
+            )
+    state.update((n0, s0, q0))
+
+
+@op(
+    "stream_anomaly_zscore",
+    oracle=f"""
+WITH c AS (
+  SELECT concat_ws('/', user_id, event_type) AS path,
+         CAST(floor(epoch(ts)) AS BIGINT) AS tse,
+         event_id,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+pre AS (
+  SELECT path, tse, event_id, cents,
+         count(*) OVER w AS n_prior,
+         CAST(sum(cents) OVER w AS BIGINT) AS s_prior,
+         CAST(sum(cents * cents) OVER w AS BIGINT) AS q_prior
+  FROM c
+  WINDOW w AS (PARTITION BY path ORDER BY tse, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT path, tse, event_id, cents,
+         round((cents - CAST(s_prior AS DOUBLE) / n_prior) /
+               sqrt(CAST(q_prior AS DOUBLE) / n_prior
+                    - (CAST(s_prior AS DOUBLE) / n_prior)
+                      * (CAST(s_prior AS DOUBLE) / n_prior)), 6) AS z
+  FROM pre
+  WHERE n_prior >= {Z_MIN_PRIOR}
+    AND CAST(q_prior AS DOUBLE) / n_prior
+        - (CAST(s_prior AS DOUBLE) / n_prior)
+          * (CAST(s_prior AS DOUBLE) / n_prior) > 0
+)
+SELECT path, tse, event_id, cents, z FROM scored WHERE abs(z) > {Z_CUT}
+""",
+)
+def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful online anomaly detection: each sample is z-scored against
+    the running mean/variance of every EARLIER sample of its series, with
+    the (n, Σ, Σ²) moments carried in the state store — the streaming
+    twin of `ts_anomaly_zscore`'s batch statistics, evaluated causally
+    (no peeking at the future, unlike a batch z-score).
+
+    The moments are exact integers (cents lift), so the state is 24
+    bytes/series forever and the scores match the oracle's cumulative-
+    window formulation bit-for-bit.  The pandas path is fully vectorized
+    (cumsum + shift, state spliced in as the prefix)."""
+    ev = events_stream(spark, sf_dir)
+    obs = ev.select(
+        F.concat_ws("/", "user_id", "event_type").alias("path"),
+        F.unix_timestamp("ts").alias("tse"),
+        "event_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    result = obs.groupBy("path").applyInPandasWithState(
+        _zscore_fn,
+        outputStructType="path string, tse bigint, event_id bigint, "
+        "cents bigint, z double",
+        stateStructType="n bigint, s bigint, q bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(result, "append", spark)

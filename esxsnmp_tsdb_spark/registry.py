@@ -99,6 +99,7 @@ _OPERATOR_MODULES = (
     "esxsnmp_tsdb_spark.operators.storage",
     "esxsnmp_tsdb_spark.operators.storage2",
     "esxsnmp_tsdb_spark.operators.streaming_ops",
+    "esxsnmp_tsdb_spark.operators.streaming_ops2",
 )
 
 _loaded = False
