@@ -123,3 +123,29 @@ def test_ann_recall_bounds(spark):
     r = similarity2.ann_recall_eval(spark, SF_SMOKE).first()
     assert 0.0 <= r.recall <= 1.0
     assert r.hits <= r.k
+
+
+def test_band_sensitivity_monotone(spark):
+    from esxsnmp_tsdb_spark.operators import curation4
+
+    rows = sorted(
+        curation4.minhash_band_sensitivity(spark, SF_SMOKE).collect(),
+        key=lambda r: r.n_bands,
+    )
+    cands = [r.n_candidates for r in rows]
+    recalls = [r.recall for r in rows]
+    assert cands == sorted(cands)  # more bands -> more candidates
+    assert recalls == sorted(recalls)  # ... and at least as much recall
+    assert rows[-1].recall > 0.9  # 8 bands catch nearly all near-dups
+
+
+def test_threshold_sweep_monotone(spark):
+    from esxsnmp_tsdb_spark.operators import curation4
+
+    rows = sorted(
+        curation4.dedup_threshold_sweep(spark, SF_SMOKE).collect(),
+        key=lambda r: r.tau,
+    )
+    pairs = [r.n_pairs for r in rows]
+    assert pairs == sorted(pairs, reverse=True)  # higher tau -> fewer pairs
+    assert pairs[0] > 0
