@@ -264,3 +264,57 @@ def ts_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.abs(F.col("x") - F.col("xf"))), 6).alias("mae"),
         F.round(F.avg(F.col("x") - F.col("xf")), 6).alias("bias"),
     )
+
+
+@op(
+    "ts_rollup_multi_granularity",
+    oracle=f"""
+WITH {OBS_CTE},
+base AS (
+  SELECT CAST(to_timestamp(tse - tse % 86400) AS DATE) AS day,
+         (tse % 86400) // 3600 AS hour, value
+  FROM obs WHERE tse >= {T_JAN10} AND tse < {T_JAN20}
+),
+g AS (
+  SELECT day, hour, GROUPING(day) * 2 + GROUPING(hour) AS lvl,
+         count(*) AS n, round(avg(value), 6) AS avg_value
+  FROM base GROUP BY ROLLUP(day, hour)
+)
+SELECT coalesce(CAST(day AS VARCHAR), 'ALL') AS day,
+       coalesce(CAST(hour AS VARCHAR), 'ALL') AS hour,
+       CAST(lvl AS INT) AS lvl, n, avg_value
+FROM g
+""",
+)
+def ts_rollup_multi_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan, three granularities: per (day, hour), per day, and grand
+    total via ROLLUP — the 'overview dashboard' query that would
+    otherwise run three aggregations over the same 100 TB scan.
+
+    Spark expands the rollup in a single Expand+Aggregate (one shuffle,
+    map-side combined for all three levels at once); the NULL-vs-'ALL'
+    encoding and the grouping-id level tag are normalized identically on
+    both engines so the level rows hash the same."""
+    base = (
+        _obs(spark, sf_dir)
+        .filter((F.col("tse") >= T_JAN10) & (F.col("tse") < T_JAN20))
+        .select(
+            F.to_date(
+                F.timestamp_seconds(F.col("tse") - F.col("tse") % 86400)
+            ).alias("day"),
+            F.expr("(tse % 86400) div 3600").alias("hour"),
+            "value",
+        )
+    )
+    g = base.rollup("day", "hour").agg(
+        (F.grouping("day") * 2 + F.grouping("hour")).cast("int").alias("lvl"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    return g.select(
+        F.coalesce(F.col("day").cast("string"), F.lit("ALL")).alias("day"),
+        F.coalesce(F.col("hour").cast("string"), F.lit("ALL")).alias("hour"),
+        "lvl",
+        "n",
+        "avg_value",
+    )

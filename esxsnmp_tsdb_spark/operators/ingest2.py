@@ -1,0 +1,115 @@
+"""Ingest batch 2 (§2.3 surface): CDC changeset application — the
+general MERGE with deletes that `ts_merge_upsert` (update/insert only)
+doesn't cover.
+
+The changeset is manufactured deterministically from the fixture (every
+17th event is a tombstone, the rest are upserts), identically in both
+engines; application is last-change-wins per (path, slot) followed by a
+full outer join against the base snapshot.
+
+Scale posture: one co-partitioned shuffle on (path, slot) for the
+dedup window and one for the outer join — with the bucketed layout of
+``sources.compaction`` both collapse into the write-time partitioning,
+which is how nightly CDC application over a 100 TB store stays a single
+pass with no driver involvement."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from esxsnmp_tsdb_spark.functions import tsdb
+from esxsnmp_tsdb_spark.operators._shared import (
+    OBS_CTE,
+    STEP,
+    T_JAN10,
+    T_JAN15_NOON,
+    T_JAN20,
+)
+from esxsnmp_tsdb_spark.registry import op
+from esxsnmp_tsdb_spark.sources import register_views
+from esxsnmp_tsdb_spark.sources.catalog import load_events_range
+
+TOMBSTONE_MOD = 17  # every 17th event in the change window is a delete
+
+
+@op(
+    "ingest_cdc_merge",
+    oracle=f"""
+WITH {OBS_CTE},
+base AS (
+  SELECT path, slot, value FROM (
+    SELECT path, tse - tse % {STEP} AS slot, value,
+           row_number() OVER (PARTITION BY path, tse - tse % {STEP}
+                              ORDER BY tse DESC, event_id DESC) AS rn
+    FROM obs WHERE tse < {T_JAN15_NOON}
+  ) WHERE rn = 1
+),
+chg AS (
+  SELECT path, slot, value, op FROM (
+    SELECT path, tse - tse % {STEP} AS slot, value,
+           CASE WHEN event_id % {TOMBSTONE_MOD} = 0 THEN 'D' ELSE 'U' END AS op,
+           row_number() OVER (PARTITION BY path, tse - tse % {STEP}
+                              ORDER BY tse DESC, event_id DESC) AS rn
+    FROM obs WHERE tse >= {T_JAN10} AND tse < {T_JAN20}
+  ) WHERE rn = 1
+)
+SELECT coalesce(c.path, b.path) AS path,
+       coalesce(c.slot, b.slot) AS slot,
+       round(coalesce(c.value, b.value), 6) AS value,
+       CASE WHEN c.path IS NULL THEN 'base'
+            WHEN b.path IS NULL THEN 'insert'
+            ELSE 'update' END AS src
+FROM base b FULL OUTER JOIN chg c ON b.path = c.path AND b.slot = c.slot
+WHERE c.op IS DISTINCT FROM 'D'
+""",
+)
+def ingest_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: a changeset of upserts AND tombstones merged into the
+    base snapshot — WHEN MATCHED AND op='D' DELETE / WHEN MATCHED UPDATE
+    / WHEN NOT MATCHED INSERT, as one window + one full outer join.
+
+    Last-change-wins per (path, slot) resolves intra-batch conflicts
+    before the join (the same LWW discipline as `ts_slot_dedup`), so the
+    merge itself is set-oriented and idempotent — replaying the same
+    changeset yields the same table, the property a recovering CDC
+    consumer needs."""
+    register_views(spark, sf_dir)
+    base = tsdb.slot_dedup(
+        tsdb.obs_from_events(load_events_range(spark, sf_dir, 0, T_JAN15_NOON)),
+        STEP,
+    ).select("path", "slot", F.col("value").alias("b_value"))
+    cobs = tsdb.obs_from_events(
+        load_events_range(spark, sf_dir, T_JAN10, T_JAN20)
+    ).withColumn("slot", F.col("tse") - F.col("tse") % STEP)
+    w = Window.partitionBy("path", "slot").orderBy(
+        F.col("tse").desc(), F.col("event_id").desc()
+    )
+    chg = (
+        cobs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("path").alias("c_path"),
+            F.col("slot").alias("c_slot"),
+            F.col("value").alias("c_value"),
+            F.when(F.col("event_id") % TOMBSTONE_MOD == 0, "D")
+            .otherwise("U")
+            .alias("op"),
+        )
+    )
+    merged = base.join(
+        chg,
+        (F.col("path") == F.col("c_path")) & (F.col("slot") == F.col("c_slot")),
+        "full",
+    )
+    return merged.filter(
+        F.col("op").isNull() | (F.col("op") != "D")
+    ).select(
+        F.coalesce("c_path", "path").alias("path"),
+        F.coalesce("c_slot", "slot").alias("slot"),
+        F.round(F.coalesce("c_value", "b_value"), 6).alias("value"),
+        F.when(F.col("c_path").isNull(), "base")
+        .when(F.col("path").isNull(), "insert")
+        .otherwise("update")
+        .alias("src"),
+    )

@@ -70,7 +70,7 @@ def stream_topk_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("slot").orderBy(F.col("total").desc(), F.col("path"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= TOPK_K)
         .select("slot", "path", "n", "total", "rank")
     )

@@ -81,8 +81,8 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.select(
         "doc_id",
         "source",
-        F.regexp_count(F.col("t"), F.lit(EMAIL_RE)).alias("n_emails"),
-        F.regexp_count(F.col("t"), F.lit(IPV4_RE)).alias("n_ips"),
+        F.regexp_count(F.col("t"), F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(IPV4_RE)).cast("bigint").alias("n_ips"),
         F.length(clean).cast("bigint").alias("clean_len"),
         F.md5(clean).alias("clean_md5"),
     )

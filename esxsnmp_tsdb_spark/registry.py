@@ -97,6 +97,7 @@ _OPERATOR_MODULES = (
     "esxsnmp_tsdb_spark.operators.text3",
     "esxsnmp_tsdb_spark.operators.multimodal",
     "esxsnmp_tsdb_spark.operators.ingest",
+    "esxsnmp_tsdb_spark.operators.ingest2",
     "esxsnmp_tsdb_spark.operators.storage",
     "esxsnmp_tsdb_spark.operators.storage2",
     "esxsnmp_tsdb_spark.operators.streaming_ops",
