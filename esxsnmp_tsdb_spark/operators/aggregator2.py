@@ -1,0 +1,188 @@
+"""§2.2 aggregator surface, batch 2 (EXT): LOCF gap fill, counter-reset
+detection, and batch ladder backfill — the repair/robustness tools
+around the core consolidation ladder.
+
+Same contract discipline as ``aggregator.py``: slot math is integer,
+counters are exact BIGINT cumulative sums, every reported float rounds
+on both sides, and discrete decisions (reset vs wrap) compare integers
+only.
+
+Scale posture: LOCF is one running window over the (path-partitioned)
+spine — O(n) two-pointer frames, no self-join per gap; reset detection
+rides the same single series shuffle as every delta op; the backfill
+writes only the day partitions being repaired (dynamic partition
+overwrite), never touching the rest of the store."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from esxsnmp_tsdb_spark.functions import tsdb
+from esxsnmp_tsdb_spark.operators._shared import (
+    BUCKET,
+    CNT_CTE,
+    OBS_CTE,
+    SYNTH_WRAP,
+    T_JAN10,
+    T_JAN11,
+)
+from esxsnmp_tsdb_spark.registry import op
+from esxsnmp_tsdb_spark.sources import register_views
+
+RESET_SLACK = SYNTH_WRAP // 2  # drop worse than this = reset, not wrap
+
+
+def _obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tsdb.obs_from_events(register_views(spark, sf_dir)["events"])
+
+
+@op(
+    "ts_gap_fill_locf",
+    oracle=f"""
+WITH {OBS_CTE},
+paths AS (SELECT DISTINCT path FROM obs),
+grid AS (
+  SELECT p.path, CAST(g.generate_series AS BIGINT) AS slot
+  FROM paths p, generate_series({T_JAN10}, {T_JAN11 - 1}, {BUCKET}) g
+),
+observed AS (
+  SELECT path, tse - tse % {BUCKET} AS slot,
+         round(avg(value), 6) AS average
+  FROM obs WHERE tse >= {T_JAN10} AND tse < {T_JAN11}
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT g.path, g.slot, o.average
+  FROM grid g LEFT JOIN observed o ON g.path = o.path AND g.slot = o.slot
+)
+SELECT path, slot,
+       last_value(average IGNORE NULLS) OVER (
+         PARTITION BY path ORDER BY slot
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+       average IS NOT NULL AS observed
+FROM spine
+""",
+)
+def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward over the dense slot spine — the
+    step-function gap fill (`ts_interpolate` is the linear variant; LOCF
+    is what a gauge that only reports on change needs).
+
+    One running ``last_value(ignoreNulls)`` frame per series: O(n)
+    two-pointer evaluation over the already-path-partitioned spine, no
+    per-gap self-join.  Slots before a series' first observation stay
+    NULL — LOCF has nothing to carry, and both engines agree."""
+    spine = tsdb.time_spine(_obs(spark, sf_dir), T_JAN10, T_JAN11, BUCKET)
+    w = (
+        Window.partitionBy("path")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    avg = F.when(F.col("valid"), F.round("average", 6))
+    return spine.select(
+        "path",
+        "slot",
+        F.last(avg, ignorenulls=True).over(w).alias("filled"),
+        F.col("valid").alias("observed"),
+    )
+
+
+@op(
+    "ts_counter_reset_detect",
+    oracle=f"""
+WITH {OBS_CTE}, {CNT_CTE},
+wrapped AS (
+  SELECT path, tse, event_id,
+         CASE WHEN event_id % 97 = 0 THEN 0
+              ELSE counter % {SYNTH_WRAP} END AS cw
+  FROM cnt
+),
+d AS (
+  SELECT path, tse, cw, cw - lag(cw) OVER w AS drop
+  FROM wrapped
+  WINDOW w AS (PARTITION BY path ORDER BY tse, event_id)
+)
+SELECT path,
+       count(CASE WHEN drop < 0 AND -drop <= {RESET_SLACK} THEN 1 END)
+         AS n_wraps,
+       count(CASE WHEN drop < 0 AND -drop > {RESET_SLACK} THEN 1 END)
+         AS n_resets,
+       min(CASE WHEN drop < 0 AND -drop > {RESET_SLACK} THEN tse END)
+         AS first_reset_tse
+FROM d GROUP BY path
+""",
+)
+def ts_counter_reset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinguish counter WRAPS from device RESETS (reboot → counter
+    restarts at 0): a negative step smaller than half the modulus is a
+    wrap (rate math corrects it); a larger collapse is a reset whose
+    delta must be discarded, and ops wants them counted per series.
+
+    Resets are staged deterministically (every 97th sample zeroes the
+    counter — the synthetic-fault house trick).  Integer comparisons
+    only; one shuffle on path."""
+    from esxsnmp_tsdb_spark.operators.aggregator import _counter
+
+    cnt = _counter(_obs(spark, sf_dir)).withColumn(
+        "cw",
+        F.when(F.col("event_id") % 97 == 0, F.lit(0)).otherwise(
+            F.col("counter") % SYNTH_WRAP
+        ),
+    )
+    d = cnt.withColumn(
+        "drop", F.col("cw") - F.lag("cw").over(tsdb.series_window())
+    )
+    wrap = (F.col("drop") < 0) & (-F.col("drop") <= RESET_SLACK)
+    reset = (F.col("drop") < 0) & (-F.col("drop") > RESET_SLACK)
+    return d.groupBy("path").agg(
+        F.count(F.when(wrap, 1)).alias("n_wraps"),
+        F.count(F.when(reset, 1)).alias("n_resets"),
+        F.min(F.when(reset, F.col("tse"))).alias("first_reset_tse"),
+    )
+
+
+@op(
+    "ts_ladder_backfill",
+    oracle=f"""
+WITH {OBS_CTE}
+SELECT path, tse - tse % {BUCKET} AS slot,
+       round(sum(value), 6) AS sv, count(*) AS n,
+       min(value) AS mn, max(value) AS mx
+FROM obs
+WHERE tse >= {T_JAN10} AND tse < {T_JAN11}
+GROUP BY 1, 2
+""",
+)
+def ts_ladder_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch repair of one aggregate-ladder level for a day range: the
+    partials for the damaged days are recomputed from raws and written
+    with dynamic partition overwrite — only the repaired day partitions
+    are replaced, the rest of the level is untouched (the O(days-
+    repaired) property that makes backfill affordable on a 100 TB
+    ladder).
+
+    Read-back of the repaired level is the checked result, so equality
+    with the oracle proves the partials survived the partitioned write
+    losslessly."""
+    import os
+
+    from esxsnmp_tsdb_spark.operators._workdirs import op_dir
+    from esxsnmp_tsdb_spark.streaming.maintenance import batch_partials
+
+    out = os.path.join(op_dir("ladder_backfill"), f"level={BUCKET}")
+    obs = _obs(spark, sf_dir).filter(
+        (F.col("tse") >= T_JAN10) & (F.col("tse") < T_JAN11)
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        batch_partials(obs, BUCKET)
+        .repartition("day")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.select(
+        "path", "slot", F.round("sv", 6).alias("sv"), "n", "mn", "mx"
+    )

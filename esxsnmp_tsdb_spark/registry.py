@@ -74,6 +74,7 @@ def _attest_order(keys) -> list[str]:
 _OPERATOR_MODULES = (
     "esxsnmp_tsdb_spark.operators.timeseries",
     "esxsnmp_tsdb_spark.operators.aggregator",
+    "esxsnmp_tsdb_spark.operators.aggregator2",
     "esxsnmp_tsdb_spark.operators.analytics",
     "esxsnmp_tsdb_spark.operators.analytics2",
     "esxsnmp_tsdb_spark.operators.analytics3",
