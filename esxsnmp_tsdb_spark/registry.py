@@ -89,6 +89,7 @@ _OPERATOR_MODULES = (
     "esxsnmp_tsdb_spark.operators.curation2",
     "esxsnmp_tsdb_spark.operators.curation3",
     "esxsnmp_tsdb_spark.operators.curation4",
+    "esxsnmp_tsdb_spark.operators.curation5",
     "esxsnmp_tsdb_spark.operators.events_analytics",
     "esxsnmp_tsdb_spark.operators.events2",
     "esxsnmp_tsdb_spark.operators.similarity",
