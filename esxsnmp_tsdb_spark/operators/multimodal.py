@@ -197,3 +197,56 @@ def multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("nrm"), 6).alias("avg_emb_norm"),
         )
     )
+
+
+TILE = 224  # model input tile edge (pixels)
+
+
+@op(
+    "multimodal_tile_plan",
+    oracle=f"""
+WITH imgs AS (  -- typed metadata derived deterministically from doc_id
+  SELECT doc_id,
+         CAST(640 + (doc_id * 37) % 1281 AS BIGINT) AS width,
+         CAST(480 + (doc_id * 53) % 961 AS BIGINT) AS height
+  FROM documents
+)
+SELECT doc_id, width, height,
+       CAST((width + {TILE} - 1) // {TILE} AS BIGINT) AS tiles_x,
+       CAST((height + {TILE} - 1) // {TILE} AS BIGINT) AS tiles_y,
+       CAST(((width + {TILE} - 1) // {TILE})
+            * ((height + {TILE} - 1) // {TILE}) AS BIGINT) AS n_tiles,
+       round(CAST(width AS DOUBLE) / height, 4) AS aspect
+FROM imgs
+""",
+)
+def multimodal_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preprocessing shard plan for image tiling: per image, how many
+    TILE x TILE crops a vision encoder will consume — the metadata-only
+    pass that sizes the (much more expensive) GPU decode stage and
+    drives its partitioning.
+
+    Pure JVM arithmetic over typed metadata (width/height derived
+    deterministically from doc_id, the multimodal house trick): map-only,
+    no Python, no shuffle — exactly the cost profile a planning pass
+    must have when the blob corpus is 100 TB and only this plan decides
+    how much of it each worker pulls."""
+    docs = register_views(spark, sf_dir)["documents"]
+    imgs = docs.select(
+        "doc_id",
+        (640 + (F.col("doc_id") * 37) % 1281).cast("bigint").alias("width"),
+        (480 + (F.col("doc_id") * 53) % 961).cast("bigint").alias("height"),
+    )
+    tx = F.floor((F.col("width") + TILE - 1) / TILE).cast("bigint")
+    ty = F.floor((F.col("height") + TILE - 1) / TILE).cast("bigint")
+    return imgs.select(
+        "doc_id",
+        "width",
+        "height",
+        tx.alias("tiles_x"),
+        ty.alias("tiles_y"),
+        (tx * ty).alias("n_tiles"),
+        F.round(F.col("width").cast("double") / F.col("height"), 4).alias(
+            "aspect"
+        ),
+    )
