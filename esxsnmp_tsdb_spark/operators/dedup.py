@@ -80,7 +80,7 @@ def _docs_with_near_copies(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").unionAll(mutated)
 
 
-def _shingled(docs2: DataFrame) -> DataFrame:
+def _shingled(docs2: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     """(doc_id, shingle) — distinct k-token shingles, JVM-side explode.
 
     Fan-out first: shingling multiplies rows ~tokens× and feeds md5
@@ -89,15 +89,15 @@ def _shingled(docs2: DataFrame) -> DataFrame:
 
     docs2 = fan_out(docs2)
     toks = F.split(F.col("text"), " ")
-    # Guarded: for docs with < SHINGLE_K tokens, sequence(1, size-k+1)
+    # Guarded: for docs with < k tokens, sequence(1, size-k+1)
     # would DESCEND (start > stop) and slice would throw / diverge from
     # the oracle's empty generate_series — emit no shingles instead,
-    # matching SHINGLE_SQL.
+    # matching shingle_sql(k).
     sh = F.when(
-        F.size(toks) >= SHINGLE_K,
+        F.size(toks) >= k,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (SHINGLE_K - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_K)),
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return docs2.select(
@@ -105,17 +105,22 @@ def _shingled(docs2: DataFrame) -> DataFrame:
     )
 
 
-SHINGLE_SQL = f"""shingled AS (
+def shingle_sql(k: int) -> str:
+    """DuckDB twin of ``_shingled(..., k)``."""
+    return f"""shingled AS (
   SELECT doc_id, shingle FROM (
     SELECT DISTINCT doc_id,
-           array_to_string(list_slice(string_split(text, ' '), i, i + {SHINGLE_K - 1}), ' ')
+           array_to_string(list_slice(string_split(text, ' '), i, i + {k - 1}), ' ')
              AS shingle
     FROM (SELECT doc_id, text,
-                 unnest(generate_series(1, len(string_split(text, ' ')) - {SHINGLE_K - 1}))
+                 unnest(generate_series(1, len(string_split(text, ' ')) - {k - 1}))
                    AS i
           FROM docs2)
   )
 )"""
+
+
+SHINGLE_SQL = shingle_sql(SHINGLE_K)
 
 
 @op(
@@ -356,10 +361,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+JACCARD_K = 6  # w-shingling width for the exact-Jaccard stage
+
+
 @op(
     "dedup_ngram_jaccard",
     oracle=f"""
-WITH {NEAR_CTE}, {SHINGLE_SQL},
+WITH {NEAR_CTE}, {shingle_sql(6)},
 sizes AS (SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
@@ -376,15 +384,20 @@ WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram (3-token shingle) Jaccard over candidate pairs that
-    share at least one shingle — the verification stage that follows LSH
+    """Exact w-shingle (6-token) Jaccard over candidate pairs that share
+    at least one shingle — the verification stage that follows LSH
     candidate generation in a production dedup pipeline.
 
-    The shingle equi-join IS the blocker: only docs sharing a shingle meet,
-    so cost tracks true overlap, not corpus².  Threshold 0.5 keeps the
-    manufactured near-twins and drops incidental vocab overlap."""
+    The shingle equi-join IS the blocker, so its selectivity decides the
+    cost: the shingle width must be wide enough that unrelated documents
+    rarely collide.  On this small-vocabulary corpus 3-token shingles
+    have df≈dozens (the "blocked" join degenerates toward all-pairs);
+    6-token shingles have df≈1 except for true near-duplicates, so
+    candidate volume tracks actual duplication — the same tuning call a
+    production pipeline makes (w-shingling, w≈5-10).  Near-twins still
+    score ≈(n-w)/n ≫ 0.5."""
     docs2 = _docs_with_near_copies(_t(spark, sf_dir)["documents"])
-    sh = _shingled(docs2)
+    sh = _shingled(docs2, JACCARD_K)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
