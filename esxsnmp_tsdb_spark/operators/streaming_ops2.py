@@ -176,3 +176,105 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_memory(result, "append", spark)
+
+
+TOMBSTONE_MOD = 17  # keep in lockstep with operators/ingest2.py
+
+
+@op(
+    "stream_cdc_apply",
+    oracle=f"""
+WITH c AS (
+  SELECT concat_ws('/', user_id, event_type) AS path,
+         CAST(floor(epoch(ts)) AS BIGINT) AS tse,
+         event_id, value,
+         CASE WHEN event_id % {TOMBSTONE_MOD} = 0 THEN 'D' ELSE 'U' END AS op
+  FROM events
+),
+lww AS (
+  SELECT path, slot, value, op FROM (
+    SELECT path, tse - tse % 300 AS slot, value, op,
+           row_number() OVER (PARTITION BY path, tse - tse % 300
+                              ORDER BY tse DESC, event_id DESC) AS rn
+    FROM c
+  ) WHERE rn = 1
+)
+SELECT path, slot, round(value, 6) AS value FROM lww WHERE op = 'U'
+""",
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC consumer: a change feed of upserts and tombstones
+    (every {TOMBSTONE_MOD}th event deletes its slot) applied to a
+    parquet store via ``foreachBatch`` — the live twin of
+    `ingest_cdc_merge`, converging to the same last-change-wins table.
+
+    Each micro-batch is LWW-collapsed, merged against ONLY the day
+    partitions it touches, and written back with dynamic partition
+    overwrite (the ladder-maintenance pattern — historical days are
+    never re-read, which is what keeps a 100 TB store's CDC lag bounded
+    by change volume, not store size).  Tombstones are retained in the
+    store so later micro-batches order correctly against them; the
+    serving read filters them out."""
+    import os
+
+    from esxsnmp_tsdb_spark.operators._workdirs import op_dir
+
+    out = op_dir("stream_cdc_store")
+    store = os.path.join(out, "t")
+    ev = events_stream(spark, sf_dir)
+    chg = ev.select(
+        F.concat_ws("/", "user_id", "event_type").alias("path"),
+        F.unix_timestamp("ts").alias("tse"),
+        "event_id",
+        "value",
+        F.when(F.col("event_id") % TOMBSTONE_MOD == 0, "D")
+        .otherwise("U")
+        .alias("op"),
+    ).withColumn("slot", F.col("tse") - F.col("tse") % 300)
+
+    def apply_batch(bdf, epoch_id):
+        s = bdf.sparkSession
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        w = Window.partitionBy("path", "slot").orderBy(
+            F.col("tse").desc(), F.col("event_id").desc()
+        )
+        cols = ["path", "slot", "tse", "event_id", "value", "op"]
+        inc = (
+            bdf.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(*cols)
+            .withColumn("day", F.to_date(F.timestamp_seconds(F.col("slot"))))
+        )
+        if os.path.exists(store):
+            days = [r.day for r in inc.select("day").distinct().collect()]
+            existing = s.read.parquet(store).filter(F.col("day").isin(days))
+            merged = (
+                existing.unionByName(inc)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+        else:
+            merged = inc
+        (
+            merged.repartition("day")
+            .write.mode("overwrite" if os.path.exists(store) else "append")
+            .partitionBy("day")
+            .parquet(store)
+        )
+
+    import tempfile
+
+    q = (
+        chg.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="cdc_ckpt_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(store)
+    return back.filter(F.col("op") == "U").select(
+        "path", "slot", F.round("value", 6).alias("value")
+    )
