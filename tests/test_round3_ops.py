@@ -149,3 +149,32 @@ def test_threshold_sweep_monotone(spark):
     pairs = [r.n_pairs for r in rows]
     assert pairs == sorted(pairs, reverse=True)  # higher tau -> fewer pairs
     assert pairs[0] > 0
+
+
+def test_cdc_merge_key_uniqueness_and_sources(spark):
+    from esxsnmp_tsdb_spark.operators import ingest2
+
+    df = ingest2.ingest_cdc_merge(spark, SF_SMOKE).cache()
+    total = df.count()
+    assert df.select("path", "slot").distinct().count() == total
+    srcs = {r.src for r in df.select("src").distinct().collect()}
+    assert srcs <= {"base", "insert", "update"}
+    assert "update" in srcs  # overlap window guarantees updates exist
+
+
+def test_locf_fill_carries_only_backward(spark):
+    from esxsnmp_tsdb_spark.operators import aggregator2
+
+    df = aggregator2.ts_gap_fill_locf(spark, SF_SMOKE).cache()
+    # observed rows are exactly their own value; filled never null after
+    # the first observation of a series
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("path")
+        .orderBy("slot")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = df.withColumn("seen", F.max(F.col("observed").cast("int")).over(w))
+    assert flagged.filter((F.col("seen") == 1) & F.col("filled").isNull()).count() == 0
+    assert flagged.filter((F.col("seen") == 0) & F.col("filled").isNotNull()).count() == 0
