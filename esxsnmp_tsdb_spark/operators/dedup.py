@@ -579,3 +579,45 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(est - exact), 6).alias("abs_err"),
         )
     )
+
+
+@op(
+    "dedup_cluster_size_stats",
+    oracle=f"""
+WITH RECURSIVE {MINHASH_PAIRS_SQL},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS doc FROM edges),
+reach(doc, label) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc
+),
+comp AS (SELECT doc, min(label) AS component FROM reach GROUP BY doc),
+sizes AS (SELECT component, count(*) AS csize FROM comp GROUP BY component)
+SELECT csize, count(*) AS n_clusters,
+       CAST(csize * count(*) AS BIGINT) AS n_docs,
+       CAST(sum(csize - 1) AS BIGINT) AS n_removable
+FROM sizes GROUP BY csize
+""",
+)
+def dedup_cluster_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over the near-dup components — the dedup
+    IMPACT report: how many clusters of each size, how many documents
+    they hold, and how many rows keep-one-per-cluster would remove.
+    This is the number a data owner asks for before approving a dedup
+    run.
+
+    Rides `dedup_connected_components` (same iterative join+groupBy,
+    same checkpointed lineage) and adds two bounded aggregates: sizes
+    per component, then the histogram — both tiny next to the component
+    computation itself."""
+    comp = dedup_connected_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+    return sizes.groupBy("csize").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("csize") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+        F.sum(F.col("csize") - 1).cast("bigint").alias("n_removable"),
+    )
