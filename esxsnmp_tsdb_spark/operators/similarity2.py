@@ -23,7 +23,7 @@ Scale posture:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from esxsnmp_tsdb_spark.functions.topk import ranked_topk
@@ -262,4 +262,138 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(TOP_K, n_ann, hits, round(hits / TOP_K, 6))],
         "k int, n_ann bigint, hits bigint, recall double",
+    )
+
+
+_NDOT_SQL = """list_sum(list_transform(range(1, len({a}) + 1),
+    i -> {a}[i] * {b}[i]))"""
+
+
+@op(
+    "sim_search_ivf_pq",
+    oracle=f"""
+WITH en AS (
+  SELECT vec_id, label, {_NORM_SQL.format(v='embedding')} AS nv FROM embeddings
+),
+ivfc AS (SELECT vec_id AS icid, nv AS icv FROM en WHERE vec_id % 50 = 0),
+assigned AS (
+  SELECT vec_id, label, nv, icid AS cell FROM (
+    SELECT e.vec_id, e.label, e.nv, c.icid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_NDOT_SQL.format(a='e.nv', b='c.icv')} DESC, c.icid) AS rn
+    FROM en e CROSS JOIN ivfc c
+  ) WHERE rn = 1
+),
+qrow AS (SELECT cell, nv AS qv FROM assigned WHERE vec_id = {QUERY_VEC_ID}),
+cand AS (
+  SELECT a.vec_id, a.label, a.nv
+  FROM assigned a JOIN qrow ON a.cell = qrow.cell
+  WHERE a.vec_id != {QUERY_VEC_ID}
+),
+cb AS (SELECT vec_id AS cid, nv AS cv FROM en WHERE vec_id % 25 = 0),
+ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+enc AS (
+  SELECT vec_id, label, m, cid AS code FROM (
+    SELECT d.vec_id, d.label, ms.m, cb.cid,
+           row_number() OVER (
+             PARTITION BY d.vec_id, ms.m
+             ORDER BY {_SUB_L2_SQL.format(a='d.nv', b='cb.cv', off='ms.m * ' + str(PQ_SUB))},
+                      cb.cid) AS rn
+    FROM cand d CROSS JOIN ms CROSS JOIN cb
+  ) WHERE rn = 1
+),
+qd AS (
+  SELECT ms.m, cb.cid,
+         {_SUB_L2_SQL.format(a='q.qv', b='cb.cv', off='ms.m * ' + str(PQ_SUB))} AS d2
+  FROM qrow q CROSS JOIN ms CROSS JOIN cb
+),
+adc AS (
+  SELECT enc.vec_id, enc.label, SUM(qd.d2) AS dist
+  FROM enc JOIN qd ON enc.m = qd.m AND enc.code = qd.cid
+  GROUP BY enc.vec_id, enc.label
+)
+SELECT vec_id, label, round(dist, 6) AS adc, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY dist, vec_id) AS rank FROM adc
+) WHERE rank <= {TOP_K}
+""",
+)
+def sim_search_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production ANN composition (the FAISS default): the
+    IVF coarse quantizer prunes the corpus to the query's cell, then PQ
+    codes rank the survivors by asymmetric distance.  Neither stage
+    touches full vectors at query time beyond the probed cell.
+
+    At 100 TB both index sides persist at ingest (cell id = partition
+    key, 8 PQ codes = 8 small ints per vector); a query broadcasts one
+    M×K distance table and reads one cell's codes — I/O is corpus/cells
+    compressed ~d·4/M bytes per vector.  Here both stages run inline so
+    one oracle proves the composition end-to-end; every piece (cell
+    assignment, codebooks, ADC) reuses the deterministic closed forms of
+    `sim_search_ivf` and `vector_pq_adc`."""
+    e = _t(spark, sf_dir)["embeddings"]
+    nrm = norm(_dbl(F.col("embedding")))
+    en = e.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double") / nrm).alias(
+            "nv"
+        ),
+    )
+    ivfc = en.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("icid"), F.col("nv").alias("icv")
+    )
+    ndot = F.aggregate(
+        F.zip_with(F.col("nv"), F.col("icv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wassign = Window.partitionBy("vec_id").orderBy(
+        F.col("ndot").desc(), F.col("icid")
+    )
+    assigned = (
+        en.crossJoin(F.broadcast(ivfc))
+        .withColumn("ndot", ndot)
+        .withColumn("rn", F.row_number().over(wassign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "nv", F.col("icid").alias("cell"))
+    )
+    qrow = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("cell").alias("qcell"), F.col("nv").alias("qv")
+    )
+    cand = (
+        assigned.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(qrow), F.col("cell") == F.col("qcell"))
+        .select("vec_id", "label", "nv")
+    )
+    cb = en.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
+    )
+    ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+    enc = (
+        cand.crossJoin(F.broadcast(ms))
+        .crossJoin(F.broadcast(cb))
+        .withColumn("d2", _sub_l2(F.col("nv"), F.col("cv"), F.col("m")))
+        .groupBy("vec_id", "label", "m")
+        .agg(F.min_by("cid", F.struct(F.col("d2"), F.col("cid"))).alias("code"))
+    )
+    qd = (
+        qrow.crossJoin(F.broadcast(ms.select(F.col("m").alias("qm"))))
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "qm",
+            F.col("cid").alias("qcid"),
+            _sub_l2(F.col("qv"), F.col("cv"), F.col("qm")).alias("d2"),
+        )
+    )
+    adc = (
+        enc.join(
+            F.broadcast(qd),
+            (F.col("m") == F.col("qm")) & (F.col("code") == F.col("qcid")),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum("d2").alias("dist"))
+    )
+    return ranked_topk(adc, TOP_K, [F.col("dist"), F.col("vec_id")]).select(
+        "vec_id", "label", F.round("dist", 6).alias("adc"), "rank"
     )
