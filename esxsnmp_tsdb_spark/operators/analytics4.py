@@ -318,3 +318,78 @@ def ts_rollup_multi_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "avg_value",
     )
+
+
+# Declarative alert rule table: (rule_id, event_type, kind, threshold).
+# kind: avg_gt / avg_lt fire on the slot average, n_lt on the sample count.
+ALERT_RULES = (
+    (1, "purchase", "avg_gt", 60.0),
+    (2, "click", "avg_lt", 35.0),
+    (3, "error", "avg_gt", 55.0),
+    (4, "view", "n_lt", 3.0),
+)
+
+_RULES_SQL = ", ".join(
+    f"({rid}, '{et}', '{kind}', {th})" for rid, et, kind, th in ALERT_RULES
+)
+
+
+@op(
+    "ts_alert_rules_eval",
+    oracle=f"""
+WITH {OBS_CTE}, {_SLOT_CTE},
+slotn AS (
+  SELECT path, tse - tse % {BUCKET} AS slot, count(*) AS n
+  FROM obs WHERE tse >= {T_JAN10} AND tse < {T_JAN20}
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT a.path, a.slot, a.x, n.n, split_part(a.path, '/', 2) AS event_type
+  FROM slotavg a JOIN slotn n ON a.path = n.path AND a.slot = n.slot
+),
+rules(rule_id, event_type, kind, thresh) AS (VALUES {_RULES_SQL})
+SELECT r.rule_id, s.path, s.slot,
+       CASE WHEN r.kind = 'n_lt' THEN CAST(s.n AS DOUBLE) ELSE s.x END
+         AS metric
+FROM s JOIN rules r ON s.event_type = r.event_type
+WHERE (r.kind = 'avg_gt' AND s.x > r.thresh)
+   OR (r.kind = 'avg_lt' AND s.x < r.thresh)
+   OR (r.kind = 'n_lt' AND s.n < r.thresh)
+""",
+)
+def ts_alert_rules_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative alerting: a RULE TABLE (per event type: slot-average
+    above/below a threshold, or sample count below a floor) joined
+    against the consolidated slot series; every breach becomes an alert
+    row — the monitoring pattern where operators add rules as data, not
+    as code.
+
+    The rule table broadcasts (it is configuration, not data) and the
+    evaluation is one join + filter over the already-consolidated
+    slots; thresholds compare against chain-rounded slot averages, so
+    breach decisions are identical cross-engine.  At 100 TB the rule
+    join rides the ladder's (path, slot) layout and adds no shuffle."""
+    obs = _obs(spark, sf_dir).filter(
+        (F.col("tse") >= T_JAN10) & (F.col("tse") < T_JAN20)
+    )
+    s = (
+        obs.groupBy("path", tsdb.slot_of(F.col("tse"), BUCKET).alias("slot"))
+        .agg(
+            F.round(F.avg("value"), 6).alias("x"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn("event_type", F.split("path", "/").getItem(1))
+    )
+    rules = spark.createDataFrame(
+        list(ALERT_RULES), "rule_id int, event_type string, kind string, thresh double"
+    )
+    j = s.join(F.broadcast(rules), "event_type")
+    breach = (
+        ((F.col("kind") == "avg_gt") & (F.col("x") > F.col("thresh")))
+        | ((F.col("kind") == "avg_lt") & (F.col("x") < F.col("thresh")))
+        | ((F.col("kind") == "n_lt") & (F.col("n") < F.col("thresh")))
+    )
+    metric = F.when(
+        F.col("kind") == "n_lt", F.col("n").cast("double")
+    ).otherwise(F.col("x"))
+    return j.filter(breach).select("rule_id", "path", "slot", metric.alias("metric"))
