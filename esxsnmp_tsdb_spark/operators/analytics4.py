@@ -393,3 +393,92 @@ def ts_alert_rules_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kind") == "n_lt", F.col("n").cast("double")
     ).otherwise(F.col("x"))
     return j.filter(breach).select("rule_id", "path", "slot", metric.alias("metric"))
+
+
+ROLL_FRAME = 23  # rolling median: trailing 24 slots
+
+
+@op(
+    "ts_rolling_median",
+    oracle=f"""
+WITH {OBS_CTE}, {_SLOT_CTE}
+SELECT path, slot, x,
+       round(quantile_cont(x, 0.5) OVER (
+         PARTITION BY path ORDER BY slot
+         ROWS BETWEEN {ROLL_FRAME} PRECEDING AND CURRENT ROW), 6) AS roll_med
+FROM slotavg
+""",
+)
+def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h rolling MEDIAN per series — the robust smoother that
+    shrugs off the spikes a rolling mean chases (the despiking pass
+    before rate-of-change alerting).
+
+    ``percentile`` is an exact aggregate evaluated over a bounded ROWS
+    frame: state per row is the ≤24-slot frame, never the series, and
+    the frame slides inside the one per-path partition — same shuffle
+    count as every other windowed consolidation.  Inputs are the
+    chain-rounded slot averages, so the interpolated median is computed
+    from identical doubles on both engines and rounds identically."""
+    s = _slot_series(spark, sf_dir)
+    w = (
+        Window.partitionBy("path")
+        .orderBy("slot")
+        .rowsBetween(-ROLL_FRAME, Window.currentRow)
+    )
+    return s.select(
+        "path",
+        "slot",
+        "x",
+        F.round(F.expr("percentile(x, 0.5)").over(w), 6).alias("roll_med"),
+    )
+
+
+FLEET_CUT = 2.5  # |cross-sectional z| above this = fleet outlier
+
+
+@op(
+    "ts_fleet_zscore",
+    oracle=f"""
+WITH {OBS_CTE}, {_SLOT_CTE},
+fleet AS (
+  SELECT slot,
+         round(avg(x), 6) AS fleet_avg,
+         round(stddev_samp(x), 6) AS fleet_sd,
+         count(*) AS n_series
+  FROM slotavg GROUP BY slot
+)
+SELECT s.path, s.slot, s.x, f.fleet_avg,
+       round((s.x - f.fleet_avg) / f.fleet_sd, 6) AS z
+FROM slotavg s JOIN fleet f ON s.slot = f.slot
+WHERE f.n_series >= 10 AND f.fleet_sd > 0
+  AND abs(round((s.x - f.fleet_avg) / f.fleet_sd, 6)) > {FLEET_CUT}
+""",
+)
+def ts_fleet_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional anomaly: which series deviates from the FLEET at
+    each instant (vs `ts_anomaly_zscore`/`ts_anomaly_mad`, which compare
+    a series to its own history) — the 'one link is behaving unlike its
+    peers right now' detector that catches correlated-load-following
+    fleets where per-series history looks normal.
+
+    One groupBy per slot for the fleet statistics (map-side combined),
+    broadcast back onto the slot rows (the per-slot stats table is
+    slots-sized, tiny next to the data); flags compare chain-rounded
+    z-scores only."""
+    s = _slot_series(spark, sf_dir)
+    fleet = s.groupBy("slot").agg(
+        F.round(F.avg("x"), 6).alias("fleet_avg"),
+        F.round(F.stddev_samp("x"), 6).alias("fleet_sd"),
+        F.count(F.lit(1)).alias("n_series"),
+    )
+    z = F.round((F.col("x") - F.col("fleet_avg")) / F.col("fleet_sd"), 6)
+    return (
+        s.join(F.broadcast(fleet), "slot")
+        .filter(
+            (F.col("n_series") >= 10)
+            & (F.col("fleet_sd") > 0)
+            & (F.abs(z) > FLEET_CUT)
+        )
+        .select("path", "slot", "x", "fleet_avg", z.alias("z"))
+    )
