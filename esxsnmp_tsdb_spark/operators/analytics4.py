@@ -482,3 +482,57 @@ def ts_fleet_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("path", "slot", "x", "fleet_avg", z.alias("z"))
     )
+
+
+VALUE_BIN = 25.0  # equi-width value histogram bin
+
+
+@op(
+    "ts_value_histogram",
+    oracle=f"""
+WITH {OBS_CTE},
+b AS (
+  SELECT split_part(path, '/', 2) AS event_type,
+         CAST(floor(value / {VALUE_BIN}) AS BIGINT) AS bucket
+  FROM obs
+),
+h AS (SELECT event_type, bucket, count(*) AS n FROM b GROUP BY 1, 2)
+SELECT event_type, bucket,
+       round(bucket * {VALUE_BIN}, 2) AS lo,
+       round((bucket + 1) * {VALUE_BIN}, 2) AS hi, n,
+       CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_n
+FROM h
+""",
+)
+def ts_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value distribution per event type: equi-width buckets + per-type
+    CDF — the distribution view behind threshold picking (alert rules,
+    billing tiers) on the observation values themselves.
+
+    Bucketing is a map-side floor; the histogram is one tiny aggregate;
+    the cumulative window runs per event type over the bounded bucket
+    set (~20 rows each), never the observations — the same
+    CDF-without-sorting-the-corpus shape as `doc_length_histogram`, here
+    with a natural partition key instead of the bounded_running
+    single-partition guard."""
+    obs = _obs(spark, sf_dir)
+    b = obs.select(
+        F.split("path", "/").getItem(1).alias("event_type"),
+        F.floor(F.col("value") / VALUE_BIN).cast("bigint").alias("bucket"),
+    )
+    h = b.groupBy("event_type", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return h.select(
+        "event_type",
+        "bucket",
+        F.round(F.col("bucket") * VALUE_BIN, 2).alias("lo"),
+        F.round((F.col("bucket") + 1) * VALUE_BIN, 2).alias("hi"),
+        "n",
+        F.sum("n").over(w).cast("bigint").alias("cum_n"),
+    )
