@@ -40,30 +40,43 @@ _REG_INDEX: dict[str, int] = {}
 _ATTESTED = frozenset(
     {
         'anti_join', 'approx_distinct', 'approx_percentiles', 'array_agg_sorted',
-        'asof_join', 'asof_join_nearest', 'broadcast_join', 'cross_join_topk',
-        'customer_rfm', 'dedup_connected_components', 'dedup_embedding_cosine', 'dedup_exact',
-        'dedup_near_minhash', 'dedup_ngram_jaccard', 'dedup_simhash', 'distinct_agg',
-        'grouping_sets', 'hash_aggregate', 'hash_join_inner', 'market_basket_pairs',
-        'outer_join_full', 'outer_join_left', 'percentiles', 'pivot_unpivot',
-        'projection_filter', 'range_interval_join', 'rollup_cube', 'salted_aggregate',
+        'asof_join', 'asof_join_nearest', 'attribution_last_touch', 'broadcast_join',
+        'cross_join_topk', 'cross_source_dedup_priority', 'cumulative_distinct_users', 'customer_rfm',
+        'decontaminate_ngram', 'decontamination_overlap', 'dedup_cluster_size_stats', 'dedup_connected_components',
+        'dedup_embedding_cosine', 'dedup_exact', 'dedup_near_minhash', 'dedup_ngram_jaccard',
+        'dedup_simhash', 'dedup_threshold_sweep', 'distinct_agg', 'doc_length_histogram',
+        'doc_pagerank', 'domain_quota_sample', 'embedding_norm_outliers', 'embedding_pca_power_iteration',
+        'embedding_quantize', 'event_bigrams', 'event_funnel', 'exact_substring_dedup',
+        'grouping_sets', 'hash_aggregate', 'hash_join_inner', 'kmeans_one_step',
+        'market_basket_pairs', 'minhash_band_sensitivity', 'minhash_jaccard_estimate', 'ngram_topk',
+        'outer_join_full', 'outer_join_left', 'percentiles', 'pipeline_corpus_curate',
+        'pivot_unpivot', 'projection_filter', 'quality_filter_funnel', 'range_interval_join',
+        'retention_cohort', 'rollup_cube', 'salted_aggregate', 'sample_stratified',
         'scalar_array_funcs', 'scalar_bitwise_funcs', 'scalar_date_funcs', 'scalar_json_funcs',
         'scalar_math_funcs', 'scalar_string_funcs', 'scan_parquet', 'semi_join',
-        'set_except', 'set_intersect', 'set_union', 'sort_limit_topk',
-        'sort_merge_join', 'subquery_scalar', 'tpch_q1', 'tpch_q10',
+        'seq_packing', 'set_except', 'set_intersect', 'set_union',
+        'sort_limit_topk', 'sort_merge_join', 'split_train_test', 'subquery_scalar',
+        'text_ngram_novelty', 'topk_docs_per_source', 'tpch_q1', 'tpch_q10',
         'tpch_q11', 'tpch_q12', 'tpch_q13', 'tpch_q14',
         'tpch_q15', 'tpch_q16', 'tpch_q17', 'tpch_q18',
         'tpch_q19', 'tpch_q2', 'tpch_q20', 'tpch_q21',
         'tpch_q22', 'tpch_q3', 'tpch_q4', 'tpch_q5',
         'tpch_q6', 'tpch_q7', 'tpch_q8', 'tpch_q9',
-        'ts_agg_cascade', 'ts_anomaly_zscore', 'ts_billing_p95', 'ts_bin_split',
-        'ts_counter_wrap', 'ts_counter_wrap64', 'ts_delta', 'ts_downsample_avg',
-        'ts_downsample_delta', 'ts_downsample_last', 'ts_downsample_minmax', 'ts_downsample_percentile',
-        'ts_flag_filter', 'ts_gap_report', 'ts_heartbeat_invalidate', 'ts_interpolate',
+        'ts_agg_cascade', 'ts_alert_rules_eval', 'ts_anomaly_mad', 'ts_anomaly_zscore',
+        'ts_billing_p95', 'ts_bin_split', 'ts_burst_detect', 'ts_calendar_heatmap',
+        'ts_capacity_forecast', 'ts_counter_reset_detect', 'ts_counter_wrap', 'ts_counter_wrap64',
+        'ts_delta', 'ts_downsample_avg', 'ts_downsample_delta', 'ts_downsample_last',
+        'ts_downsample_minmax', 'ts_downsample_ohlc', 'ts_downsample_percentile', 'ts_ewma',
+        'ts_flag_filter', 'ts_fleet_zscore', 'ts_forecast_seasonal_naive', 'ts_gap_fill_locf',
+        'ts_gap_report', 'ts_heartbeat_invalidate', 'ts_interpolate', 'ts_ladder_backfill',
         'ts_ladder_route', 'ts_last_known', 'ts_linear_trend', 'ts_metadata_get',
-        'ts_point_lookup', 'ts_range_scan', 'ts_rate', 'ts_rate_invalid_reasons',
-        'ts_rolling_1h', 'ts_seasonal_baseline', 'ts_series_catalog', 'ts_sessionize',
-        'ts_slot_dedup', 'ts_time_spine', 'ts_top_talkers', 'ts_valid_ratio',
-        'window_distribution', 'window_lag_lead', 'window_rank', 'window_running',
+        'ts_missing_islands', 'ts_percent_change_movers', 'ts_point_lookup', 'ts_range_scan',
+        'ts_rate', 'ts_rate_invalid_reasons', 'ts_rolling_1h', 'ts_rolling_median',
+        'ts_rollup_multi_granularity', 'ts_seasonal_baseline', 'ts_series_catalog', 'ts_series_correlation',
+        'ts_sessionize', 'ts_sla_report', 'ts_slot_dedup', 'ts_step_change',
+        'ts_stl_decompose', 'ts_time_spine', 'ts_top_talkers', 'ts_valid_ratio',
+        'ts_value_histogram', 'ts_wma', 'window_distribution', 'window_lag_lead',
+        'window_rank', 'window_running',
     }
 )
 
