@@ -192,7 +192,8 @@ def storage_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {OBS_CTE}
 SELECT split_part(path, '/', 2) AS event_type,
        count(*) AS n,
-       count(CASE WHEN tse >= {T_JAN15_NOON} THEN 1 END) AS n_quality,
+       count(CASE WHEN tse >= {T_JAN15_NOON} AND flags IS NOT NULL
+                  THEN 1 END) AS n_quality,
        CAST(sum(CASE WHEN tse >= {T_JAN15_NOON} THEN flags END) AS BIGINT)
          AS sum_quality
 FROM obs GROUP BY split_part(path, '/', 2)

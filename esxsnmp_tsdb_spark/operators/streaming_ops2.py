@@ -14,6 +14,7 @@ window — no float-accumulation-order drift between engines."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -82,13 +83,30 @@ def _zscore_fn(key, pdfs, state):
     the rows BEFORE it (its own value joins the state afterwards).
 
     Vectorized: prefix sums via cumsum + shift splice the carried state
-    in as the prefix of the batch — no per-row Python loop."""
+    in as the prefix of the batch — no per-row Python loop.
+
+    Requires an in-order source: prefix statistics are only correct if
+    batches arrive in (tse, event_id) order per series, so the state also
+    carries the last scored (tse, event_id) and a regression raises
+    instead of silently scoring rows against wrong prefix moments."""
     (path,) = key
-    n0, s0, q0 = state.get if state.exists else (0, 0, 0)
+    n0, s0, q0, last_tse, last_eid = (
+        state.get if state.exists else (0, 0, 0, -1, -1)
+    )
     for pdf in pdfs:
         if not len(pdf):
             continue
         pdf = pdf.sort_values(["tse", "event_id"])
+        first = (int(pdf["tse"].iloc[0]), int(pdf["event_id"].iloc[0]))
+        if first < (last_tse, last_eid):
+            raise ValueError(
+                f"stream_anomaly_zscore: out-of-order micro-batch for "
+                f"series {path!r}: batch starts at {first}, state already "
+                f"advanced past ({last_tse}, {last_eid}); the online "
+                f"prefix moments require an in-(tse,event_id)-order source"
+            )
+        last_tse = int(pdf["tse"].iloc[-1])
+        last_eid = int(pdf["event_id"].iloc[-1])
         c = pdf["cents"].astype("int64")
         n_prior = n0 + pd.RangeIndex(len(pdf))
         s_prior = (c.cumsum().shift(fill_value=0) + s0).astype("int64")
@@ -100,7 +118,10 @@ def _zscore_fn(key, pdfs, state):
         mean = s_prior / nf
         var = q_prior / nf - mean * mean
         ok = (pd.Series(n_prior, index=c.index) >= Z_MIN_PRIOR) & (var > 0)
-        z = ((c - mean) / (var**0.5)).round(6)
+        # Half-away-from-zero to match the oracle's round(); pandas
+        # .round() is half-even and would flip an exact 5e-7 tie.
+        z_raw = (c - mean) / (var**0.5)
+        z = np.floor(z_raw.abs() * 1e6 + 0.5) / 1e6 * np.sign(z_raw)
         hit = ok & (z.abs() > Z_CUT)
         if hit.any():
             yield pd.DataFrame(
@@ -112,7 +133,7 @@ def _zscore_fn(key, pdfs, state):
                     "z": z[hit],
                 }
             )
-    state.update((n0, s0, q0))
+    state.update((n0, s0, q0, last_tse, last_eid))
 
 
 @op(
@@ -171,7 +192,8 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         _zscore_fn,
         outputStructType="path string, tse bigint, event_id bigint, "
         "cents bigint, z double",
-        stateStructType="n bigint, s bigint, q bigint",
+        stateStructType="n bigint, s bigint, q bigint, "
+        "last_tse bigint, last_eid bigint",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -253,6 +275,11 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") == 1)
                 .drop("rn")
+                # Materialize BEFORE the overwrite below: the plan reads the
+                # same parquet paths the write replaces, and relying on the
+                # staging order of dynamic partition overwrite would lose
+                # the touched days if the job failed mid-write.
+                .localCheckpoint(eager=True)
             )
         else:
             merged = inc

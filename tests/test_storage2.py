@@ -35,7 +35,6 @@ def test_zorder_files_are_tight_in_both_dims(spark):
     g_min, g_max = None, None
     for f in files:
         t = pq.read_table(f, columns=["tse"])
-        lo, hi = t["tse"][0].as_py(), t["tse"][0].as_py()
         col = t["tse"].to_pylist()
         lo, hi = min(col), max(col)
         spans.append(hi - lo)

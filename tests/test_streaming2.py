@@ -5,7 +5,9 @@ where micro-batch boundaries fall."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
+import pytest
 
 from esxsnmp_tsdb_spark.operators.streaming_ops2 import _zscore_fn
 
@@ -62,3 +64,19 @@ def test_zscore_needs_min_prior():
     # 5 stable samples then a spike: below the prior threshold, no flag
     out = _run([_mkpdf([100, 101, 99, 100, 5000])])
     assert len(out) == 0
+
+
+def test_zscore_rejects_out_of_order_batch():
+    # A later micro-batch whose rows precede the state's high-water mark
+    # must raise, not silently score against wrong prefix moments.
+    vals = [100, 101, 99, 100, 102, 98, 100, 101, 99, 100, 100, 5000]
+    with pytest.raises(ValueError, match="out-of-order micro-batch"):
+        _run([_mkpdf(vals[6:], start=6), _mkpdf(vals[:6], start=0)])
+
+
+def test_zscore_rounding_half_away_from_zero():
+    # .round(6) in pandas is half-even; the oracle's round() is
+    # half-away-from-zero — pin the formula on an exact 5e-7 tie.
+    z = pd.Series([1.0000005, -1.0000005, 2.5e-7])
+    rounded = np.floor(z.abs() * 1e6 + 0.5) / 1e6 * np.sign(z)
+    assert list(rounded) == [1.000001, -1.000001, 0.0]
