@@ -23,6 +23,8 @@ Scale posture:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -269,9 +271,10 @@ _NDOT_SQL = """list_sum(list_transform(range(1, len({a}) + 1),
     i -> {a}[i] * {b}[i]))"""
 
 
-@op(
-    "sim_search_ivf_pq",
-    oracle=f"""
+# Shared by sim_search_ivf_pq (inline build) and sim_search_ivf_pq_indexed
+# (ingest-persisted index): PQ codes are a per-vector property of the global
+# codebook, so probing the same cell yields identical ADC ranks either way.
+_IVF_PQ_ORACLE = f"""
 WITH en AS (
   SELECT vec_id, label, {_NORM_SQL.format(v='embedding')} AS nv FROM embeddings
 ),
@@ -316,8 +319,10 @@ adc AS (
 SELECT vec_id, label, round(dist, 6) AS adc, rank FROM (
   SELECT *, row_number() OVER (ORDER BY dist, vec_id) AS rank FROM adc
 ) WHERE rank <= {TOP_K}
-""",
-)
+"""
+
+
+@op("sim_search_ivf_pq", oracle=_IVF_PQ_ORACLE)
 def sim_search_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ — the production ANN composition (the FAISS default): the
     IVF coarse quantizer prunes the corpus to the query's cell, then PQ
@@ -388,6 +393,163 @@ def sim_search_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adc = (
         enc.join(
+            F.broadcast(qd),
+            (F.col("m") == F.col("qm")) & (F.col("code") == F.col("qcid")),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum("d2").alias("dist"))
+    )
+    return ranked_topk(adc, TOP_K, [F.col("dist"), F.col("vec_id")]).select(
+        "vec_id", "label", F.round("dist", 6).alias("adc"), "rank"
+    )
+
+
+IVF_MOD = 50  # every 50th corpus vector is an IVF centroid (same rule as
+# sim_search_ivf / sim_search_ivf_pq — keep in lockstep with the oracle)
+
+
+def build_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session per corpus) the ingest-persisted IVF-PQ
+    index and return its directory.  Three artifacts:
+
+    * ``codes/`` — one row per vector: (vec_id, label, codes array<int>),
+      **partitioned by the IVF cell id** so a query's probe is a
+      partition-pruned scan of exactly one cell directory;
+    * ``centroids/`` — the C coarse centroids (O(C) rows);
+    * ``codebook/`` — the K PQ codewords (O(K) rows).
+
+    The build is the one corpus-wide pass (assign cell, encode M codes)
+    that `sim_search_ivf_pq` previously re-ran inline per query; here it
+    runs at ingest and the query path reads only index artifacts.  At
+    100 TB the codes table is ~M·4 bytes + key per vector (the d·4/M
+    compression that makes PQ worth storing), and cell = partition key
+    means adding a day of vectors appends new files without touching old
+    cells.  Idempotent: a ready-marker skips the rebuild, so repeated
+    bench/driver invocations in one session pay the build once."""
+    from esxsnmp_tsdb_spark.operators._workdirs import op_dir
+
+    root = op_dir("ivf_pq_index__" + sf_dir.strip("/").replace("/", "_"),
+                  fresh=False)
+    marker = os.path.join(root, "_INDEX_READY")
+    if os.path.exists(marker):
+        return root
+    e = _t(spark, sf_dir)["embeddings"]
+    nrm = norm(_dbl(F.col("embedding")))
+    en = e.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double") / nrm).alias(
+            "nv"
+        ),
+    )
+    ivfc = en.filter(F.col("vec_id") % IVF_MOD == 0).select(
+        F.col("vec_id").alias("icid"), F.col("nv").alias("icv")
+    )
+    cb = en.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
+    )
+    ndot = F.aggregate(
+        F.zip_with(F.col("nv"), F.col("icv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wassign = Window.partitionBy("vec_id").orderBy(
+        F.col("ndot").desc(), F.col("icid")
+    )
+    assigned = (
+        en.crossJoin(F.broadcast(ivfc))
+        .withColumn("ndot", ndot)
+        .withColumn("rn", F.row_number().over(wassign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "nv", F.col("icid").alias("cell"))
+    )
+    ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+    codes = (
+        assigned.crossJoin(F.broadcast(ms))
+        .crossJoin(F.broadcast(cb))
+        .withColumn("d2", _sub_l2(F.col("nv"), F.col("cv"), F.col("m")))
+        .groupBy("vec_id", "label", "cell", "m")
+        .agg(F.min_by("cid", F.struct(F.col("d2"), F.col("cid"))).alias("code"))
+        .groupBy("vec_id", "label", "cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "code"))),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+    )
+    (
+        codes.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(root, "codes"))
+    )
+    ivfc.write.mode("overwrite").parquet(os.path.join(root, "centroids"))
+    cb.write.mode("overwrite").parquet(os.path.join(root, "codebook"))
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return root
+
+
+@op("sim_search_ivf_pq_indexed", oracle=_IVF_PQ_ORACLE)
+def sim_search_ivf_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ answered from the ingest-persisted index — the production
+    shape `sim_search_ivf_pq`'s docstring promises, in code: the corpus
+    pass (cell assignment + PQ encoding) ran once at ingest
+    (`build_ivf_pq_index`); the query path touches ONLY index artifacts.
+
+    Query cost, independent of corpus size: (1) route the query — one
+    dot product against the O(C) broadcast centroid table (the single
+    collected scalar is the cell id, the bounded IVF routing decision);
+    (2) build the M×K ADC table against the O(K) codebook; (3) scan the
+    probed cell's codes — a **partition-pruned** read (``cell = <q>``
+    lands in PartitionFilters, asserted in tests/test_plans.py), join
+    the broadcast ADC table, TakeOrdered the top k.  Same oracle as the
+    inline op: persistence must not change a single rank."""
+    root = build_ivf_pq_index(spark, sf_dir)
+    e = _t(spark, sf_dir)["embeddings"]
+    nrm = norm(_dbl(F.col("embedding")))
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") / nrm).alias(
+            "qv"
+        )
+    )
+    cents = spark.read.parquet(os.path.join(root, "centroids"))
+    qcell = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "icid",
+            F.aggregate(
+                F.zip_with(F.col("qv"), F.col("icv"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("ndot"),
+        )
+        .orderBy(F.col("ndot").desc(), F.col("icid"))
+        .first()
+        .icid
+    )
+    cbq = spark.read.parquet(os.path.join(root, "codebook"))
+    ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("qm"))
+    qd = (
+        q.crossJoin(F.broadcast(ms))
+        .crossJoin(F.broadcast(cbq))
+        .select(
+            "qm",
+            F.col("cid").alias("qcid"),
+            _sub_l2(F.col("qv"), F.col("cv"), F.col("qm")).alias("d2"),
+        )
+    )
+    cand = (
+        spark.read.parquet(os.path.join(root, "codes"))
+        .filter(F.col("cell") == qcell)
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id", "label", F.posexplode("codes").alias("m", "code")
+        )
+    )
+    adc = (
+        cand.join(
             F.broadcast(qd),
             (F.col("m") == F.col("qm")) & (F.col("code") == F.col("qcid")),
         )

@@ -112,3 +112,36 @@ def test_event_funnel_single_shuffle(spark):
     # the only SinglePartition is the final 3-row funnel aggregate.
     plan = plan_str(Q["event_funnel"](spark, SF_ORACLE), mode="simple")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ivf_pq_indexed_prunes_to_one_cell(spark):
+    """The ingest-persisted ANN index must make the probe a partition-
+    pruned scan: exactly one cell directory is read at query time, and
+    the pruning is static (in PartitionFilters, not a post-scan
+    Filter)."""
+    import glob
+    import os
+
+    df = Q["sim_search_ivf_pq_indexed"](spark, SF_ORACLE)
+    plan = plan_str(df)
+    assert "PartitionFilters: [isnotnull(cell" in plan, plan
+    # the literal cell equality rides the partition filter
+    assert "(cell" in plan.split("PartitionFilters: [", 1)[1].split("]")[0]
+    # pruning is meaningful: the index really has many cell partitions
+    from esxsnmp_tsdb_spark.operators.similarity2 import build_ivf_pq_index
+
+    root = build_ivf_pq_index(spark, SF_ORACLE)
+    cells = glob.glob(os.path.join(root, "codes", "cell=*"))
+    assert len(cells) > 1, cells
+    # and an executed probe really reads files from ONE cell directory
+    # (inputFiles() lists pre-pruning; input_file_name() is what ran)
+    from pyspark.sql import functions as F
+
+    probe = spark.read.parquet(os.path.join(root, "codes")).filter(
+        F.col("cell") == 0
+    )
+    probed = {
+        os.path.basename(os.path.dirname(r[0]))
+        for r in probe.select(F.input_file_name()).distinct().collect()
+    }
+    assert probed == {"cell=0"}, probed
