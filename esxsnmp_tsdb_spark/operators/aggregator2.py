@@ -186,3 +186,42 @@ def ts_ladder_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "path", "slot", F.round("sv", 6).alias("sv"), "n", "mn", "mx"
     )
+
+
+T_JAN20 = 1705708800  # keep in lockstep with operators/_shared.py
+
+
+@op(
+    "ts_ladder_route_sql",
+    oracle=f"""
+WITH {OBS_CTE}
+SELECT path, tse - tse % 7200 AS slot,
+       round(avg(value), 6) AS value, count(*) AS n
+FROM obs WHERE tse >= {T_JAN10} AND tse < {T_JAN20}
+GROUP BY 1, 2
+""",
+)
+def ts_ladder_route_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-ladder routing for a RAW-SQL caller: the persisted
+    day-partitioned ladder store (`sources.ladder_sql.register_ladder_store`)
+    plus the TVF-style `route_sql` helper turn a
+    ``(begin, end, step, cf)`` request into one SELECT against the
+    coarsest stored level — here a 2-hour/average request served from the
+    stored 1 h view, never from raw obs (tests/test_ladder.py asserts the
+    plan scans the 1 h store and partition-prunes its day layout).
+
+    Same oracle as `ts_ladder_route` (computed directly from raw): the
+    SQL route must be lossless exactly like the DataFrame route.  At
+    100 TB this is the serving path — the store is maintained
+    incrementally (ts_ladder_backfill / stream_ladder_maintenance) and
+    every dashboard query compiles to a pruned scan of the right level.
+    """
+    from esxsnmp_tsdb_spark.sources.ladder_sql import (
+        register_ladder_store,
+        route_sql,
+    )
+
+    register_ladder_store(spark, sf_dir)
+    return spark.sql(
+        route_sql(step=7200, begin=T_JAN10, end=T_JAN20, cf="average")
+    ).select("path", "slot", F.round("value", 6).alias("value"), "n")

@@ -20,6 +20,7 @@ plain parquet + row-group pruning shows the same plan shape.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from esxsnmp_tsdb_spark.sources.ladder import (
     DEFAULT_LEVELS,
@@ -56,10 +57,56 @@ def materialize_ladder(
     out: dict[int, str] = {}
     for step, df in build_ladder(obs, levels).items():
         path = f"{warehouse_dir}/agg_{step}"
-        df.write.mode("overwrite").parquet(path)
+        (
+            df.withColumn("day", F.to_date(F.timestamp_seconds(F.col("slot"))))
+            .repartition("day")
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(path)
+        )
         name = view_name(step)
         spark.read.parquet(path).createOrReplaceTempView(name)
         out[step] = name
+    return out
+
+
+def register_ladder_store(
+    spark: SparkSession,
+    sf_dir: str,
+    levels: tuple[int, ...] = DEFAULT_LEVELS,
+) -> dict[int, str]:
+    """Session-persistent ladder store for a corpus: build + write the
+    day-partitioned level tables ONCE per session per ``sf_dir`` (a
+    ready-marker skips rebuilds), re-registering the ``obs_agg_<step>``
+    views on every call so one long-lived session can serve multiple
+    corpora (the driver's sf0.01 pass and the bench's sf0.1 pass
+    coexist).  This is the serving-layer twin of the reference's
+    pre-computed Aggregate vars: queries hit these tables, maintenance
+    (`ts_ladder_backfill` / streaming ladder upkeep) refreshes only the
+    day partitions that changed."""
+    import os
+
+    from esxsnmp_tsdb_spark.functions.tsdb import obs_from_events
+    from esxsnmp_tsdb_spark.operators._workdirs import op_dir
+    from esxsnmp_tsdb_spark.sources.catalog import register_views
+
+    root = op_dir(
+        "ladder_store__" + sf_dir.strip("/").replace("/", "_"), fresh=False
+    )
+    marker = os.path.join(root, "_STORE_READY")
+    if os.path.exists(marker):
+        out = {}
+        for step in levels:
+            name = view_name(step)
+            spark.read.parquet(f"{root}/agg_{step}").createOrReplaceTempView(
+                name
+            )
+            out[step] = name
+        return out
+    obs = obs_from_events(register_views(spark, sf_dir)["events"])
+    out = materialize_ladder(spark, obs, root, levels)
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
     return out
 
 
@@ -78,11 +125,18 @@ def route_sql(
         raise ValueError(f"unknown consolidation function {cf!r}")
     stored = pick_level(tuple(sorted(levels)), step)
     col = _CF_COL[cf]
+    # The derived day predicate rides along so the store's day layout
+    # partition-prunes (slot-range alone only row-group-prunes).
+    rng = (
+        f"slot >= {begin} AND slot < {end}"
+        f" AND day >= to_date(timestamp_seconds({begin}))"
+        f" AND day <= to_date(timestamp_seconds({end - 1}))"
+    )
     if stored == step:
         return f"""
 SELECT path, slot, {col} AS value, n
 FROM {view_name(stored)}
-WHERE slot >= {begin} AND slot < {end}
+WHERE {rng}
 """
     return f"""
 SELECT path, rslot AS slot, {col} AS value, n FROM (
@@ -94,7 +148,7 @@ SELECT path, rslot AS slot, {col} AS value, n FROM (
          max_by(last, slot) AS last,
          sum(n) AS n
   FROM {view_name(stored)}
-  WHERE slot >= {begin} AND slot < {end}
+  WHERE {rng}
   GROUP BY path, slot - slot % {step}
 )
 """

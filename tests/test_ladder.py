@@ -168,3 +168,23 @@ def test_sql_ladder_routing_reconsolidates(spark, obs):
         for k in want:
             assert got[k][0] == pytest.approx(want[k][0])
             assert got[k][1] == want[k][1]
+
+
+def test_ladder_route_sql_op_prunes_day_partitions(spark):
+    """The registered op's raw-SQL route must scan the persisted 1h store
+    (never raw events) AND partition-prune its day layout via the derived
+    day predicate route_sql emits."""
+    import re
+
+    from esxsnmp_tsdb_spark import registry
+    from esxsnmp_tsdb_spark.plans import plan_str
+    from tests.conftest import SF_SMOKE
+
+    registry.load_all()
+    df = registry.QUERIES["ts_ladder_route_sql"](spark, SF_SMOKE)
+    plan = plan_str(df)
+    assert "agg_3600" in plan, plan  # routed to the stored 1h level...
+    assert "agg_300" not in plan  # ...not a finer one
+    assert "events.parquet" not in plan  # ...and never raw
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "day" in m.group(1), plan
