@@ -147,7 +147,19 @@ def counter_rate(
 ) -> DataFrame:
     """The canonical SNMP counter→rate pipeline (Aggregator.update †):
     delta → wrap correction → per-second rate → heartbeat invalidation.
+
+    Counter64: a modulus above the JVM long (2⁶³−1) lifts the WHOLE
+    pipeline to DecimalType(38,0) — delta and wrapped_delta stay
+    digit-exact (a 2⁶⁴-adjacent value is not representable in float64,
+    so a double round-trip anywhere would corrupt the count), and the
+    rate is decimal division (scale ≥ 6), never a float64 cast.
+    Property-tested digit-exact against Python Decimal on staged 2⁶⁴
+    wraps (tests/test_properties.py).
     """
+    if modulus > 2**63 - 1:
+        obs = obs.withColumn(
+            counter_col, F.col(counter_col).cast("decimal(38,0)")
+        )
     d = deltas(obs, counter_col)
     corrected = wrap_correct(F.col("delta"), modulus)
     rate = corrected / F.col("dt")
@@ -155,6 +167,31 @@ def counter_rate(
         rate = heartbeat_invalidate(rate, F.col("dt"), heartbeat)
         corrected = heartbeat_invalidate(corrected, F.col("dt"), heartbeat)
     return d.withColumn("wrapped_delta", corrected).withColumn("rate", rate)
+
+
+def delta_consolidate(
+    obs: DataFrame, counter_col: str, modulus: int, step: int
+) -> DataFrame:
+    """`delta` consolidation over wrap-corrected per-sample deltas: total
+    change per (path, slot), each delta attributed to the bucket of its
+    current sample (Aggregator delta CF †; the proportional variant is
+    bin_split).
+
+    Counter64-safe end to end: with a 2⁶⁴ modulus the counter is lifted
+    to DecimalType(38,0) by the same rule as :func:`counter_rate`, and
+    ``sum`` over decimals is exact — the bucket total never transits a
+    double."""
+    if modulus > 2**63 - 1:
+        obs = obs.withColumn(
+            counter_col, F.col(counter_col).cast("decimal(38,0)")
+        )
+    d = deltas(obs, counter_col)
+    return (
+        d.filter(F.col("delta").isNotNull())
+        .withColumn("wd", wrap_correct(F.col("delta"), modulus))
+        .groupBy("path", slot_of(F.col("tse"), step).alias("slot"))
+        .agg(F.sum("wd").alias("delta_total"))
+    )
 
 
 def downsample(obs: DataFrame, step: int, value_col: str = "value") -> DataFrame:

@@ -289,16 +289,16 @@ def ts_downsample_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`delta` consolidation function: total wrap-corrected change per
     bucket, delta attributed to the bucket of the current sample
     (step-aligned; the proportional variant is `ts_bin_split`).
+
+    Shares `tsdb.delta_consolidate` with the Counter64 path: the same
+    code lifted to DecimalType(38,0) consolidates a real 2⁶⁴ counter
+    digit-exactly (property-tested in tests/test_properties.py).
     """
     cnt = _counter(_obs(spark, sf_dir)).withColumn(
         "counter", F.col("counter") % SYNTH_WRAP
     )
-    d = tsdb.deltas(cnt, "counter")
-    return (
-        d.filter(F.col("delta").isNotNull())
-        .withColumn("wd", tsdb.wrap_correct(F.col("delta"), SYNTH_WRAP))
-        .groupBy("path", tsdb.slot_of(F.col("tse"), BUCKET).alias("slot"))
-        .agg(F.sum("wd").cast("bigint").alias("delta_total"))
+    return tsdb.delta_consolidate(cnt, "counter", SYNTH_WRAP, BUCKET).select(
+        "path", "slot", F.col("delta_total").cast("bigint").alias("delta_total")
     )
 
 

@@ -90,3 +90,81 @@ def test_slot_dedup_idempotent_and_unique(spark, ts_list):
     assert a == b  # idempotent
     slots = [s for s, _ in a]
     assert len(slots) == len(set(slots))  # one row per slot
+
+
+# --- Counter64: digit-exact decimal pipeline at the 2**64 modulus ---------
+
+C64 = 2**64
+
+counter64_cases = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2**40),  # increment
+        st.integers(min_value=1, max_value=3600),  # dt to next sample
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(
+    case=counter64_cases,
+    gap_to_wrap=st.integers(min_value=0, max_value=2**41),
+)
+@PROP
+def test_counter64_rate_digit_exact(spark, case, gap_to_wrap):
+    """A real Counter64 near 2**64: wrapped deltas recover the true
+    increments DIGIT-exactly (never through a float64, which cannot
+    represent 2**64-adjacent integers), the decimal rate equals Python
+    Decimal division at the same scale, and the delta consolidation sums
+    are exact."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql.types import (
+        DecimalType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    # start just below the modulus so the staged sequence actually wraps
+    start = C64 - 1 - gap_to_wrap
+    rows, total, tse = [("p", 0, Decimal(start % C64), 0)], start, 0
+    for i, (inc, dt) in enumerate(case, start=1):
+        total += inc
+        tse += dt
+        rows.append(("p", tse, Decimal(total % C64), i))
+    schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("tse", LongType()),
+            StructField("counter", DecimalType(38, 0)),
+            StructField("event_id", LongType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = sorted(
+        tsdb.counter_rate(df, "counter", modulus=C64).collect(),
+        key=lambda r: r.tse,
+    )
+    deltas_got = [r.wrapped_delta for r in out[1:]]
+    # digit-exact increments (each staged increment < the modulus)
+    assert deltas_got == [Decimal(inc) for inc, _ in case]
+    # decimal rate == Python Decimal division quantized at the same scale
+    for r, (inc, dt) in zip(out[1:], case):
+        assert r.rate is not None
+        scale = -r.rate.as_tuple().exponent
+        want = (Decimal(inc) / Decimal(dt)).quantize(
+            Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP
+        )
+        assert r.rate == want, (r.rate, want, inc, dt)
+    # consolidation: exact decimal bucket sums, no double transit
+    cons = tsdb.delta_consolidate(df, "counter", C64, 600)
+    got = {(r.path, r.slot): r.delta_total for r in cons.collect()}
+    want_sums: dict = {}
+    tse = 0
+    for inc, dt in case:
+        tse += dt
+        k = ("p", tse - tse % 600)
+        want_sums[k] = want_sums.get(k, Decimal(0)) + Decimal(inc)
+    assert got == want_sums
