@@ -76,6 +76,7 @@ def compact(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = TARGET_FILE_BYTES,
+    sort_cols: tuple[str, ...] = ("path", "tse"),
 ) -> None:
     """Rewrite each day partition into ~target-sized files.
 
@@ -97,7 +98,7 @@ def compact(
     files_per_day = max(1, round(total_bytes / n_days / target_file_bytes))
     (
         df.repartition(files_per_day, "day")
-        .sortWithinPartitions("path", "tse")
+        .sortWithinPartitions(*sort_cols)
         .write.mode("overwrite")
         .partitionBy("day")
         .parquet(path)

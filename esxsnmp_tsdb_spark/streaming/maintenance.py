@@ -54,11 +54,26 @@ def merge_partials(existing: DataFrame, incoming: DataFrame) -> DataFrame:
 
 
 def upsert_level(
-    spark: SparkSession, level_path: str, batch_obs: DataFrame, step: int
+    spark: SparkSession,
+    level_path: str,
+    batch_obs: DataFrame,
+    step: int,
+    retention_cutoff: str | None = None,
 ) -> None:
     """Merge one micro-batch into a stored level, touching only the day
-    partitions the batch covers."""
+    partitions the batch covers.
+
+    ``retention_cutoff`` (ISO day, inclusive lower bound) makes the
+    maintenance loop retention-aware: late arrivals for already-EXPIRED
+    days are dropped instead of resurrecting a partition the expiry just
+    deleted — the classic TSDB operational race (expiry vs late
+    backfill), resolved by policy at the merge point.  Without it a
+    single stale sample would recreate ``day=<expired>`` with partials
+    for only that sample, silently wrong forever after
+    (tests/test_maintenance.py stages exactly this)."""
     inc = batch_partials(batch_obs, step)
+    if retention_cutoff is not None:
+        inc = inc.filter(F.col("day") >= F.lit(retention_cutoff).cast("date"))
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     if os.path.exists(level_path):
         days = [r.day for r in inc.select("day").distinct().collect()]
@@ -78,16 +93,25 @@ def maintain_levels(
     obs_stream: DataFrame,
     out_root: str,
     levels: tuple[int, ...] = (300, 3600),
+    retention_cutoff: str | None = None,
 ) -> "object":
     """Attach ladder maintenance to an obs stream; returns the started
-    query (caller drives it, e.g. ``processAllAvailable``)."""
+    query (caller drives it, e.g. ``processAllAvailable``).
+    ``retention_cutoff`` is forwarded to :func:`upsert_level` so the loop
+    cannot resurrect expired day partitions from late arrivals."""
     spark = obs_stream.sparkSession
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.persist()
         try:
             for step in levels:
-                upsert_level(spark, f"{out_root}/level={step}", batch_df, step)
+                upsert_level(
+                    spark,
+                    f"{out_root}/level={step}",
+                    batch_df,
+                    step,
+                    retention_cutoff=retention_cutoff,
+                )
         finally:
             batch_df.unpersist()
 
