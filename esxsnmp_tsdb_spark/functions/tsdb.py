@@ -194,18 +194,33 @@ def delta_consolidate(
     )
 
 
-def downsample(obs: DataFrame, step: int, value_col: str = "value") -> DataFrame:
+def downsample(
+    obs: DataFrame,
+    step: int,
+    value_col: str = "value",
+    hot_paths: tuple[str, ...] = (),
+    n_salts: int = 16,
+) -> DataFrame:
     """RRD consolidation to a coarser step (Aggregator base-agg path †):
     one bucketed group-by producing all five consolidation functions
     (average, delta-as-sum, min, max, last) plus the row count.
 
     ``last`` is ``max_by(value, (tse, event_id))`` — the latest reading in
     the bucket, deterministic via the ingest tiebreak.
-    """
-    return (
-        obs.withColumn("slot", slot_of(F.col("tse"), step))
-        .groupBy("path", "slot")
-        .agg(
+
+    ``hot_paths`` is the skew opt-in (SURVEY.md §4 'salting recipe for
+    hot series'): the NAMED hot series aggregate in two phases on a
+    salted key — partials on (path, slot, salt) bound any task at
+    ~1/n_salts of the hot series' slot, a final merge combines the
+    ≤ n_salts partials — while every other series takes the direct
+    single-shuffle path.  All five CFs are algebraic (``last`` rides a
+    max over the (tse, event_id, value) struct), so the salted result is
+    IDENTICAL to the direct one (tests/test_tsdb_functions.py asserts
+    equality and the two-phase plan)."""
+    slotted = obs.withColumn("slot", slot_of(F.col("tse"), step))
+
+    def direct(df: DataFrame) -> DataFrame:
+        return df.groupBy("path", "slot").agg(
             F.avg(value_col).alias("average"),
             F.sum(value_col).alias("total"),
             F.min(value_col).alias("vmin"),
@@ -213,6 +228,36 @@ def downsample(obs: DataFrame, step: int, value_col: str = "value") -> DataFrame
             F.expr(f"max_by({value_col}, struct(tse, event_id))").alias("last"),
             F.count(F.lit(1)).alias("n"),
         )
+
+    if not hot_paths:
+        return direct(slotted)
+    hot_list = list(hot_paths)
+    # Deterministic salt (hash of the ingest key, not rand()): results
+    # stay reproducible and oracle-checkable.
+    partial = (
+        slotted.filter(F.col("path").isin(hot_list))
+        .withColumn(
+            "_salt", F.pmod(F.xxhash64("tse", "event_id"), F.lit(n_salts))
+        )
+        .groupBy("path", "slot", "_salt")
+        .agg(
+            F.sum(value_col).alias("_sv"),
+            F.min(value_col).alias("_mn"),
+            F.max(value_col).alias("_mx"),
+            F.max(F.struct("tse", "event_id", value_col)).alias("_lasts"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    hot_out = partial.groupBy("path", "slot").agg(
+        (F.sum("_sv") / F.sum("_n")).alias("average"),
+        F.sum("_sv").alias("total"),
+        F.min("_mn").alias("vmin"),
+        F.max("_mx").alias("vmax"),
+        F.max("_lasts").getField(value_col).alias("last"),
+        F.sum("_n").alias("n"),
+    )
+    return direct(slotted.filter(~F.col("path").isin(hot_list))).unionByName(
+        hot_out
     )
 
 

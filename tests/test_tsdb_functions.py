@@ -173,3 +173,40 @@ def test_range_scan_half_open(spark):
     )
     vals = sorted(r.value for r in tsdb.range_scan(df, 100, 200).collect())
     assert vals == [2.0]  # begin inclusive, end exclusive
+
+
+def test_downsample_hot_path_salting_identical_and_two_phase(spark):
+    """The skew opt-in: naming a hot series must not change a single
+    value (all five CFs are algebraic), and the hot branch's plan must
+    aggregate in two phases on the salted key."""
+    from esxsnmp_tsdb_spark.plans import plan_str
+
+    rows = [
+        (p, t, float((t * 7 + i) % 101), 1, i)
+        for i, (p, t) in enumerate(
+            [("hot", t) for t in range(0, 40_000, 10)]
+            + [("cold", t) for t in range(0, 40_000, 400)]
+        )
+    ]
+    obs = spark.createDataFrame(
+        rows, "path string, tse long, value double, flags int, event_id long"
+    )
+    plain = tsdb.downsample(obs, 3600)
+    salted = tsdb.downsample(obs, 3600, hot_paths=("hot",))
+    got = {(r.path, r.slot): r for r in salted.collect()}
+    want = {(r.path, r.slot): r for r in plain.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k].average == pytest.approx(want[k].average)
+        assert got[k].total == pytest.approx(want[k].total)
+        assert got[k].vmin == want[k].vmin
+        assert got[k].vmax == want[k].vmax
+        assert got[k].last == want[k].last
+        assert got[k].n == want[k].n
+    # two-phase on the salted key: the partial exchange partitions on
+    # (path, slot, _salt), the final on (path, slot)
+    plan = plan_str(salted, "simple")
+    assert "_salt" in plan, plan
+    import re
+
+    assert re.search(r"hashpartitioning\([^)]*_salt", plan), plan
