@@ -225,3 +225,109 @@ def ts_ladder_route_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         route_sql(step=7200, begin=T_JAN10, end=T_JAN20, cf="average")
     ).select("path", "slot", F.round("value", 6).alias("value"), "n")
+
+
+# --- Counter64 at ORACLE level: the decimal pipeline end to end -----------
+# ts_counter_wrap64 proves the wrap in isolation; these two prove the FULL
+# rate and delta-consolidation paths (functions/tsdb.py counter_rate /
+# delta_consolidate with the 2**64 modulus) against DuckDB HUGEINT math.
+# Every reported number is an exact integer emitted as VARCHAR, so the
+# comparison is digit-exact and engine-neutral: the rate is reported as
+# (quotient, remainder) of the exact division wd = q*dt + r — a float64
+# would corrupt 2**64-adjacent values, and cross-engine DECIMAL division
+# scale rules differ, so integer (div, mod) is the only representation
+# both engines compute identically.
+
+from esxsnmp_tsdb_spark.operators.aggregator import (  # noqa: E402
+    _C64_SCALE,
+    WRAP64,
+    _counter,
+)
+
+_C64 = f"""c64 AS (
+  SELECT path, tse, event_id,
+         (CAST(counter AS HUGEINT) * {_C64_SCALE}) % {WRAP64} AS cw
+  FROM cnt
+),
+d64 AS (
+  SELECT path, tse, cw - lag(cw) OVER w AS delta,
+         tse - lag(tse) OVER w AS dt
+  FROM c64
+  WINDOW w AS (PARTITION BY path ORDER BY tse, event_id)
+),
+w64 AS (
+  SELECT path, tse, dt,
+         CASE WHEN delta < 0 THEN delta + {WRAP64} ELSE delta END AS wd
+  FROM d64
+)"""
+
+
+def _c64_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "decimal(38,0)"
+    cnt = _counter(_obs(spark, sf_dir))
+    return cnt.select(
+        "path",
+        "tse",
+        "event_id",
+        (
+            (F.col("counter").cast(dec) * F.lit(_C64_SCALE).cast(dec))
+            % F.lit(WRAP64).cast(dec)
+        ).alias("cw"),
+    )
+
+
+@op(
+    "ts_rate64",
+    oracle=f"""
+WITH {OBS_CTE}, {CNT_CTE}, {_C64}
+SELECT path, tse, dt,
+       CAST(wd // NULLIF(dt, 0) AS VARCHAR) AS rate_ips64,
+       CAST(wd % NULLIF(dt, 0) AS VARCHAR) AS rate_rem64
+FROM w64
+""",
+)
+def ts_rate64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter64 → per-second rate with NO float64 anywhere: the counter
+    is lifted into 2⁶⁴ range (ts_counter_wrap64's staging), wrapped and
+    delta'd in DecimalType(38,0) via `tsdb.counter_rate(modulus=2**64)`,
+    and the rate is reported as the exact (quotient, remainder) pair of
+    wd ÷ dt — digit-identical to DuckDB HUGEINT floor division (both
+    operands non-negative, so trunc ≡ floor on both engines)."""
+    from esxsnmp_tsdb_spark.functions import tsdb as tsdbf
+
+    r = tsdbf.counter_rate(_c64_obs(spark, sf_dir), "cw", modulus=2**64)
+    return r.select(
+        "path",
+        "tse",
+        "dt",
+        F.expr("CAST(wrapped_delta div NULLIF(dt, 0) AS STRING)").alias(
+            "rate_ips64"
+        ),
+        F.expr("CAST(wrapped_delta % NULLIF(dt, 0) AS STRING)").alias(
+            "rate_rem64"
+        ),
+    )
+
+
+@op(
+    "ts_downsample_delta64",
+    oracle=f"""
+WITH {OBS_CTE}, {CNT_CTE}, {_C64}
+SELECT path, tse - tse % {BUCKET} AS slot,
+       CAST(sum(wd) AS VARCHAR) AS delta_total64
+FROM w64 WHERE wd IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def ts_downsample_delta64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`delta` consolidation of a true Counter64: bucket totals of
+    wrap-corrected 2⁶⁴ deltas via the same `tsdb.delta_consolidate` the
+    synthetic-modulus op rides, lifted to DecimalType(38,0) — the sum
+    never transits a double, and the VARCHAR emission makes the
+    cross-engine check digit-exact."""
+    from esxsnmp_tsdb_spark.functions import tsdb as tsdbf
+
+    cons = tsdbf.delta_consolidate(_c64_obs(spark, sf_dir), "cw", 2**64, BUCKET)
+    return cons.select(
+        "path", "slot", F.col("delta_total").cast("string").alias("delta_total64")
+    )
