@@ -559,3 +559,72 @@ def sim_search_ivf_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked_topk(adc, TOP_K, [F.col("dist"), F.col("vec_id")]).select(
         "vec_id", "label", F.round("dist", 6).alias("adc"), "rank"
     )
+
+
+def build_lsh_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session per corpus) the ingest-persisted LSH index:
+    the corpus with its random-hyperplane bucket id, written PARTITIONED
+    BY the bucket — the layout `sim_search_ann_lsh`'s docstring promises
+    at 100 TB, where a probe reads ~1/2^planes of the data as a
+    partition-pruned scan.  Embeddings ride along in the index because
+    LSH rescoring is exact cosine on the survivors (unlike PQ, which
+    rescans codes)."""
+    from esxsnmp_tsdb_spark.operators._workdirs import op_dir
+    from esxsnmp_tsdb_spark.operators.similarity import _lsh_bucket_expr
+
+    root = op_dir(
+        "lsh_index__" + sf_dir.strip("/").replace("/", "_"), fresh=False
+    )
+    marker = os.path.join(root, "_INDEX_READY")
+    if os.path.exists(marker):
+        return root
+    e = _t(spark, sf_dir)["embeddings"]
+    bucketed = e.select(
+        "vec_id", "label", "embedding", _lsh_bucket_expr().alias("bucket")
+    )
+    (
+        bucketed.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(root, "buckets"))
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return root
+
+
+@op("sim_search_lsh_indexed", oracle=_lsh_oracle("b.bucket = q.qbucket"))
+def sim_search_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-probe LSH answered from the ingest-persisted bucket index
+    (`build_lsh_index`) — the second ANN family with its promised layout
+    made real (the first is `sim_search_ivf_pq_indexed`): the query's
+    bucket id is one O(planes·d) fold over the query row, and the probe
+    is a statically partition-pruned scan of that one bucket directory,
+    brute-forced exactly and TakeOrdered to k.  Same oracle as
+    `sim_search_ann_lsh`: the index changes the physics, not one rank.
+    Multiprobe at scale is the same index with an IN-list of bucket ids —
+    (planes+1) pruned partitions instead of one."""
+    from esxsnmp_tsdb_spark.operators.similarity import _lsh_bucket_expr
+
+    root = build_lsh_index(spark, sf_dir)
+    e = _t(spark, sf_dir)["embeddings"]
+    qrow = (
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding", _lsh_bucket_expr().alias("qbucket"))
+        .first()
+    )
+    cand = (
+        spark.read.parquet(os.path.join(root, "buckets"))
+        .filter(F.col("bucket") == qrow.qbucket)
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            "label",
+            cosine(
+                _dbl(F.col("embedding")), _dbl(F.lit(qrow.embedding))
+            ).alias("cos_raw"),
+        )
+    )
+    return ranked_topk(
+        cand, TOP_K, [F.col("cos_raw").desc(), F.col("vec_id")]
+    ).select("vec_id", "label", F.round("cos_raw", 6).alias("cos"), "rank")

@@ -305,3 +305,75 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.filter(F.col("op") == "U").select(
         "path", "slot", F.round("value", 6).alias("value")
     )
+
+
+RETENTION_CUTOFF_TSE = 1704844800  # 2024-01-10 00:00Z (_shared.T_JAN10)
+RETENTION_CUTOFF_DAY = "2024-01-10"
+
+
+@op(
+    "stream_ladder_retention",
+    oracle=f"""
+WITH obs AS (
+  SELECT concat_ws('/', user_id, event_type) AS path,
+         CAST(floor(epoch(ts)) AS BIGINT) AS tse,
+         CAST(value AS DOUBLE) AS value
+  FROM events
+)
+SELECT path, tse - tse % 3600 AS slot,
+       round(avg(value), 6) AS average,
+       min(value) AS vmin, max(value) AS vmax, count(*) AS n
+FROM obs WHERE tse >= {RETENTION_CUTOFF_TSE}
+GROUP BY path, tse - tse % 3600
+""",
+)
+def stream_ladder_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ladder maintenance under a retention policy: the foreachBatch
+    upsert loop (`streaming/maintenance.py`) runs with
+    ``retention_cutoff``, so any arrival older than the cutoff day is
+    dropped AT THE MERGE POINT — the guard that stops a late backfill
+    from resurrecting a day partition retention already expired (the
+    expiry-vs-backfill race, also staged deterministically in
+    tests/test_maintenance.py).
+
+    The oracle is the batch aggregate over the RETAINED window only:
+    equality proves the policy is exact (nothing past the cutoff leaks
+    in, nothing inside it is lost), on top of the convergence property
+    `stream_ladder_maintenance` already proves without a policy."""
+    import os
+
+    from esxsnmp_tsdb_spark.operators._workdirs import op_dir
+    from esxsnmp_tsdb_spark.streaming.maintenance import (
+        maintain_levels,
+        read_level,
+    )
+
+    out = op_dir("ladder_retention_op")
+    ev = events_stream(spark, sf_dir)
+    obs = ev.select(
+        F.concat_ws("/", "user_id", "event_type").alias("path"),
+        F.unix_timestamp("ts").alias("tse"),
+        F.col("value").cast("double").alias("value"),
+    )
+    q = maintain_levels(
+        obs, out, levels=(3600,), retention_cutoff=RETENTION_CUTOFF_DAY
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # the store must not even contain a pre-cutoff day directory
+    level_dir = os.path.join(out, "level=3600")
+    assert not any(
+        d.startswith("day=") and d.split("=", 1)[1] < RETENTION_CUTOFF_DAY
+        for d in os.listdir(level_dir)
+    ), "retention leaked a pre-cutoff day partition"
+    lvl = read_level(spark, out, 3600)
+    return lvl.select(
+        "path",
+        "slot",
+        F.round("average", 6).alias("average"),
+        "vmin",
+        "vmax",
+        "n",
+    )

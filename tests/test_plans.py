@@ -145,3 +145,12 @@ def test_ivf_pq_indexed_prunes_to_one_cell(spark):
         for r in probe.select(F.input_file_name()).distinct().collect()
     }
     assert probed == {"cell=0"}, probed
+
+
+def test_lsh_indexed_prunes_to_one_bucket(spark):
+    """The persisted LSH bucket index: the probe is a statically
+    partition-pruned scan of the query's bucket directory."""
+    df = Q["sim_search_lsh_indexed"](spark, SF_ORACLE)
+    plan = plan_str(df)
+    assert "PartitionFilters: [isnotnull(bucket" in plan, plan
+    assert "(bucket" in plan.split("PartitionFilters: [", 1)[1].split("]")[0]
