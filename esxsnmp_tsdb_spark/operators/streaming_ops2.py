@@ -236,7 +236,17 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     never re-read, which is what keeps a 100 TB store's CDC lag bounded
     by change volume, not store size).  Tombstones are retained in the
     store so later micro-batches order correctly against them; the
-    serving read filters them out."""
+    serving read filters them out.
+
+    Known cost on a skewed feed: when every batch touches TODAY, the
+    per-batch rewrite re-reads and re-writes the full hot day even for a
+    one-row change.  The fix at scale is a finer merge grain under the
+    day: a bucketed MERGE target (hash(path) buckets inside the day, so
+    a batch rewrites only the buckets it touches — the
+    `storage_bucketed_join` layout as a sink) or a deletion-vector table
+    format (Delta/Iceberg v2), where the merge appends + tombstones and
+    the rewrite moves to compaction.  Plain parquet has no sub-file
+    replace primitive, so day grain is the honest floor here."""
     import os
 
     from esxsnmp_tsdb_spark.operators._workdirs import op_dir
