@@ -387,3 +387,115 @@ def stream_ladder_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vmax",
         "n",
     )
+
+
+N_CDC_BUCKETS = 16
+
+
+@op(
+    "stream_cdc_apply_bucketed",
+    oracle=f"""
+WITH c AS (
+  SELECT concat_ws('/', user_id, event_type) AS path,
+         CAST(floor(epoch(ts)) AS BIGINT) AS tse,
+         event_id, value,
+         CASE WHEN event_id % {TOMBSTONE_MOD} = 0 THEN 'D' ELSE 'U' END AS op
+  FROM events
+),
+lww AS (
+  SELECT path, slot, value, op FROM (
+    SELECT path, tse - tse % 300 AS slot, value, op,
+           row_number() OVER (PARTITION BY path, tse - tse % 300
+                              ORDER BY tse DESC, event_id DESC) AS rn
+    FROM c
+  ) WHERE rn = 1
+)
+SELECT path, slot, round(value, 6) AS value FROM lww WHERE op = 'U'
+""",
+)
+def stream_cdc_apply_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`stream_cdc_apply` with the sub-day merge grain its docstring
+    names: the store is partitioned by (day, bkt = hash(path) mod
+    {N_CDC_BUCKETS}), and each micro-batch merges against ONLY the
+    (day, bucket) combinations it touches — on a skewed feed where every
+    batch lands on today, a one-series change rewrites 1/{N_CDC_BUCKETS}
+    of the hot day instead of all of it.  Dynamic partition overwrite at
+    the finer grain is the plain-parquet stand-in for a bucketed MERGE
+    target; same LWW semantics, same oracle as `stream_cdc_apply` — the
+    layout changes the physics, not the answer."""
+    import os
+    import tempfile
+
+    from esxsnmp_tsdb_spark.operators._workdirs import op_dir
+
+    out = op_dir("stream_cdc_bucketed_store")
+    store = os.path.join(out, "t")
+    ev = events_stream(spark, sf_dir)
+    chg = (
+        ev.select(
+            F.concat_ws("/", "user_id", "event_type").alias("path"),
+            F.unix_timestamp("ts").alias("tse"),
+            "event_id",
+            "value",
+            F.when(F.col("event_id") % TOMBSTONE_MOD == 0, "D")
+            .otherwise("U")
+            .alias("op"),
+        )
+        .withColumn("slot", F.col("tse") - F.col("tse") % 300)
+        .withColumn("bkt", F.pmod(F.xxhash64("path"), F.lit(N_CDC_BUCKETS)))
+    )
+
+    def apply_batch(bdf, epoch_id):
+        s = bdf.sparkSession
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        w = Window.partitionBy("path", "slot").orderBy(
+            F.col("tse").desc(), F.col("event_id").desc()
+        )
+        cols = ["path", "slot", "tse", "event_id", "value", "op", "bkt"]
+        inc = (
+            bdf.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(*cols)
+            .withColumn("day", F.to_date(F.timestamp_seconds(F.col("slot"))))
+        )
+        if os.path.exists(store):
+            touched = [
+                (r.day, r.bkt)
+                for r in inc.select("day", "bkt").distinct().collect()
+            ]
+            existing = s.read.parquet(store).join(
+                F.broadcast(
+                    s.createDataFrame(touched, "day date, bkt bigint")
+                ),
+                ["day", "bkt"],
+                "leftsemi",
+            )
+            merged = (
+                existing.unionByName(inc)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+                .localCheckpoint(eager=True)  # never overwrite our own input
+            )
+        else:
+            merged = inc
+        (
+            merged.repartition("day", "bkt")
+            .write.mode("overwrite" if os.path.exists(store) else "append")
+            .partitionBy("day", "bkt")
+            .parquet(store)
+        )
+
+    q = (
+        chg.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="cdcb_ckpt_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(store)
+    return back.filter(F.col("op") == "U").select(
+        "path", "slot", F.round("value", 6).alias("value")
+    )
