@@ -130,43 +130,37 @@ def vector_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly like cosine (‖a−b‖² = 2−2cos on the unit sphere) and the op
     approximates the same metric as `sim_search_topk`.
 
-    Plan: codebook and query table are broadcast (O(M·K) rows); encoding
-    is a map-only argmin via ``min_by`` over a broadcast-joined
-    (vector × subspace × code) stream, so the corpus is never shuffled;
-    the final top-k is ``TakeOrderedAndProject``.  At 100 TB the enc
-    step runs once at ingest and persists 4 small ints per vector."""
+    The codes come from the ingest-persisted index (`build_ivf_pq_index`
+    — one corpus pass per session, M small ints per vector stored), so
+    the QUERY plan touches only index artifacts: broadcast M×K distance
+    table against the codebook artifact, posexplode of the stored codes
+    (full-corpus scan here — the cell-pruned variant is
+    `sim_search_ivf_pq_indexed`), sum of M lookups per vector, heap
+    top-k.  Per-vector encoding is independent of the cell layout, so
+    the oracle's inline-encode formulation matches code for code."""
+    root = build_ivf_pq_index(spark, sf_dir)
     e = _t(spark, sf_dir)["embeddings"]
     nrm = norm(_dbl(F.col("embedding")))
-    en = e.select(
-        "vec_id",
-        "label",
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.transform(F.col("embedding"), lambda x: x.cast("double") / nrm).alias(
-            "nv"
-        ),
+            "qv"
+        )
     )
-    cb = en.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
-    )
-    ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
-    # Encode: nearest code per (vector, subspace).  min_by on the
-    # (dist, cid) struct == the oracle's row_number ORDER BY dist, cid.
-    enc = (
-        en.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .crossJoin(F.broadcast(ms))
-        .crossJoin(F.broadcast(cb))
-        .withColumn("d2", _sub_l2(F.col("nv"), F.col("cv"), F.col("m")))
-        .groupBy("vec_id", "label", "m")
-        .agg(F.min_by("cid", F.struct(F.col("d2"), F.col("cid"))).alias("code"))
-    )
-    q = en.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("nv").alias("qv"))
+    cbq = spark.read.parquet(os.path.join(root, "codebook"))
+    ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("qm"))
     qd = (
-        q.crossJoin(F.broadcast(ms.select(F.col("m").alias("qm"))))
-        .crossJoin(F.broadcast(cb))
+        q.crossJoin(F.broadcast(ms))
+        .crossJoin(F.broadcast(cbq))
         .select(
             "qm",
             F.col("cid").alias("qcid"),
             _sub_l2(F.col("qv"), F.col("cv"), F.col("qm")).alias("d2"),
         )
+    )
+    enc = (
+        spark.read.parquet(os.path.join(root, "codes"))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", F.posexplode("codes").alias("m", "code"))
     )
     adc = (
         enc.join(
