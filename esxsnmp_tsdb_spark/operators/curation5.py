@@ -20,7 +20,7 @@ task."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from esxsnmp_tsdb_spark.registry import op
@@ -152,4 +152,74 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("dim").cast("bigint").alias("dim"),
             F.round(F.col("ud") / F.col("n"), 6).alias("component"),
         )
+    )
+
+
+TOKEN_BUDGET = 800  # tokens kept per source by sample_token_budget
+
+
+@op(
+    "sample_token_budget",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+         {{hash}} AS h
+  FROM documents
+),
+ordered AS (
+  SELECT source, tok,
+         sum(tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM toks
+)
+SELECT source,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN cum <= {TOKEN_BUDGET} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN cum <= {TOKEN_BUDGET} THEN tok ELSE 0 END) AS BIGINT)
+         AS tokens_kept,
+       round(sum(CASE WHEN cum <= {TOKEN_BUDGET} THEN tok ELSE 0 END)
+             / {TOKEN_BUDGET}.0, 6) AS budget_used
+FROM ordered GROUP BY source
+""".format(hash="md5(CAST(doc_id AS VARCHAR))[1:16]"),
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling — the pretraining-mix primitive
+    `domain_quota_sample` (doc-count quota) approximates: keep the
+    hash-ordered PREFIX of each source until the cumulative WHITESPACE
+    TOKEN count reaches the per-source budget.  Mix recipes are specified
+    in tokens, not documents, because doc length varies 100×; the prefix
+    rule (cum ≤ budget keeps) is deterministic across engines and
+    cluster sizes — no sampling RNG, no order dependence.
+
+    One shuffle on ``source``; the running sum rides the same bounded
+    per-source window as the quota op.  At 100 TB the hash order also
+    de-correlates the kept prefix from crawl order — the budget takes a
+    uniform slice of the domain, not its first day."""
+    docs = _t(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("tok"),
+        F.expr("substring(md5(CAST(doc_id AS STRING)), 1, 16)").alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ordered = toks.withColumn("cum", F.sum("tok").over(w))
+    kept = F.col("cum") <= TOKEN_BUDGET
+    return ordered.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, F.col("tok")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+        F.round(
+            F.sum(F.when(kept, F.col("tok")).otherwise(0)) / float(TOKEN_BUDGET),
+            6,
+        ).alias("budget_used"),
     )

@@ -113,3 +113,52 @@ def ingest_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("src"),
     )
+
+
+BULK_EVENT_TYPE = "click"  # the bulk request's path set: every */click series
+
+
+@op(
+    "api_bulk_timerange",
+    oracle=f"""
+WITH {OBS_CTE},
+agg AS (
+  SELECT path, tse - tse % {STEP} AS slot,
+         CAST(floor(avg(value) * 1000000 + 0.5) AS BIGINT) AS avg_micro,
+         count(*) AS n
+  FROM obs
+  WHERE tse >= {T_JAN10} AND tse < {T_JAN15_NOON}
+    AND path LIKE '%/{BULK_EVENT_TYPE}'
+  GROUP BY 1, 2
+)
+SELECT path, slot, avg_micro, n FROM agg
+""",
+)
+def api_bulk_timerange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk REST fetch (``POST /bulk`` in the reference API †): ONE
+    request carries a set of series paths + a shared (begin, end, step),
+    answered as one scan instead of N single-series round trips — the
+    dashboard-panel pattern (every interface of a device, every */click
+    series here).
+
+    The path-set predicate and the time range both reach the scan (the
+    suffix filter compiles to a codegen EndsWith; the range predicate is
+    the pushed-filter path `ts_range_scan` proves), and the aggregate is
+    the same single-shuffle consolidation as every §2.2 op — request
+    fan-in changes the filter, never the plan shape.  Values are emitted
+    as integer microunits (`api_timerange_json`'s cross-engine trick)."""
+    register_views(spark, sf_dir)
+    obs = tsdb.obs_from_events(
+        load_events_range(spark, sf_dir, T_JAN10, T_JAN15_NOON)
+    )
+    return (
+        tsdb.range_scan(obs, T_JAN10, T_JAN15_NOON)
+        .filter(F.col("path").endswith("/" + BULK_EVENT_TYPE))
+        .groupBy("path", tsdb.slot_of(F.col("tse"), STEP).alias("slot"))
+        .agg(
+            F.floor(F.avg("value") * 1000000 + 0.5)
+            .cast("bigint")
+            .alias("avg_micro"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -622,3 +622,34 @@ def sim_search_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked_topk(
         cand, TOP_K, [F.col("cos_raw").desc(), F.col("vec_id")]
     ).select("vec_id", "label", F.round("cos_raw", 6).alias("cos"), "rank")
+
+
+@op(
+    "ann_recall_eval_ivfpq",
+    oracle=f"""
+WITH {_EXACT_TOPK_CTE},
+ann AS (
+  SELECT vec_id FROM ({_IVF_PQ_ORACLE})
+)
+SELECT {TOP_K} AS k,
+       (SELECT count(*) FROM ann) AS n_ann,
+       (SELECT count(*) FROM exact JOIN ann USING (vec_id)) AS hits,
+       round((SELECT count(*) FROM exact JOIN ann USING (vec_id)) * 1.0
+             / {TOP_K}, 6) AS recall
+""",
+)
+def ann_recall_eval_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the INDEXED IVF-PQ path against the exact brute-force
+    baseline — `ann_recall_eval` for the second index family, measured on
+    the production query path (`sim_search_ivf_pq_indexed`, persisted
+    cells + codes) rather than the inline composition, so the number is
+    the recall a user of the stored index actually gets.  Comparison
+    cost: two k-row results joined."""
+    exact = sim_search_topk(spark, sf_dir).select("vec_id")
+    ann = sim_search_ivf_pq_indexed(spark, sf_dir).select("vec_id")
+    hits = exact.join(ann, "vec_id").count()
+    n_ann = ann.count()
+    return spark.createDataFrame(
+        [(TOP_K, n_ann, hits, round(hits / TOP_K, 6))],
+        "k int, n_ann bigint, hits bigint, recall double",
+    )
