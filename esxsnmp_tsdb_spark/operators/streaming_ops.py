@@ -279,7 +279,12 @@ def _rate_fn(
 ) -> Iterator[pd.DataFrame]:
     """Stateful counter→rate: state carries (last_tse, last_value) across
     micro-batches per series — the reference Aggregator's 'last-processed
-    position' † living in the state store."""
+    position' † living in the state store.
+
+    Requires an in-order source (same contract as ``_zscore_fn``): a
+    batch older than the carried position would silently rate rows
+    against the wrong predecessor AND move the position backwards, so a
+    regression raises instead."""
     (path,) = key
     if state.exists:
         last_tse, last_value = state.get
@@ -287,6 +292,12 @@ def _rate_fn(
         last_tse, last_value = None, None
     for pdf in pdfs:
         pdf = pdf.sort_values(["tse", "event_id"])
+        if len(pdf) and last_tse is not None and int(pdf["tse"].iloc[0]) < last_tse:
+            raise ValueError(
+                f"stream_stateful_rate: out-of-order micro-batch for series "
+                f"{path!r}: batch starts at tse={int(pdf['tse'].iloc[0])}, "
+                f"state already advanced past tse={last_tse}"
+            )
         # Vectorized: each row rates against its predecessor via shift();
         # the state row splices in as the predecessor of row 0.  dt == 0
         # (same-timestamp consecutive samples) masks out, matching the

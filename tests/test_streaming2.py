@@ -80,3 +80,22 @@ def test_zscore_rounding_half_away_from_zero():
     z = pd.Series([1.0000005, -1.0000005, 2.5e-7])
     rounded = np.floor(z.abs() * 1e6 + 0.5) / 1e6 * np.sign(z)
     assert list(rounded) == [1.000001, -1.000001, 0.0]
+
+
+def test_rate_fn_rejects_out_of_order_batch():
+    from esxsnmp_tsdb_spark.operators.streaming_ops import _rate_fn
+
+    def run(chunks):
+        state = _FakeState()
+        outs = []
+        for chunk in chunks:
+            outs.extend(_rate_fn(("p",), iter([chunk]), state))
+        return outs
+
+    a = pd.DataFrame({"path": "p", "tse": [100, 200], "value": [1.0, 2.0],
+                      "event_id": [0, 1]})
+    b = pd.DataFrame({"path": "p", "tse": [50], "value": [0.5],
+                      "event_id": [2]})
+    run([a])  # in order: fine
+    with pytest.raises(ValueError, match="out-of-order micro-batch"):
+        run([a, b])
