@@ -331,3 +331,50 @@ def ts_downsample_delta64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cons.select(
         "path", "slot", F.col("delta_total").cast("string").alias("delta_total64")
     )
+
+
+@op(
+    "ts_rate_downsample",
+    oracle=f"""
+WITH {OBS_CTE}, {CNT_CTE},
+d AS (
+  SELECT path, tse,
+         CAST(counter - lag(counter) OVER w AS DOUBLE)
+           / nullif(tse - lag(tse) OVER w, 0) AS rate
+  FROM cnt
+  WINDOW w AS (PARTITION BY path ORDER BY tse, event_id)
+)
+SELECT path, tse - tse % {BUCKET} AS slot,
+       round(avg(rate), 6) AS avg_rate,
+       round(max(rate), 6) AS max_rate,
+       count(rate) AS n
+FROM d WHERE rate IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def ts_rate_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated rate — the canonical dashboard series (per-second
+    rate from the counter, then avg/max per 1 h slot): `ts_rate`
+    composed with the §2.2 consolidation in ONE registered op, because
+    the composition is what every utilization graph actually queries
+    (avg for the line, max for the 95th-percentile-ish peak band).
+
+    Plan: the rate window and the slot group-by share the path key, so
+    the whole op rides ONE shuffle — the window's hash exchange on path
+    feeds the partial-aggregated group-by directly."""
+    from esxsnmp_tsdb_spark.operators.aggregator import _counter
+
+    cnt = _counter(_obs(spark, sf_dir))
+    d = tsdb.deltas(cnt, "counter").withColumn(
+        "rate",
+        F.col("delta").cast("double") / F.nullif(F.col("dt"), F.lit(0)),
+    )
+    return (
+        d.filter(F.col("rate").isNotNull())
+        .groupBy("path", tsdb.slot_of(F.col("tse"), BUCKET).alias("slot"))
+        .agg(
+            F.round(F.avg("rate"), 6).alias("avg_rate"),
+            F.round(F.max("rate"), 6).alias("max_rate"),
+            F.count("rate").alias("n"),
+        )
+    )
