@@ -1,0 +1,194 @@
+"""§2.2 reports, batch 5 (EXT): the two dashboard reads every SNMP shop
+runs daily — interface utilization against provisioned capacity, and
+day-over-day comparison of the same hour slots.
+
+* ``ts_utilization_report`` — counter rate ÷ per-class capacity, rolled
+  up per series: average/peak utilization plus time-over-threshold
+  counts (>80 %, >100 %).  The capacity table is the broadcast dim
+  (ports per speed class); the reference kept it in per-var metadata.
+* ``ts_compare_window`` — the "vs yesterday" panel: each 1 h slot of a
+  target day joined to the SAME slot 24 h earlier by (path, tse−86400)
+  equi-key — a shifted self-join of the slot AGGREGATE, never of raw
+  obs, so the compare costs two small day-partition scans at any scale.
+
+Float discipline: utilization is quantized per row to integer
+micro-units (round(delta·1e6/(dt·cap)) BIGINT) before the per-series
+sum, so cross-engine summation order can't flip the 6-dp hash; the
+slot averages reuse `ts_downsample_avg`'s bounded-group rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from esxsnmp_tsdb_spark.functions import tsdb
+from esxsnmp_tsdb_spark.operators._shared import (
+    BUCKET,
+    CNT_CTE,
+    HEARTBEAT,
+    OBS_CTE,
+    T_JAN10,
+    T_JAN11,
+)
+from esxsnmp_tsdb_spark.registry import op
+from esxsnmp_tsdb_spark.sources import register_views
+
+# Provisioned per-second capacity per event class (the broadcast dim a
+# real deployment keeps per interface speed: 1G/10G/100G ports).
+CAPACITY = {
+    "click": 0.5,
+    "error": 0.2,
+    "purchase": 1.0,
+    "signup": 0.4,
+    "view": 0.6,
+}
+_CAP_VALUES = ", ".join(f"('{k}', {v})" for k, v in sorted(CAPACITY.items()))
+
+
+def _obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tsdb.obs_from_events(register_views(spark, sf_dir)["events"])
+
+
+@op(
+    "ts_utilization_report",
+    oracle=f"""
+WITH {OBS_CTE}, {CNT_CTE},
+caps(etype, cap) AS (VALUES {_CAP_VALUES}),
+d AS (
+  SELECT path, string_split(path, '/')[2] AS etype,
+         counter - lag(counter) OVER w AS delta,
+         tse - lag(tse) OVER w AS dt
+  FROM cnt
+  WINDOW w AS (PARTITION BY path ORDER BY tse, event_id)
+),
+u AS (
+  SELECT d.path,
+         CAST(round(d.delta * 1e6 / (d.dt * caps.cap)) AS BIGINT) AS util_micro
+  FROM d JOIN caps ON d.etype = caps.etype
+  WHERE d.delta IS NOT NULL AND d.dt > 0 AND d.dt <= {HEARTBEAT}
+)
+SELECT path,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       round(sum(util_micro) / 1e6 / count(*), 6) AS util_avg,
+       round(max(util_micro) / 1e6, 6) AS util_max,
+       CAST(sum(CASE WHEN util_micro > 800000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over80,
+       CAST(sum(CASE WHEN util_micro > 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over100
+FROM u GROUP BY path
+""",
+)
+def ts_utilization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interface-utilization report: per-sample counter rate divided by
+    the class capacity (broadcast dim), rolled up per series into
+    avg/peak utilization and time-over-80 %/100 % counts — the capacity
+    planning read the reference's report layer served from per-var
+    metadata.
+
+    Heartbeat discipline applies (gaps past HEARTBEAT are invalid, as in
+    `ts_rate_invalid_reasons`).  Utilization quantizes per row to BIGINT
+    micro-units before summing, so the per-series aggregate adds exact
+    integers on both engines.  One shuffle on path (the rate window);
+    the group-by reuses the same key, and the 5-row capacity dim
+    broadcasts."""
+    from esxsnmp_tsdb_spark.operators.aggregator import _counter
+
+    obs = _obs(spark, sf_dir)
+
+    d = tsdb.deltas(_counter(obs), "counter").select(
+        "path",
+        F.element_at(F.split("path", "/"), 2).alias("etype"),
+        "delta",
+        "dt",
+    )
+    caps = F.broadcast(
+        spark.createDataFrame(
+            sorted(CAPACITY.items()), ["etype", "cap"]
+        )
+    )
+    u = (
+        d.join(caps, "etype")
+        .where(
+            F.col("delta").isNotNull()
+            & (F.col("dt") > 0)
+            & (F.col("dt") <= HEARTBEAT)
+        )
+        .select(
+            "path",
+            F.round(F.col("delta") * 1e6 / (F.col("dt") * F.col("cap")))
+            .cast("bigint")
+            .alias("util_micro"),
+        )
+    )
+    return u.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.round(F.sum("util_micro") / 1e6 / F.count(F.lit(1)), 6).alias("util_avg"),
+        F.round(F.max("util_micro") / 1e6, 6).alias("util_max"),
+        F.sum((F.col("util_micro") > 800_000).cast("int"))
+        .cast("bigint")
+        .alias("n_over80"),
+        F.sum((F.col("util_micro") > 1_000_000).cast("int"))
+        .cast("bigint")
+        .alias("n_over100"),
+    )
+
+
+@op(
+    "ts_compare_window",
+    oracle=f"""
+WITH {OBS_CTE},
+slots AS (
+  SELECT path, tse - tse % {BUCKET} AS slot,
+         round(avg(value), 6) AS v
+  FROM obs
+  WHERE tse >= {T_JAN10 - 86400} AND tse < {T_JAN11}
+  GROUP BY path, tse - tse % {BUCKET}
+)
+SELECT t.path, t.slot AS tse,
+       t.v AS value_today,
+       p.v AS value_prev,
+       round((t.v - p.v) * 100 / nullif(p.v, 0), 6) AS pct_change
+FROM slots t JOIN slots p
+  ON t.path = p.path AND t.slot = p.slot + 86400
+WHERE t.slot >= {T_JAN10}
+""",
+)
+def ts_compare_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day slot comparison: every 1 h slot of Jan-10 joined to
+    the same series' slot 24 h earlier, with percent change — the
+    "compare to yesterday" dashboard overlay.
+
+    The compare is an equi-join of the slot AGGREGATE with itself on
+    (path, slot − 86400): raw obs never self-join, the two day scans are
+    partition-prunable, and the join keys are the aggregation keys, so
+    the shuffle produced by the group-by is reused by the join.  At
+    100 TB this is two day-partition reads regardless of history depth."""
+    obs = _obs(spark, sf_dir).where(
+        (F.col("tse") >= T_JAN10 - 86400) & (F.col("tse") < T_JAN11)
+    )
+    slots = obs.groupBy(
+        "path", (F.col("tse") - F.col("tse") % BUCKET).alias("slot")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    t = slots.alias("t")
+    p = slots.alias("p")
+    return (
+        t.join(
+            p,
+            (F.col("t.path") == F.col("p.path"))
+            & (F.col("t.slot") == F.col("p.slot") + 86400),
+        )
+        .where(F.col("t.slot") >= T_JAN10)
+        .select(
+            F.col("t.path").alias("path"),
+            F.col("t.slot").alias("tse"),
+            F.col("t.v").alias("value_today"),
+            F.col("p.v").alias("value_prev"),
+            F.round(
+                (F.col("t.v") - F.col("p.v"))
+                * 100
+                / F.nullif(F.col("p.v"), F.lit(0)),
+                6,
+            ).alias("pct_change"),
+        )
+    )

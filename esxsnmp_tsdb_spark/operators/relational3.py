@@ -1,0 +1,121 @@
+"""§2.4 relational surface, batch 3 (EXT): two aggregate shapes the
+first two batches didn't cover — per-group quantile bucketing (NTILE)
+and the deterministic per-group mode.
+
+* ``window_ntile`` — decile assignment WITHIN each nation (partitioned
+  window, never a global sort) rolled up into per-decile balance
+  stats: the segmentation primitive behind `customer_rfm`, exposed as
+  its own op with exact NTILE semantics.
+* ``grouped_mode`` — most frequent value per group.  Built as
+  count → rank rather than a native ``mode()`` because native modes
+  leave tie-break unspecified (engine-dependent = hash-unstable); the
+  count-desc + key-asc rank pins the answer on both engines.
+
+Scale posture: NTILE partitions by nation — ~25 bounded partitions of
+customers each, no single-task global window (plan-audit invariant);
+mode is two hash aggregates + a partitioned rank over group-local
+value counts.  Both survive arbitrary fact growth as long as no single
+GROUP's distinct-value set exceeds a partition, which is the standard
+mode contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from esxsnmp_tsdb_spark.registry import op
+from esxsnmp_tsdb_spark.sources import register_views
+
+NTILES = 10
+
+
+def _t(spark: SparkSession, sf_dir: str):
+    return register_views(spark, sf_dir)
+
+
+@op(
+    "window_ntile",
+    oracle=f"""
+WITH d AS (
+  SELECT c_nationkey,
+         ntile({NTILES}) OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal, c_custkey) AS decile,
+         c_acctbal
+  FROM customer
+)
+SELECT c_nationkey, CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(min(c_acctbal), 6) AS min_bal,
+       round(max(c_acctbal), 6) AS max_bal
+FROM d GROUP BY c_nationkey, decile
+""",
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation account-balance deciles via NTILE over a PARTITIONED
+    window (order tie-broken by c_custkey so the bucket assignment is
+    deterministic), rolled up into per-decile count and balance range —
+    the banded-segmentation report.
+
+    The window partitions by nation: each task sorts only its nation's
+    customers, so there is no global sort and no single-partition window
+    (the plan-audit invariant).  min/max per bucket avoids float
+    summation entirely — the only doubles in the output are copied
+    values, not accumulations."""
+    c = _t(spark, sf_dir)["customer"]
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    d = c.select(
+        "c_nationkey",
+        F.ntile(NTILES).over(w).cast("bigint").alias("decile"),
+        "c_acctbal",
+    )
+    return d.groupBy("c_nationkey", "decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.min("c_acctbal"), 6).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 6).alias("max_bal"),
+    )
+
+
+@op(
+    "grouped_mode",
+    oracle="""
+WITH c AS (
+  SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY c_mktsegment, c_nationkey
+),
+r AS (
+  SELECT c_mktsegment, c_nationkey, n,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY n DESC, c_nationkey) AS rn
+  FROM c
+)
+SELECT c_mktsegment, c_nationkey AS modal_nationkey, n AS n_customers
+FROM r WHERE rn = 1
+""",
+)
+def grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: the most common nation per market
+    segment, ties broken toward the smallest nation key.
+
+    Native mode() aggregates don't specify tie-break order, which makes
+    them hash-unstable across engines; the count → row_number
+    formulation pins it, costs two map-side-combined aggregates plus a
+    rank over the tiny (group, value) count table, and is the shape that
+    scales: the fact table shuffles once on the composite key, and the
+    rank input is |groups|·|values| rows, not facts."""
+    c = _t(spark, sf_dir)["customer"]
+    counts = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), "c_nationkey"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("c_nationkey").alias("modal_nationkey"),
+            F.col("n").alias("n_customers"),
+        )
+    )

@@ -92,8 +92,10 @@ _OPERATOR_MODULES = (
     "esxsnmp_tsdb_spark.operators.analytics2",
     "esxsnmp_tsdb_spark.operators.analytics3",
     "esxsnmp_tsdb_spark.operators.analytics4",
+    "esxsnmp_tsdb_spark.operators.analytics5",
     "esxsnmp_tsdb_spark.operators.relational",
     "esxsnmp_tsdb_spark.operators.relational2",
+    "esxsnmp_tsdb_spark.operators.relational3",
     "esxsnmp_tsdb_spark.operators.scalar",
     "esxsnmp_tsdb_spark.operators.tpch",
     "esxsnmp_tsdb_spark.operators.tpch2",
@@ -103,6 +105,7 @@ _OPERATOR_MODULES = (
     "esxsnmp_tsdb_spark.operators.curation3",
     "esxsnmp_tsdb_spark.operators.curation4",
     "esxsnmp_tsdb_spark.operators.curation5",
+    "esxsnmp_tsdb_spark.operators.curation6",
     "esxsnmp_tsdb_spark.operators.events_analytics",
     "esxsnmp_tsdb_spark.operators.events2",
     "esxsnmp_tsdb_spark.operators.events3",
