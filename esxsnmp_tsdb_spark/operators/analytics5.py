@@ -192,3 +192,71 @@ def ts_compare_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pct_change"),
         )
     )
+
+
+@op(
+    "ts_hierarchy_rollup",
+    oracle=f"""
+WITH {OBS_CTE}, {CNT_CTE},
+d AS (
+  SELECT path, string_split(path, '/')[1] AS device, tse,
+         counter - lag(counter) OVER w AS delta,
+         tse - lag(tse) OVER w AS dt
+  FROM cnt
+  WINDOW w AS (PARTITION BY path ORDER BY tse, event_id)
+),
+r AS (
+  SELECT path, device, tse - tse % {BUCKET} AS slot,
+         CAST(round(delta * 1e6 / dt) AS BIGINT) AS rate_micro
+  FROM d WHERE delta IS NOT NULL AND dt > 0 AND dt <= {HEARTBEAT}
+),
+series AS (
+  SELECT device, slot, path,
+         CAST(round(avg(rate_micro)) AS BIGINT) AS series_avg_micro
+  FROM r GROUP BY device, slot, path
+)
+SELECT device, slot,
+       CAST(count(*) AS BIGINT) AS n_series,
+       round(sum(series_avg_micro) / 1e6, 6) AS total_rate
+FROM series GROUP BY device, slot
+""",
+)
+def ts_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TSDBSet hierarchy rollup (reference set-level aggregation †):
+    per-interface counter rates rolled up to the DEVICE level — the
+    'router total from its interfaces' read.  Path is `device/iface`
+    (here user/event_type); the rollup is series-rate → per-slot series
+    average → device sum.
+
+    Float discipline: rates quantize to BIGINT micro-units per sample,
+    the per-(series, slot) average re-quantizes to one BIGINT, and the
+    device sum adds exact integers — three levels of aggregation with
+    zero float accumulation.  The rate window shuffles on path; both
+    group-bys ride hash partitions of their own keys (the second is a
+    rollup of the first's ≤|series|·|slots| output, not of raw obs)."""
+    from esxsnmp_tsdb_spark.operators.aggregator import _counter
+
+    obs = _obs(spark, sf_dir)
+    d = tsdb.deltas(_counter(obs), "counter")
+    r = (
+        d.where(
+            F.col("delta").isNotNull()
+            & (F.col("dt") > 0)
+            & (F.col("dt") <= HEARTBEAT)
+        )
+        .select(
+            "path",
+            F.element_at(F.split("path", "/"), 1).alias("device"),
+            (F.col("tse") - F.col("tse") % BUCKET).alias("slot"),
+            F.round(F.col("delta") * 1e6 / F.col("dt"))
+            .cast("bigint")
+            .alias("rate_micro"),
+        )
+    )
+    series = r.groupBy("device", "slot", "path").agg(
+        F.round(F.avg("rate_micro")).cast("bigint").alias("series_avg_micro")
+    )
+    return series.groupBy("device", "slot").agg(
+        F.count(F.lit(1)).alias("n_series"),
+        F.round(F.sum("series_avg_micro") / 1e6, 6).alias("total_rate"),
+    )

@@ -300,3 +300,58 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.rank().over(w).cast("bigint").alias("rank_in_lang"),
         )
     )
+
+
+@op(
+    "embedding_dim_stats",
+    oracle="""
+WITH q AS (
+  SELECT i AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS qv
+  FROM (SELECT embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(CAST(sum(qv) AS DOUBLE) / count(*) / 1e6, 6) AS mean_val,
+       round(sqrt(CAST(count(*) * sum(qv * qv) - sum(qv) * sum(qv) AS DOUBLE))
+             / count(*) / 1e6, 6) AS std_val,
+       round(min(qv) / 1e6, 6) AS min_val,
+       round(max(qv) / 1e6, 6) AS max_val
+FROM q GROUP BY dim
+""",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std/min/max over the embedding corpus — the
+    normalization statistics every vector pipeline computes before
+    whitening, quantization codebook training, or drift monitoring.
+
+    Exact-second-moment discipline: each component quantizes to a BIGINT
+    micro-unit (the float×1e6 product is exact in double — 24-bit float
+    mantissa + 20-bit scale < 53 bits — so no tie ambiguity), and the
+    moments accumulate as DecimalType(38,0) integers: n·Σq² − (Σq)²
+    is computed in exact integer arithmetic on BOTH engines (Spark
+    decimal, DuckDB HUGEINT) before the one double sqrt.  Cross-engine
+    summation order therefore cannot move the hash.  The plan is
+    posexplode + a d-group map-side-combined aggregate — each task
+    contributes d partial moment triples no matter how many vectors it
+    scans (the same allreduce shape as `embedding_pca_power_iteration`)."""
+    e = fan_out(_t(spark, sf_dir)["embeddings"])
+    q = e.select(F.posexplode("embedding").alias("pos", "comp")).select(
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.round(F.col("comp").cast("double") * 1e6).cast("bigint").alias("qv"),
+    )
+    dec = "decimal(38,0)"
+    n = F.count(F.lit(1))
+    sq = F.sum(F.col("qv").cast(dec))
+    sqq = F.sum((F.col("qv") * F.col("qv")).cast(dec))
+    return q.groupBy("dim").agg(
+        n.alias("n_vecs"),
+        F.round(sq.cast("double") / n / 1e6, 6).alias("mean_val"),
+        F.round(
+            F.sqrt((n.cast(dec) * sqq - sq * sq).cast("double")) / n / 1e6, 6
+        ).alias("std_val"),
+        F.round(F.min("qv") / 1e6, 6).alias("min_val"),
+        F.round(F.max("qv") / 1e6, 6).alias("max_val"),
+    )

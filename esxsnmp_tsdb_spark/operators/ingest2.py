@@ -162,3 +162,55 @@ def api_bulk_timerange(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@op(
+    "ingest_late_data_report",
+    oracle=f"""
+WITH {OBS_CTE},
+arr AS (
+  SELECT path, tse,
+         max(tse) OVER (PARTITION BY path ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS runmax
+  FROM obs
+)
+SELECT path,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN tse < runmax THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(coalesce(max(CASE WHEN tse < runmax THEN runmax - tse END), 0)
+            AS BIGINT) AS max_lateness_s,
+       round(coalesce(sum(CASE WHEN tse < runmax THEN runmax - tse END), 0)
+             * 1.0 / count(*), 6) AS avg_lateness_s
+FROM arr GROUP BY path
+""",
+)
+def ingest_late_data_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data audit over the ingest feed: how out-of-order each
+    series arrives, measured against the running event-time high-water
+    mark in ARRIVAL order (event_id is the poller's write sequence).
+    This is the report that tells you what streaming watermark delay
+    (`stream_watermark_late`) and batch re-sort window the deployment
+    actually needs — guessing it is how late points get dropped.
+
+    One shuffle on path (the arrival-order window); lateness sums are
+    BIGINT seconds, so the per-series aggregate is exact-integer and
+    hash-stable.  The final group-by reuses the window's partitioning —
+    no second exchange (same plan shape as `ts_utilization_report`)."""
+    obs = tsdb.obs_from_events(register_views(spark, sf_dir)["events"])
+    w = (
+        Window.partitionBy("path")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = obs.select("path", "tse", F.max("tse").over(w).alias("runmax"))
+    late = F.col("tse") < F.col("runmax")
+    lateness = F.when(late, F.col("runmax") - F.col("tse"))
+    return arr.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(late.cast("int")).cast("bigint").alias("n_late"),
+        F.coalesce(F.max(lateness), F.lit(0)).cast("bigint").alias("max_lateness_s"),
+        F.round(
+            F.coalesce(F.sum(lateness), F.lit(0)) / F.count(F.lit(1)), 6
+        ).alias("avg_lateness_s"),
+    )
