@@ -1,6 +1,7 @@
-"""§2.2 reports, batch 5 (EXT): the two dashboard reads every SNMP shop
-runs daily — interface utilization against provisioned capacity, and
-day-over-day comparison of the same hour slots.
+"""§2.2 reports, batch 5 (EXT): the dashboard reads every SNMP shop
+runs daily — interface utilization against provisioned capacity,
+day-over-day comparison of the same hour slots, and the device-level
+hierarchy rollup.
 
 * ``ts_utilization_report`` — counter rate ÷ per-class capacity, rolled
   up per series: average/peak utilization plus time-over-threshold
@@ -10,11 +11,16 @@ day-over-day comparison of the same hour slots.
   target day joined to the SAME slot 24 h earlier by (path, tse−86400)
   equi-key — a shifted self-join of the slot AGGREGATE, never of raw
   obs, so the compare costs two small day-partition scans at any scale.
+* ``ts_hierarchy_rollup`` — TSDBSet device rollup: per-interface rates
+  summed to the device level through three all-integer stages.
 
-Float discipline: utilization is quantized per row to integer
-micro-units (round(delta·1e6/(dt·cap)) BIGINT) before the per-series
-sum, so cross-engine summation order can't flip the 6-dp hash; the
-slot averages reuse `ts_downsample_avg`'s bounded-group rounding.
+Float discipline — EXACT integer utilization: capacities have one
+decimal, so ``cap10 = cap·10`` ships as an INTEGER in the dim and
+utilization micro-units are computed by integer round-half-up
+``(2n + d) div 2d`` — no double division anywhere on the utilization
+path.  This kills the real tie class (vol/(36000·cap) CAN land exactly
+on a 5e-7 boundary, and double-vs-decimal round paths then disagree
+cross-engine; observed once at sf0.01 before this formulation).
 """
 
 from __future__ import annotations
@@ -43,18 +49,27 @@ CAPACITY = {
     "signup": 0.4,
     "view": 0.6,
 }
-_CAP_VALUES = ", ".join(f"('{k}', {v})" for k, v in sorted(CAPACITY.items()))
+# cap10 = capacity * 10 as an exact INTEGER — utilization math never
+# touches a float capacity (see module docstring).
+CAP10 = {k: int(round(v * 10)) for k, v in CAPACITY.items()}
+_CAP10_VALUES = ", ".join(f"('{k}', {v})" for k, v in sorted(CAP10.items()))
 
 
 def _obs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tsdb.obs_from_events(register_views(spark, sf_dir)["events"])
 
 
+def _cap10_df(spark: SparkSession):
+    return F.broadcast(
+        spark.createDataFrame(sorted(CAP10.items()), ["etype", "cap10"])
+    )
+
+
 @op(
     "ts_utilization_report",
     oracle=f"""
 WITH {OBS_CTE}, {CNT_CTE},
-caps(etype, cap) AS (VALUES {_CAP_VALUES}),
+caps(etype, cap10) AS (VALUES {_CAP10_VALUES}),
 d AS (
   SELECT path, string_split(path, '/')[2] AS etype,
          counter - lag(counter) OVER w AS delta,
@@ -63,14 +78,18 @@ d AS (
   WINDOW w AS (PARTITION BY path ORDER BY tse, event_id)
 ),
 u AS (
+  -- util = delta/(dt*cap) = delta*10/(dt*cap10); micro-units via exact
+  -- integer round-half-up: (2n + d) // 2d
   SELECT d.path,
-         CAST(round(d.delta * 1e6 / (d.dt * caps.cap)) AS BIGINT) AS util_micro
+         (2 * d.delta * 10000000 + d.dt * caps.cap10)
+           // (2 * d.dt * caps.cap10) AS util_micro
   FROM d JOIN caps ON d.etype = caps.etype
   WHERE d.delta IS NOT NULL AND d.dt > 0 AND d.dt <= {HEARTBEAT}
 )
 SELECT path,
        CAST(count(*) AS BIGINT) AS n_samples,
-       round(sum(util_micro) / 1e6 / count(*), 6) AS util_avg,
+       round(((2 * sum(util_micro) + count(*)) // (2 * count(*))) / 1e6, 6)
+         AS util_avg,
        round(max(util_micro) / 1e6, 6) AS util_max,
        CAST(sum(CASE WHEN util_micro > 800000 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_over80,
@@ -87,28 +106,23 @@ def ts_utilization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata.
 
     Heartbeat discipline applies (gaps past HEARTBEAT are invalid, as in
-    `ts_rate_invalid_reasons`).  Utilization quantizes per row to BIGINT
-    micro-units before summing, so the per-series aggregate adds exact
-    integers on both engines.  One shuffle on path (the rate window);
-    the group-by reuses the same key, and the 5-row capacity dim
-    broadcasts."""
+    `ts_rate_invalid_reasons`).  The whole utilization path is exact
+    integer arithmetic — micro-units via ``(2n+d) div 2d`` round-half-up
+    against the integer ``cap10`` dim — so both engines compute identical
+    BIGINTs and only the final /1e6 (≤ 6 decimals, tie-free) touches a
+    double.  One shuffle on path (the rate window); the group-by reuses
+    the same key, and the 5-row capacity dim broadcasts."""
     from esxsnmp_tsdb_spark.operators.aggregator import _counter
 
     obs = _obs(spark, sf_dir)
-
     d = tsdb.deltas(_counter(obs), "counter").select(
         "path",
         F.element_at(F.split("path", "/"), 2).alias("etype"),
         "delta",
         "dt",
     )
-    caps = F.broadcast(
-        spark.createDataFrame(
-            sorted(CAPACITY.items()), ["etype", "cap"]
-        )
-    )
     u = (
-        d.join(caps, "etype")
+        d.join(_cap10_df(spark), "etype")
         .where(
             F.col("delta").isNotNull()
             & (F.col("dt") > 0)
@@ -116,14 +130,20 @@ def ts_utilization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "path",
-            F.round(F.col("delta") * 1e6 / (F.col("dt") * F.col("cap")))
-            .cast("bigint")
-            .alias("util_micro"),
+            F.expr(
+                "(2 * delta * 10000000 + dt * cap10) div (2 * dt * cap10)"
+            ).alias("util_micro"),
         )
     )
     return u.groupBy("path").agg(
         F.count(F.lit(1)).alias("n_samples"),
-        F.round(F.sum("util_micro") / 1e6 / F.count(F.lit(1)), 6).alias("util_avg"),
+        F.round(
+            F.expr(
+                "(2 * sum(util_micro) + count(1)) div (2 * count(1))"
+            )
+            / 1e6,
+            6,
+        ).alias("util_avg"),
         F.round(F.max("util_micro") / 1e6, 6).alias("util_max"),
         F.sum((F.col("util_micro") > 800_000).cast("int"))
         .cast("bigint")
@@ -206,13 +226,15 @@ d AS (
   WINDOW w AS (PARTITION BY path ORDER BY tse, event_id)
 ),
 r AS (
+  -- rate micro-units via exact integer round-half-up (2n + d) // 2d
   SELECT path, device, tse - tse % {BUCKET} AS slot,
-         CAST(round(delta * 1e6 / dt) AS BIGINT) AS rate_micro
+         (2 * delta * 1000000 + dt) // (2 * dt) AS rate_micro
   FROM d WHERE delta IS NOT NULL AND dt > 0 AND dt <= {HEARTBEAT}
 ),
 series AS (
   SELECT device, slot, path,
-         CAST(round(avg(rate_micro)) AS BIGINT) AS series_avg_micro
+         (2 * sum(rate_micro) + count(*)) // (2 * count(*))
+           AS series_avg_micro
   FROM r GROUP BY device, slot, path
 )
 SELECT device, slot,
@@ -228,12 +250,13 @@ def ts_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (here user/event_type); the rollup is series-rate → per-slot series
     average → device sum.
 
-    Float discipline: rates quantize to BIGINT micro-units per sample,
-    the per-(series, slot) average re-quantizes to one BIGINT, and the
-    device sum adds exact integers — three levels of aggregation with
-    zero float accumulation.  The rate window shuffles on path; both
-    group-bys ride hash partitions of their own keys (the second is a
-    rollup of the first's ≤|series|·|slots| output, not of raw obs)."""
+    Float discipline: rates quantize to BIGINT micro-units by exact
+    integer round-half-up, the per-(series, slot) average re-quantizes
+    the same way, and the device sum adds exact integers — three levels
+    of aggregation with zero float arithmetic until the final /1e6.
+    The rate window shuffles on path; both group-bys ride hash
+    partitions of their own keys (the second is a rollup of the first's
+    ≤|series|·|slots| output, not of raw obs)."""
     from esxsnmp_tsdb_spark.operators.aggregator import _counter
 
     obs = _obs(spark, sf_dir)
@@ -248,13 +271,15 @@ def ts_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "path",
             F.element_at(F.split("path", "/"), 1).alias("device"),
             (F.col("tse") - F.col("tse") % BUCKET).alias("slot"),
-            F.round(F.col("delta") * 1e6 / F.col("dt"))
-            .cast("bigint")
-            .alias("rate_micro"),
+            F.expr("(2 * delta * 1000000 + dt) div (2 * dt)").alias(
+                "rate_micro"
+            ),
         )
     )
     series = r.groupBy("device", "slot", "path").agg(
-        F.round(F.avg("rate_micro")).cast("bigint").alias("series_avg_micro")
+        F.expr(
+            "(2 * sum(rate_micro) + count(1)) div (2 * count(1))"
+        ).alias("series_avg_micro")
     )
     return series.groupBy("device", "slot").agg(
         F.count(F.lit(1)).alias("n_series"),

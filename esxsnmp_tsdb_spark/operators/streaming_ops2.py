@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
+from esxsnmp_tsdb_spark.operators.analytics5 import CAPACITY as _CAPACITY
 from esxsnmp_tsdb_spark.registry import op
 from esxsnmp_tsdb_spark.streaming import events_stream, run_to_memory
 
@@ -498,4 +499,85 @@ def stream_cdc_apply_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(store)
     return back.filter(F.col("op") == "U").select(
         "path", "slot", F.round("value", 6).alias("value")
+    )
+
+
+UTIL_WINDOW_SEC = 3600
+UTIL_ALERT_MICRO = 800_000  # windows above 80% of provisioned capacity alert
+# Integer cap10 dim (see analytics5 module docstring): utilization is
+# exact integer micro-units — util = vol_cents/(36000·cap10) for a 1 h
+# window, round-half-up via (2n + d) div 2d.  A double formulation hit a
+# true 5e-7 rounding tie at sf0.01 (1053/144000 = 0.0073125 exactly).
+_CAP10_VALUES = ", ".join(
+    f"('{k}', {int(round(v * 10))})" for k, v in sorted(_CAPACITY.items())
+)
+
+
+@op(
+    "stream_utilization_alert",
+    oracle=f"""
+WITH caps(etype, cap10) AS (VALUES {_CAP10_VALUES}),
+agg AS (
+  SELECT concat_ws('/', user_id, event_type) AS path,
+         event_type AS etype,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(ts)) AS BIGINT) % {UTIL_WINDOW_SEC} AS slot,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS vol_cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+u AS (
+  SELECT slot, path, n, vol_cents,
+         (2 * vol_cents * 1000000 + {UTIL_WINDOW_SEC} * 10 * cap10)
+           // (2 * {UTIL_WINDOW_SEC} * 10 * cap10) AS util_micro
+  FROM agg JOIN caps USING (etype)
+)
+SELECT slot, path, n, vol_cents,
+       round(util_micro / 1e6, 6) AS util,
+       CAST(CASE WHEN util_micro > {UTIL_ALERT_MICRO} THEN 1 ELSE 0 END
+            AS BIGINT) AS alert
+FROM u
+""",
+)
+def stream_utilization_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming utilization alerting — the live twin of
+    `ts_utilization_report`: per-series traffic volume per tumbling hour,
+    divided by the class capacity from a STATIC broadcast dim joined
+    in-stream, alerting windows past 80 % — the NOC wallboard query.
+
+    Composition: stream-static broadcast join (the `stream_static_join`
+    mechanism) feeding a windowed aggregate whose state is one row per
+    live (window, series) — bounded by the catalog, not the event rate.
+    Volumes accumulate as integer cents and utilization is exact integer
+    micro-units against the integer cap10 dim (analytics5 discipline),
+    so the state and the emitted numbers are cross-engine exact.  The
+    batch oracle recomputes the same windows from the fixture; equality
+    proves stream/batch convergence."""
+    from esxsnmp_tsdb_spark.operators.analytics5 import CAP10
+
+    ev = events_stream(spark, sf_dir)
+    caps = spark.createDataFrame(
+        sorted(CAP10.items()), ["event_type", "cap10"]
+    )
+    joined = ev.join(F.broadcast(caps), "event_type")
+    agg = joined.groupBy(
+        F.window("ts", f"{UTIL_WINDOW_SEC} seconds"),
+        F.concat_ws("/", "user_id", "event_type").alias("path"),
+        "cap10",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("vol_cents"),
+    )
+    out = run_to_memory(agg, "complete", spark)
+    util_micro = F.expr(
+        f"(2 * vol_cents * 1000000 + {UTIL_WINDOW_SEC} * 10 * cap10)"
+        f" div (2 * {UTIL_WINDOW_SEC} * 10 * cap10)"
+    )
+    return out.select(
+        F.unix_timestamp(F.col("window.start")).alias("slot"),
+        "path",
+        "n",
+        F.col("vol_cents").cast("bigint").alias("vol_cents"),
+        F.round(util_micro / 1e6, 6).alias("util"),
+        (util_micro > UTIL_ALERT_MICRO).cast("bigint").alias("alert"),
     )
