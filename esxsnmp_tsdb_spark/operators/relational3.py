@@ -119,3 +119,49 @@ def grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_customers"),
         )
     )
+
+
+SALT_R = 8  # replication factor for the salted join
+
+
+@op(
+    "salted_skew_join",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      AS BIGINT)) / 100.0, 6) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join: the fact side salts its join key with a
+    deterministic salt (l_linenumber % R) and the dim side replicates
+    R ways, so a hot orderkey's rows spread over R reducers instead of
+    one straggler task — the manual recipe behind AQE's skew-join
+    split, exposed as an operator for engines/pipelines that pin AQE
+    off.  The oracle is the UNSALTED join: identical output proves the
+    salt is pure plumbing.
+
+    Revenue accumulates as integer cents before the one division, so
+    the group sums are exact cross-engine.  At 100 TB: the replicated
+    side costs R× a dim scan (still tiny), the fact side shuffles once
+    on (key, salt) — no single reducer sees more than ~1/R of any hot
+    key."""
+    t = _t(spark, sf_dir)
+    li = t["lineitem"].withColumn("salt", (F.col("l_linenumber") % SALT_R))
+    orders = t["orders"].withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(SALT_R)]))
+    )
+    j = li.join(
+        orders,
+        (li.l_orderkey == orders.o_orderkey) & (li.salt == orders.salt),
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(cents) / 100.0, 6).alias("revenue"),
+    )
