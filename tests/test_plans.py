@@ -154,3 +154,34 @@ def test_lsh_indexed_prunes_to_one_bucket(spark):
     plan = plan_str(df)
     assert "PartitionFilters: [isnotnull(bucket" in plan, plan
     assert "(bucket" in plan.split("PartitionFilters: [", 1)[1].split("]")[0]
+
+
+def test_utilization_report_single_exchange(spark):
+    """The counter window, delta window, and the per-series rollup must
+    all ride ONE hashpartitioning(path) exchange; the capacity dim joins
+    broadcast.  A second Exchange would mean the rollup re-shuffles what
+    the window already co-located."""
+    import re
+
+    p = plan_str(Q["ts_utilization_report"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in p
+    # formatted-plan node list: "(n) Exchange" is a shuffle,
+    # "(n) BroadcastExchange" is not
+    n_shuffles = len(re.findall(r"\(\d+\) Exchange\b", p))
+    assert n_shuffles == 1, f"expected 1 hash exchange, plan has {n_shuffles}"
+
+
+def test_blocklist_joins_broadcast(spark):
+    """The term list must broadcast against the exploded token stream —
+    never shuffle tokens on the term key."""
+    p = plan_str(Q["blocklist_filter"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in p
+    assert "Generate" in p and "explode" in p
+
+
+def test_late_data_report_single_exchange(spark):
+    import re
+
+    p = plan_str(Q["ingest_late_data_report"](spark, SF_ORACLE))
+    n_shuffles = len(re.findall(r"\(\d+\) Exchange\b", p))
+    assert n_shuffles == 1, f"expected 1 hash exchange, plan has {n_shuffles}"
