@@ -378,3 +378,55 @@ def ts_rate_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("rate").alias("n"),
         )
     )
+
+
+@op(
+    "ts_aggregate_row",
+    oracle=f"""
+WITH {OBS_CTE},
+k AS (  -- composite order key: event_id < 1e7 at every fixture scale
+  SELECT path, tse - tse % {BUCKET} AS slot, tse, value,
+         tse * 10000000 + event_id AS ok
+  FROM obs
+)
+SELECT path, slot,
+       round(avg(value), 6) AS average,
+       round(arg_max(value, ok) - arg_min(value, ok), 6) AS delta,
+       round(min(value), 6) AS vmin,
+       round(max(value), 6) AS vmax,
+       round(arg_max(value, ok), 6) AS last,
+       CAST(count(*) AS BIGINT) AS n
+FROM k GROUP BY path, slot
+""",
+)
+def ts_aggregate_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ``Aggregate`` row type in ONE pass (tsdb/row.py ·
+    Aggregate †): every consolidated slot carries all five named fields
+    — average, delta (last − first reading), min, max, last — exactly
+    as the RRD-style aggregate row stored them, instead of five separate
+    consolidation queries.
+
+    One hash aggregate computes all five: avg/min/max are plain
+    aggregates; first/last ride ``min_by``/``max_by`` on a composite
+    (tse, event_id) scalar key (tse·10⁷ + event_id — event_id stays
+    far below 10⁷ at every fixture scale), which both engines order
+    identically.  One shuffle on (path, slot) with map-side partials;
+    at 100 TB this halves the scan count of a dashboard that wants the
+    full aggregate row vs issuing per-field queries."""
+    obs = tsdb.obs_from_events(register_views(spark, sf_dir)["events"])
+    k = obs.select(
+        "path",
+        (F.col("tse") - F.col("tse") % BUCKET).alias("slot"),
+        "value",
+        (F.col("tse") * 10_000_000 + F.col("event_id")).alias("ok"),
+    )
+    return k.groupBy("path", "slot").agg(
+        F.round(F.avg("value"), 6).alias("average"),
+        F.round(
+            F.max_by("value", F.col("ok")) - F.min_by("value", F.col("ok")), 6
+        ).alias("delta"),
+        F.round(F.min("value"), 6).alias("vmin"),
+        F.round(F.max("value"), 6).alias("vmax"),
+        F.round(F.max_by("value", F.col("ok")), 6).alias("last"),
+        F.count(F.lit(1)).alias("n"),
+    )

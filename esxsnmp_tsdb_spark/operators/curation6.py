@@ -355,3 +355,108 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("qv") / 1e6, 6).alias("min_val"),
         F.round(F.max("qv") / 1e6, 6).alias("max_val"),
     )
+
+
+VOCAB_SOURCE = "src0"  # the "tokenizer training set" stand-in
+
+
+@op(
+    "tokenizer_vocab_coverage",
+    oracle=f"""
+WITH vocab AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE source = '{VOCAB_SOURCE}'
+),
+tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS oov_rate
+FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.source
+""",
+)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: out-of-vocabulary rate per source
+    against a vocab derived from one source's documents (the stand-in
+    for a tokenizer's training corpus) — the check that tells you which
+    incoming domain the tokenizer will shred into bytes.
+
+    The vocab is an aggregate (DISTINCT tokens of the training source)
+    joined BROADCAST against the corpus token stream: vocabularies are
+    10⁴–10⁵ entries at any corpus size, so the membership test never
+    shuffles the token stream on the term key.  OOV counts are exact
+    integers; one (source) hash aggregate emits the report."""
+    docs = fan_out(_t(spark, sf_dir)["documents"].select("source", "text"))
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = (
+        tok.where(F.col("source") == VOCAB_SOURCE)
+        .select("tok")
+        .distinct()
+        .withColumn("in_vocab", F.lit(1))
+    )
+    j = tok.join(F.broadcast(vocab), "tok", "left")
+    oov = F.col("in_vocab").isNull()
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(oov.cast("int")).cast("bigint").alias("n_oov"),
+        F.round(F.sum(oov.cast("int")) / F.count(F.lit(1)), 6).alias("oov_rate"),
+    )
+
+
+CTX_W = 32  # context window (tokens)
+CTX_S = 24  # stride (tokens) — W - S = 8 tokens of overlap
+
+
+@op(
+    "doc_sliding_context_chunks",
+    oracle=f"""
+WITH d AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(CASE WHEN len(string_split(text, ' ')) <= {CTX_W} THEN 1
+              ELSE 1 + (len(string_split(text, ' ')) - {CTX_W}
+                        + {CTX_S} - 1) // {CTX_S}
+              END AS BIGINT) AS n_chunks
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tokens_in,
+       CAST(sum(n_chunks) AS BIGINT) AS n_sequences,
+       CAST(sum(n_chunks * {CTX_W}) AS BIGINT) AS tokens_emitted,
+       round(sum(n_chunks * {CTX_W}) * 1.0 / sum(n_tok), 6)
+         AS duplication_factor
+FROM d GROUP BY source
+""",
+)
+def doc_sliding_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-context chunking plan: how many W-token training
+    sequences (stride S, W−S overlap) each source yields, and the
+    token-duplication factor the overlap costs — the numbers that size
+    a pretraining run before anyone materializes a single sequence.
+
+    chunks(n) = 1 + ceil(max(0, n−W)/S) in pure integer arithmetic — a
+    closed form per document, so the 'plan' costs one codegen projection
+    + one hash aggregate and never explodes the corpus (the
+    materializing twin would explode ranges exactly like `ts_bin_split`
+    and is deliberately NOT run for a sizing report)."""
+    docs = _t(spark, sf_dir)["documents"]
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    n_chunks = F.when(n_tok <= CTX_W, F.lit(1)).otherwise(
+        1 + F.floor((n_tok - CTX_W + CTX_S - 1) / CTX_S)
+    ).cast("bigint")
+    d = docs.select("source", n_tok.alias("n_tok"), n_chunks.alias("n_chunks"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("tokens_in"),
+        F.sum("n_chunks").cast("bigint").alias("n_sequences"),
+        (F.sum("n_chunks") * CTX_W).cast("bigint").alias("tokens_emitted"),
+        F.round(F.sum("n_chunks") * CTX_W / F.sum("n_tok"), 6).alias(
+            "duplication_factor"
+        ),
+    )
