@@ -250,3 +250,183 @@ def multimodal_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aspect"
         ),
     )
+
+
+PHASH_BLOCKS = 64  # perceptual-hash blocks (bits)
+PHASH_BAND_BITS = 8  # bits per LSH band -> 8 bands
+PHASH_HAM_T = 20  # Hamming threshold for a confirmed near-dup
+
+
+@op(
+    "multimodal_phash_dedup",
+    oracle=f"""
+WITH chars AS (
+  SELECT doc_id, CAST(len(text) AS BIGINT) AS ln,
+         ascii(unnest(string_split(text, ''))) AS a,
+         CAST(unnest(generate_series(0, len(text) - 1)) AS BIGINT) AS pos
+  FROM documents
+),
+blk AS (
+  SELECT doc_id, ln, (pos * {PHASH_BLOCKS}) // ln AS b,
+         CAST(sum(a) AS BIGINT) AS s_b, CAST(count(*) AS BIGINT) AS n_b
+  FROM chars GROUP BY doc_id, ln, (pos * {PHASH_BLOCKS}) // ln
+),
+tot AS (
+  SELECT doc_id, CAST(sum(s_b) AS BIGINT) AS s, CAST(sum(n_b) AS BIGINT) AS n
+  FROM blk GROUP BY doc_id
+),
+bits AS (  -- bit_b = block mean above doc mean, exact integer cross-multiply
+  SELECT blk.doc_id, blk.b,
+         CASE WHEN blk.s_b * tot.n > tot.s * blk.n_b THEN 1 ELSE 0 END AS bit
+  FROM blk JOIN tot USING (doc_id)
+),
+sig AS (
+  SELECT doc_id, b // {PHASH_BAND_BITS} AS band_idx,
+         CAST(sum(bit * (CAST(1 AS BIGINT) << (b % {PHASH_BAND_BITS})))
+              AS BIGINT) AS key
+  FROM bits GROUP BY doc_id, b // {PHASH_BAND_BITS}
+),
+cand AS (
+  SELECT a.band_idx, a.doc_id AS da, b.doc_id AS db
+  FROM sig a JOIN sig b
+    ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id
+),
+pairs AS (SELECT DISTINCT da, db FROM cand),
+ham AS (
+  SELECT p.da, p.db,
+         CAST(sum(bit_count(xor(sa.key, sb.key))) AS BIGINT) AS hamming
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.da
+  JOIN sig sb ON sb.doc_id = p.db AND sb.band_idx = sa.band_idx
+  GROUP BY p.da, p.db
+)
+SELECT s.band_idx,
+       CAST(count(DISTINCT s.key) AS BIGINT) AS n_buckets,
+       CAST(coalesce(c.n_pairs, 0) AS BIGINT) AS n_candidate_pairs,
+       CAST(coalesce(c.n_confirmed, 0) AS BIGINT) AS n_confirmed
+FROM (SELECT band_idx, key FROM sig) s
+LEFT JOIN (
+  SELECT cand.band_idx, count(*) AS n_pairs,
+         sum(CASE WHEN ham.hamming <= {PHASH_HAM_T} THEN 1 ELSE 0 END)
+           AS n_confirmed
+  FROM cand JOIN ham ON cand.da = ham.da AND cand.db = ham.db
+  GROUP BY cand.band_idx
+) c ON s.band_idx = c.band_idx
+GROUP BY s.band_idx, c.n_pairs, c.n_confirmed
+""",
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by perceptual hash: each blob
+    (the fixture's text-as-bytes stand-in) maps to a 64-bit block hash
+    — bit b set iff block b's byte mean exceeds the blob mean, decided
+    by EXACT integer cross-multiply (s_b·N > S·n_b), never floats —
+    then LSH-banded into 8×8-bit keys.  Candidates come from band
+    equi-joins (never all pairs); a candidate confirms when the full
+    64-bit Hamming distance (bit_count ∘ xor over the 8 band keys) is
+    ≤ the threshold.  The report is the per-band sensitivity table:
+    buckets, candidate pairs, confirmed near-dups.
+
+    This is `dedup_near_minhash`'s banding recipe transplanted onto a
+    byte-level perceptual signature — the standard image-dedup pipeline
+    (pHash + Hamming ball) with the codec stubbed exactly as
+    `multimodal_decode` documents.  At 100 TB the sig table is 8 small
+    rows per blob and the only corpus-proportional shuffle keys are
+    8-bit band buckets."""
+    from esxsnmp_tsdb_spark.session import fan_out
+
+    docs = fan_out(
+        register_views(spark, sf_dir)["documents"].select("doc_id", "text")
+    )
+    chars = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("ln"),
+        F.posexplode(F.split("text", "")).alias("pos", "ch"),
+    ).select(
+        "doc_id", "ln", F.ascii("ch").alias("a"), F.col("pos").cast("bigint").alias("pos")
+    )
+    blk = (
+        chars.withColumn("b", F.expr(f"(pos * {PHASH_BLOCKS}) div ln"))
+        .groupBy("doc_id", "ln", "b")
+        .agg(F.sum("a").alias("s_b"), F.count(F.lit(1)).alias("n_b"))
+    )
+    tot = blk.groupBy("doc_id").agg(
+        F.sum("s_b").alias("s"), F.sum("n_b").alias("n")
+    )
+    bits = blk.join(tot, "doc_id").select(
+        "doc_id",
+        "b",
+        (F.col("s_b") * F.col("n") > F.col("s") * F.col("n_b"))
+        .cast("int")
+        .alias("bit"),
+    )
+    sig = (
+        bits.withColumn("band_idx", F.expr(f"b div {PHASH_BAND_BITS}"))
+        .withColumn(
+            "k",
+            F.expr(
+                f"bit * (shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(b % {PHASH_BAND_BITS} AS INT)))"
+            ),
+        )
+        .groupBy("doc_id", "band_idx")
+        .agg(F.sum("k").cast("bigint").alias("key"))
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.band_idx").alias("band_idx"),
+        F.col("a.doc_id").alias("da"),
+        F.col("b.doc_id").alias("db"),
+    )
+    pairs = cand.select("da", "db").distinct()
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    ham = (
+        pairs.join(sa, F.col("sa.doc_id") == F.col("da"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("db"))
+            & (F.col("sb.band_idx") == F.col("sa.band_idx")),
+        )
+        .groupBy("da", "db")
+        .agg(
+            F.sum(
+                F.bit_count(
+                    F.col("sa.key").bitwiseXOR(F.col("sb.key"))
+                )
+            )
+            .cast("bigint")
+            .alias("hamming")
+        )
+    )
+    band_stats = (
+        cand.join(ham, ["da", "db"])
+        .groupBy("band_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum((F.col("hamming") <= PHASH_HAM_T).cast("int")).alias(
+                "n_confirmed_raw"
+            ),
+        )
+    )
+    return (
+        sig.select("band_idx", "key")
+        .join(band_stats, "band_idx", "left")
+        .groupBy("band_idx", "n_pairs", "n_confirmed_raw")
+        .agg(F.countDistinct("key").alias("n_buckets"))
+        .select(
+            "band_idx",
+            F.col("n_buckets").cast("bigint").alias("n_buckets"),
+            F.coalesce(F.col("n_pairs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_candidate_pairs"),
+            F.coalesce(F.col("n_confirmed_raw"), F.lit(0))
+            .cast("bigint")
+            .alias("n_confirmed"),
+        )
+    )
