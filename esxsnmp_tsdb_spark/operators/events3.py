@@ -145,3 +145,85 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "credited_value"
         ),
     )
+
+
+HALFLIFE = 21600  # time-decay half-life: 6h -> 4 dyadic steps in the window
+
+
+@op(
+    "attribution_time_decay",
+    oracle=f"""
+WITH {_EV_CTE},
+purchases AS (
+  SELECT user_id, tse AS ptse, event_id AS pid, value
+  FROM ev WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id, event_type, tse, event_id
+  FROM ev WHERE event_type <> 'purchase'
+),
+weighted AS (  -- dyadic integer weight: w = 2^(steps_remaining)
+  SELECT p.pid, p.value, t.event_type,
+         CAST(1 AS BIGINT)
+           << CAST(({LOOKBACK} // {HALFLIFE} - 1)
+                   - (p.ptse - t.tse - 1) // {HALFLIFE} AS INT) AS w
+  FROM purchases p JOIN touches t
+    ON t.user_id = p.user_id
+   AND t.tse >= p.ptse - {LOOKBACK} AND t.tse < p.ptse
+),
+sw AS (
+  SELECT *, CAST(sum(w) OVER (PARTITION BY pid) AS BIGINT) AS w_total
+  FROM weighted
+)
+SELECT event_type AS channel,
+       count(DISTINCT pid) AS n_purchases,
+       CAST(sum(w) AS BIGINT) AS weight_sum,
+       round(sum(value * w / w_total), 6) AS credited_value
+FROM sw GROUP BY event_type
+""",
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: a touch's credit halves every
+    HALFLIFE before the purchase — recency-weighted, completing the
+    attribution family (last-touch winner / linear equal / decay).
+
+    Determinism: weights are EXACT dyadic integers (1 << steps_remaining
+    via integer floor-division of the age — never pow() on doubles,
+    whose last-ulp differs between libm and the JVM), the per-purchase
+    normalizer is an integer window sum, and only the final credit
+    division touches floats, rounded at 6 on both sides.  Same bounded
+    range self-join + per-purchase window shape as
+    `attribution_linear`."""
+    ev = _ev(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("tse").alias("ptse"),
+        F.col("event_id").alias("pid"),
+        "value",
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", F.col("event_type").alias("channel"), "tse"
+    )
+    steps = LOOKBACK // HALFLIFE - 1
+    joined = p.join(
+        t,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("tse") >= F.col("ptse") - LOOKBACK)
+        & (F.col("tse") < F.col("ptse")),
+    ).withColumn(
+        "w",
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST({steps} - (ptse - tse - 1) div {HALFLIFE} AS INT))"
+        ),
+    )
+    sw = joined.withColumn(
+        "w_total", F.sum("w").over(Window.partitionBy("pid"))
+    )
+    return sw.groupBy("channel").agg(
+        F.countDistinct("pid").alias("n_purchases"),
+        F.sum("w").cast("bigint").alias("weight_sum"),
+        F.round(
+            F.sum(F.col("value") * F.col("w") / F.col("w_total")), 6
+        ).alias("credited_value"),
+    )
