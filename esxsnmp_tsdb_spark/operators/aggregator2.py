@@ -23,6 +23,7 @@ from esxsnmp_tsdb_spark.operators._shared import (
     BUCKET,
     CNT_CTE,
     OBS_CTE,
+    STEP,
     SYNTH_WRAP,
     T_JAN10,
     T_JAN11,
@@ -429,4 +430,74 @@ def ts_aggregate_row(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("value"), 6).alias("vmax"),
         F.round(F.max_by("value", F.col("ok")), 6).alias("last"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+@op(
+    "ts_wrap_eta",
+    oracle=f"""
+WITH {OBS_CTE}, {CNT_CTE},
+k AS (
+  SELECT path, tse, counter, tse * 10000000 + event_id AS ok FROM cnt
+),
+span AS (
+  SELECT path,
+         CAST(count(*) AS BIGINT) AS n,
+         arg_min(counter, ok) AS c0, arg_max(counter, ok) AS c1,
+         arg_min(tse, ok) AS t0, arg_max(tse, ok) AS t1
+  FROM k GROUP BY path
+)
+SELECT path, n,
+       round(CAST(c1 - c0 AS DOUBLE) / (t1 - t0), 6) AS avg_cps,
+       round(({SYNTH_WRAP} - c1 % {SYNTH_WRAP}) * CAST(t1 - t0 AS DOUBLE)
+             / (c1 - c0), 6) AS secs_to_wrap,
+       round({SYNTH_WRAP} * CAST(t1 - t0 AS DOUBLE) / (c1 - c0), 6)
+         AS wrap_period_s,
+       CAST(CASE WHEN {SYNTH_WRAP} * CAST(t1 - t0 AS DOUBLE) / (c1 - c0) / 2
+                      >= {STEP} THEN 1 ELSE 0 END AS BIGINT) AS poll_ok
+FROM span WHERE c1 > c0 AND t1 > t0
+""",
+)
+def ts_wrap_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter-wrap ETA and poll-interval sizing — the operational check
+    behind every Counter32 deployment (reference wrap semantics,
+    `ts_counter_wrap` †): at the series' long-run rate, when does the
+    counter next wrap, and is the poll interval short enough to observe
+    every wrap (poll ≤ wrap_period/2, else deltas alias)?
+
+    The long-run rate is (last−first counter)/(last−first tse) from
+    EXACT integer endpoints (min_by/max_by on the composite time key —
+    no float regression, no accumulation), so every output is a single
+    deterministic division, rounded at 6.  One hash aggregate per
+    series; the plan is scan → one shuffle on path → 4-way min/max_by."""
+    from esxsnmp_tsdb_spark.operators.aggregator import _counter
+
+    obs = tsdb.obs_from_events(register_views(spark, sf_dir)["events"])
+    k = _counter(obs).select(
+        "path",
+        "tse",
+        "counter",
+        (F.col("tse") * 10_000_000 + F.col("event_id")).alias("ok"),
+    )
+    span = k.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min_by("counter", F.col("ok")).alias("c0"),
+        F.max_by("counter", F.col("ok")).alias("c1"),
+        F.min_by("tse", F.col("ok")).alias("t0"),
+        F.max_by("tse", F.col("ok")).alias("t1"),
+    )
+    dt = (F.col("t1") - F.col("t0")).cast("double")
+    dc = F.col("c1") - F.col("c0")
+    period = SYNTH_WRAP * dt / dc
+    return span.where((dc > 0) & (F.col("t1") > F.col("t0"))).select(
+        "path",
+        "n",
+        F.round(dc.cast("double") / (F.col("t1") - F.col("t0")), 6).alias(
+            "avg_cps"
+        ),
+        F.round(
+            (SYNTH_WRAP - F.col("c1") % SYNTH_WRAP) * dt / dc, 6
+        ).alias("secs_to_wrap"),
+        F.round(period, 6).alias("wrap_period_s"),
+        (period / 2 >= STEP).cast("bigint").alias("poll_ok"),
     )
