@@ -230,3 +230,104 @@ def storage_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("quality").alias("sum_quality"),
         )
     )
+
+
+SNAP_DAY0 = T_JAN10 // 86400  # first day of the snapshot window
+SNAP_DAYS = 10                # window length (days)
+SNAP_CHANGED = SNAP_DAY0 + 5  # the day the second snapshot rewrites
+
+
+@op(
+    "storage_snapshot_time_travel",
+    oracle=f"""
+WITH {OBS_CTE},
+base AS (
+  SELECT value, tse // 86400 AS day
+  FROM obs WHERE tse >= {T_JAN10} AND tse < {T_JAN20}
+),
+v1 AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM base GROUP BY day
+),
+v2 AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(CASE WHEN day = {SNAP_CHANGED}
+                                  THEN value * 2 ELSE value END * 100)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM base GROUP BY day
+)
+SELECT v1.day, v1.n AS n_v1, v1.cents AS cents_v1,
+       v2.n AS n_v2, v2.cents AS cents_v2,
+       CAST(CASE WHEN v1.day = {SNAP_CHANGED} THEN 1 ELSE 0 END AS BIGINT)
+         AS changed
+FROM v1 JOIN v2 USING (day)
+""",
+)
+def storage_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation + time travel on plain parquet — the
+    poor-man's-Iceberg mechanism: data files are immutable under
+    ``data/<day>/<version>/``, and a SNAPSHOT is nothing but a manifest
+    mapping day → version directory.  An upsert copy-on-writes ONLY the
+    touched day into a new version dir and publishes a new manifest;
+    every older manifest still resolves to the untouched v1 files, so
+    reading snapshot 1 after the upsert returns the pre-upsert table
+    bit-for-bit.  This op builds both snapshots, reads BOTH back through
+    their manifests, and emits the per-day diff; the oracle recomputes
+    both versions from the fixture — equality proves isolation.
+
+    At 100 TB: a snapshot read lists the manifest (KB) and opens only
+    the referenced day dirs — manifest pruning, exactly how table
+    formats skip dead files; the upsert cost is one day partition, not
+    the table.  The day loop below touches ~10 directories of METADATA,
+    never row data (the ladder-maintenance bounded-loop pattern)."""
+    import json
+
+    from esxsnmp_tsdb_spark.operators._workdirs import op_dir
+
+    obs = _obs(spark, sf_dir)
+    base = obs.where(
+        (F.col("tse") >= T_JAN10) & (F.col("tse") < T_JAN20)
+    ).withColumn("day", F.expr("tse div 86400"))
+
+    root = op_dir("snapshot_tt")
+    days = list(range(SNAP_DAY0, SNAP_DAY0 + SNAP_DAYS))
+    manifest1, manifest2 = {}, {}
+    for d in days:
+        p1 = os.path.join(root, "data", str(d), "v1")
+        base.where(F.col("day") == d).write.mode("overwrite").parquet(p1)
+        manifest1[str(d)] = p1
+        manifest2[str(d)] = p1
+    # copy-on-write upsert: double the changed day's values into v2
+    p2 = os.path.join(root, "data", str(SNAP_CHANGED), "v2")
+    (
+        base.where(F.col("day") == SNAP_CHANGED)
+        .withColumn("value", F.col("value") * 2)
+        .write.mode("overwrite")
+        .parquet(p2)
+    )
+    manifest2[str(SNAP_CHANGED)] = p2
+    for name, m in (("s1", manifest1), ("s2", manifest2)):
+        with open(os.path.join(root, f"manifest_{name}.json"), "w") as f:
+            json.dump(m, f)
+
+    def read_snapshot(name: str) -> DataFrame:
+        with open(os.path.join(root, f"manifest_{name}.json")) as f:
+            m = json.load(f)
+        return spark.read.parquet(*m.values())
+
+    cents = F.sum(F.floor(F.col("value") * 100).cast("bigint")).cast("bigint")
+    v1 = read_snapshot("s1").groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_v1"), cents.alias("cents_v1")
+    )
+    v2 = read_snapshot("s2").groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_v2"), cents.alias("cents_v2")
+    )
+    return v1.join(v2, "day").select(
+        "day",
+        "n_v1",
+        "cents_v1",
+        "n_v2",
+        "cents_v2",
+        (F.col("day") == SNAP_CHANGED).cast("bigint").alias("changed"),
+    )
