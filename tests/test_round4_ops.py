@@ -137,3 +137,124 @@ def test_grouped_mode_is_argmax(spark):
     mode = relational3.grouped_mode(spark, SF_SMOKE)
     for r in mode.collect():
         assert r["n_customers"] == top[r["c_mktsegment"]]
+
+
+def test_aggregate_row_field_consistency(spark):
+    from esxsnmp_tsdb_spark.operators.aggregator2 import ts_aggregate_row
+
+    df = ts_aggregate_row(spark, SF_SMOKE).cache()
+    assert df.filter(F.col("vmin") > F.col("vmax")).count() == 0
+    assert df.filter(
+        (F.col("average") < F.col("vmin")) | (F.col("average") > F.col("vmax"))
+    ).count() == 0
+    assert df.filter(
+        (F.col("last") < F.col("vmin")) | (F.col("last") > F.col("vmax"))
+    ).count() == 0
+    # delta = last - first, both inside [vmin, vmax] => |delta| <= range
+    assert df.filter(
+        F.abs(F.col("delta")) > F.col("vmax") - F.col("vmin") + 1e-9
+    ).count() == 0
+
+
+def test_wrap_eta_poll_rule(spark):
+    from esxsnmp_tsdb_spark.operators._shared import STEP
+    from esxsnmp_tsdb_spark.operators.aggregator2 import ts_wrap_eta
+
+    df = ts_wrap_eta(spark, SF_SMOKE).cache()
+    assert df.filter(F.col("avg_cps") <= 0).count() == 0
+    assert df.filter(F.col("secs_to_wrap") < 0).count() == 0
+    assert df.filter(F.col("secs_to_wrap") > F.col("wrap_period_s")).count() == 0
+    # poll_ok is exactly the wrap_period/2 >= STEP rule
+    bad = df.filter(
+        (F.col("wrap_period_s") / 2 >= STEP) != (F.col("poll_ok") == 1)
+    ).count()
+    assert bad == 0
+
+
+def test_vocab_coverage_training_source_has_zero_oov(spark):
+    from esxsnmp_tsdb_spark.operators.curation6 import (
+        VOCAB_SOURCE,
+        tokenizer_vocab_coverage,
+    )
+
+    df = tokenizer_vocab_coverage(spark, SF_SMOKE).cache()
+    row = df.filter(F.col("source") == VOCAB_SOURCE).first()
+    assert row is not None and row["n_oov"] == 0
+    assert df.filter(F.col("n_oov") > F.col("n_tokens")).count() == 0
+
+
+def test_context_chunks_arithmetic(spark):
+    from esxsnmp_tsdb_spark.operators.curation6 import (
+        CTX_S,
+        CTX_W,
+        doc_sliding_context_chunks,
+    )
+
+    df = doc_sliding_context_chunks(spark, SF_SMOKE).cache()
+    # emitted tokens = sequences * W exactly; duplication factor >= ~W/n cap
+    assert df.filter(
+        F.col("tokens_emitted") != F.col("n_sequences") * CTX_W
+    ).count() == 0
+    assert df.filter(F.col("duplication_factor") <= 0).count() == 0
+    # overlap can duplicate at most W/S per token (long docs) plus padding
+    assert CTX_W / CTX_S < 2
+
+
+def test_phash_band_counts_nest(spark):
+    from esxsnmp_tsdb_spark.operators.multimodal import (
+        PHASH_BAND_BITS,
+        PHASH_BLOCKS,
+        multimodal_phash_dedup,
+    )
+
+    df = multimodal_phash_dedup(spark, SF_SMOKE).cache()
+    assert df.count() == PHASH_BLOCKS // PHASH_BAND_BITS
+    assert df.filter(F.col("n_confirmed") > F.col("n_candidate_pairs")).count() == 0
+    assert df.filter(F.col("n_buckets") <= 0).count() == 0
+
+
+def test_attribution_decay_weights_are_dyadic(spark):
+    from esxsnmp_tsdb_spark.operators.events3 import attribution_time_decay
+
+    df = attribution_time_decay(spark, SF_SMOKE).cache()
+    assert df.filter(F.col("credited_value") < 0).count() == 0
+    assert df.filter(F.col("weight_sum") <= 0).count() == 0
+
+
+def test_snapshot_time_travel_isolation(spark):
+    from esxsnmp_tsdb_spark.operators.storage2 import (
+        SNAP_CHANGED,
+        storage_snapshot_time_travel,
+    )
+
+    df = storage_snapshot_time_travel(spark, SF_SMOKE).cache()
+    # unchanged days are bit-identical across snapshots
+    assert df.filter(
+        (F.col("changed") == 0)
+        & (
+            (F.col("n_v1") != F.col("n_v2"))
+            | (F.col("cents_v1") != F.col("cents_v2"))
+        )
+    ).count() == 0
+    # the rewritten day differs in exactly the doubled-value way
+    row = df.filter(F.col("day") == SNAP_CHANGED).first()
+    if row is not None:
+        assert row["n_v1"] == row["n_v2"]
+        assert row["cents_v2"] >= 2 * row["cents_v1"] - row["n_v1"]
+        assert row["cents_v2"] <= 2 * row["cents_v1"] + row["n_v1"]
+
+
+def test_salted_join_matches_plain_join(spark):
+    from esxsnmp_tsdb_spark.operators.relational3 import salted_skew_join
+
+    t = register_views(spark, SF_SMOKE)
+    plain = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    salted = salted_skew_join(spark, SF_SMOKE)
+    got = {r["o_orderpriority"]: r["n_items"] for r in salted.collect()}
+    want = {r["o_orderpriority"]: r["count"] for r in plain.collect()}
+    assert got == want
