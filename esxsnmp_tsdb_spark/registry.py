@@ -35,8 +35,9 @@ _REG_INDEX: dict[str, int] = {}
 # rounds, ``queries()``/``oracle_sql()`` order ops NOT yet attested first;
 # already-attested keys go last.  Within each group, registration order is
 # preserved.  The set below is the union of keys across all CORRECTNESS_r*
-# files folded in so far (r01 + r02) — regenerate it each round with
-# ``python scripts/update_attested.py --write``.
+# files folded in so far — REGENERATE IT AT THE START OF EVERY ROUND with
+# ``python scripts/update_attested.py --write`` (skipping this wastes the
+# round's 50-key attestation window on keys already attested).
 _ATTESTED = frozenset(
     {
         'anti_join', 'approx_distinct', 'approx_percentiles', 'array_agg_sorted',
