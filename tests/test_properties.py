@@ -168,3 +168,20 @@ def test_counter64_rate_digit_exact(spark, case, gap_to_wrap):
         k = ("p", tse - tse % 600)
         want_sums[k] = want_sums.get(k, Decimal(0)) + Decimal(inc)
     assert got == want_sums
+
+
+@given(st.integers(min_value=0, max_value=10**15), st.integers(min_value=1, max_value=10**9))
+@settings(max_examples=300, deadline=None)
+def test_integer_round_half_up_identity(n, d):
+    """(2n + d) // (2d) is exact round-half-up of n/d — the identity the
+    utilization/rate micro-unit path (analytics5, streaming_ops2,
+    aggregator2.ts_wrap_eta) relies on for cross-engine hash stability.
+    Verified against Fraction arithmetic, no floats anywhere."""
+    from fractions import Fraction
+
+    got = (2 * n + d) // (2 * d)
+    q = Fraction(n, d)
+    lo = q.numerator // q.denominator  # floor
+    frac = q - lo
+    want = lo + (1 if frac >= Fraction(1, 2) else 0)
+    assert got == want
