@@ -279,8 +279,10 @@ def storage_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: a snapshot read lists the manifest (KB) and opens only
     the referenced day dirs — manifest pruning, exactly how table
     formats skip dead files; the upsert cost is one day partition, not
-    the table.  The day loop below touches ~10 directories of METADATA,
-    never row data (the ladder-maintenance bounded-loop pattern)."""
+    the table.  The v1 generation is ONE partitioned write (one source
+    scan fans out to every day dir); the only per-day loop below
+    assembles manifest entries — pure metadata."""
+    import glob
     import json
 
     from esxsnmp_tsdb_spark.operators._workdirs import op_dir
@@ -291,13 +293,20 @@ def storage_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("day", F.expr("tse div 86400"))
 
     root = op_dir("snapshot_tt")
-    days = list(range(SNAP_DAY0, SNAP_DAY0 + SNAP_DAYS))
-    manifest1, manifest2 = {}, {}
-    for d in days:
-        p1 = os.path.join(root, "data", str(d), "v1")
-        base.where(F.col("day") == d).write.mode("overwrite").parquet(p1)
-        manifest1[str(d)] = p1
-        manifest2[str(d)] = p1
+    v1_root = os.path.join(root, "data_v1")
+    # one scan writes every v1 day partition; day_p is the (dropped)
+    # partition dir key, the data keeps its own day column for read-back
+    (
+        base.withColumn("day_p", F.col("day"))
+        .write.mode("overwrite")
+        .partitionBy("day_p")
+        .parquet(v1_root)
+    )
+    manifest1 = {
+        os.path.basename(p).split("=", 1)[1]: p
+        for p in glob.glob(os.path.join(v1_root, "day_p=*"))
+    }
+    manifest2 = dict(manifest1)
     # copy-on-write upsert: double the changed day's values into v2
     p2 = os.path.join(root, "data", str(SNAP_CHANGED), "v2")
     (

@@ -20,7 +20,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
-from esxsnmp_tsdb_spark.operators.analytics5 import CAPACITY as _CAPACITY
+from esxsnmp_tsdb_spark.operators.analytics5 import (
+    _CAP10_VALUES as _CAP10_VALUES,
+)
+from esxsnmp_tsdb_spark.operators.analytics5 import CAP10 as _CAP10
 from esxsnmp_tsdb_spark.registry import op
 from esxsnmp_tsdb_spark.streaming import events_stream, run_to_memory
 
@@ -504,13 +507,11 @@ def stream_cdc_apply_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 UTIL_WINDOW_SEC = 3600
 UTIL_ALERT_MICRO = 800_000  # windows above 80% of provisioned capacity alert
-# Integer cap10 dim (see analytics5 module docstring): utilization is
-# exact integer micro-units — util = vol_cents/(36000·cap10) for a 1 h
-# window, round-half-up via (2n + d) div 2d.  A double formulation hit a
-# true 5e-7 rounding tie at sf0.01 (1053/144000 = 0.0073125 exactly).
-_CAP10_VALUES = ", ".join(
-    f"('{k}', {int(round(v * 10))})" for k, v in sorted(_CAPACITY.items())
-)
+# Integer cap10 dim imported from analytics5 (single source of truth):
+# utilization is exact integer micro-units — util = vol_cents/(36000·cap10)
+# for a 1 h window, round-half-up via (2n + d) div 2d.  A double
+# formulation hit a true 5e-7 rounding tie at sf0.01 (1053/144000 =
+# 0.0073125 exactly).
 
 
 @op(
@@ -553,11 +554,9 @@ def stream_utilization_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the state and the emitted numbers are cross-engine exact.  The
     batch oracle recomputes the same windows from the fixture; equality
     proves stream/batch convergence."""
-    from esxsnmp_tsdb_spark.operators.analytics5 import CAP10
-
     ev = events_stream(spark, sf_dir)
     caps = spark.createDataFrame(
-        sorted(CAP10.items()), ["event_type", "cap10"]
+        sorted(_CAP10.items()), ["event_type", "cap10"]
     )
     joined = ev.join(F.broadcast(caps), "event_type")
     agg = joined.groupBy(

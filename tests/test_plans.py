@@ -163,6 +163,8 @@ def test_utilization_report_single_exchange(spark):
     the window already co-located."""
     import re
 
+    spark.catalog.clearCache()  # a cached twin from another test module
+    # would splice an InMemoryRelation into the plan and double-count
     p = plan_str(Q["ts_utilization_report"](spark, SF_ORACLE))
     assert "BroadcastHashJoin" in p
     # formatted-plan node list: "(n) Exchange" is a shuffle,
@@ -182,6 +184,7 @@ def test_blocklist_joins_broadcast(spark):
 def test_late_data_report_single_exchange(spark):
     import re
 
+    spark.catalog.clearCache()  # see test_utilization_report_single_exchange
     p = plan_str(Q["ingest_late_data_report"](spark, SF_ORACLE))
     n_shuffles = len(re.findall(r"\(\d+\) Exchange\b", p))
     assert n_shuffles == 1, f"expected 1 hash exchange, plan has {n_shuffles}"
