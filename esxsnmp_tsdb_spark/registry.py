@@ -111,6 +111,7 @@ _OPERATOR_MODULES = (
     "esxsnmp_tsdb_spark.operators.events_analytics",
     "esxsnmp_tsdb_spark.operators.events2",
     "esxsnmp_tsdb_spark.operators.events3",
+    "esxsnmp_tsdb_spark.operators.events4",
     "esxsnmp_tsdb_spark.operators.similarity",
     "esxsnmp_tsdb_spark.operators.similarity2",
     "esxsnmp_tsdb_spark.operators.text",
