@@ -108,6 +108,7 @@ _OPERATOR_MODULES = (
     "esxsnmp_tsdb_spark.operators.curation4",
     "esxsnmp_tsdb_spark.operators.curation5",
     "esxsnmp_tsdb_spark.operators.curation6",
+    "esxsnmp_tsdb_spark.operators.curation7",
     "esxsnmp_tsdb_spark.operators.events_analytics",
     "esxsnmp_tsdb_spark.operators.events2",
     "esxsnmp_tsdb_spark.operators.events3",
