@@ -123,8 +123,11 @@ _OPERATOR_MODULES = (
     "esxsnmp_tsdb_spark.operators.ingest2",
     "esxsnmp_tsdb_spark.operators.storage",
     "esxsnmp_tsdb_spark.operators.storage2",
+    "esxsnmp_tsdb_spark.operators.storage3",
+    "esxsnmp_tsdb_spark.operators.ingest3",
     "esxsnmp_tsdb_spark.operators.streaming_ops",
     "esxsnmp_tsdb_spark.operators.streaming_ops2",
+    "esxsnmp_tsdb_spark.operators.streaming_ops3",
 )
 
 _loaded = False
