@@ -264,6 +264,55 @@ def user_activity_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "event_markov_transition",
+    oracle=f"""
+WITH {EV_CTE},
+t AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY tse, event_id) AS to_type
+  FROM ev
+),
+c AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM t WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+),
+tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY from_type)
+SELECT c.from_type, c.to_type, c.n,
+       CAST((2 * c.n * 1000000 + t) // (2 * t) AS BIGINT) AS prob_ppm
+FROM c JOIN tot ON c.from_type = tot.from_type
+""",
+)
+def event_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types: for each
+    (from → to) pair of consecutive same-user events, the transition
+    count and its row-normalized probability — `event_bigrams` turned
+    into the conditional-probability matrix that powers next-action
+    prediction and journey simulation.
+
+    One per-user lead window (partition-bounded), one aggregate on the
+    ≤|types|² key, and the per-state normalizer joins back on the tiny
+    from_type key.  Probabilities are half-up integer ppm so each
+    matrix row sums to 1e6 within quantization."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("tse", "event_id")
+    t = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    c = t.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("from_type").agg(F.sum("n").cast("bigint").alias("t"))
+    return c.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("CAST((2 * n * 1000000 + t) div (2 * t) AS BIGINT)").alias(
+            "prob_ppm"
+        ),
+    )
+
+
+@op(
     "inter_event_gap_histogram",
     oracle=f"""
 WITH {EV_CTE},

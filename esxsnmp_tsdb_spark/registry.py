@@ -95,6 +95,7 @@ _OPERATOR_MODULES = (
     "esxsnmp_tsdb_spark.operators.analytics4",
     "esxsnmp_tsdb_spark.operators.analytics5",
     "esxsnmp_tsdb_spark.operators.analytics6",
+    "esxsnmp_tsdb_spark.operators.analytics7",
     "esxsnmp_tsdb_spark.operators.relational",
     "esxsnmp_tsdb_spark.operators.relational2",
     "esxsnmp_tsdb_spark.operators.relational3",
