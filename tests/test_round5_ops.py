@@ -146,6 +146,52 @@ def test_fertility_at_least_one(spark):
     assert rep.filter(F.col("fertility_ppm") < 1_000_000).count() == 0
 
 
+def test_markov_rows_normalize_to_one(spark):
+    """Each from-state's transition probabilities sum to 1e6 within
+    half-up quantization (±|row| ppm)."""
+    rep = events4.event_markov_transition(spark, SF_SMOKE).cache()
+    rows = (
+        rep.groupBy("from_type")
+        .agg(
+            F.sum("prob_ppm").alias("s"), F.count(F.lit(1)).alias("k")
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r["s"] - 1_000_000) <= r["k"]
+
+
+def test_change_contributors_rank_bounded_per_class(spark):
+    from esxsnmp_tsdb_spark.operators import analytics7
+
+    rep = analytics7.ts_topk_change_contributors(spark, SF_SMOKE).cache()
+    assert rep.filter(F.col("rank") > analytics7.CONTRIB_TOP).count() == 0
+    assert rep.filter(
+        F.col("delta_cents") != F.col("d2_cents") - F.col("d1_cents")
+    ).count() == 0
+    # one class delta per class, consistent across its rows
+    assert (
+        rep.select("event_type", "class_delta_cents").distinct().count()
+        == rep.select("event_type").distinct().count()
+    )
+
+
+def test_flap_counts_bounded_by_slots(spark):
+    from esxsnmp_tsdb_spark.operators import analytics7
+
+    rep = analytics7.ts_alert_flap_detect(spark, SF_SMOKE).cache()
+    assert rep.filter(
+        F.col("n_transitions") >= F.col("n_slots")
+    ).count() == 0
+    assert rep.filter(
+        F.col("n_breach_slots") > F.col("n_slots")
+    ).count() == 0
+    assert rep.filter(
+        F.col("n_transitions") < analytics7.FLAP_MIN
+    ).count() == 0
+
+
 def test_manifest_scan_equals_direct_scan(spark):
     """The pruned read returns exactly what an unpruned filtered scan
     does (the assert inside the op already proves files were skipped)."""
