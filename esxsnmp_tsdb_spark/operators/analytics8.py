@@ -1,0 +1,234 @@
+"""§2.2 report surface, batch 8 (NOC triage continued): seasonal-profile
+anomaly scoring and maintenance-window-aware SLA accounting.
+
+Reference parity: the reference's aggregator exposes per-var seasonal
+traffic profiles and heartbeat-derived validity (SURVEY.md §2.2 †); the
+two ops here are the report-layer compositions every NOC builds on top —
+"is this reading unusual *for this hour of this kind of day*" and
+"availability excluding announced maintenance".
+
+House determinism: moments use the explicit E[x²]−E[x]² formula so both
+engines fold identically; the in/out anomaly decision compares the
+ROUNDED z (the `ts_anomaly_zscore` discipline); SLA availability is
+half-up integer ppm with a data-derived calendar, no float accumulation.
+
+Scale posture: the seasonal profile is catalog×48 rows and broadcasts
+back onto obs (no second shuffle of the fact side); the SLA op never
+builds a per-path time spine — the maintenance calendar is aggregated to
+one scalar row (path-independent) and cross-joined as a broadcast, so
+the whole op is one distinct-aggregate shuffle on `path`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from esxsnmp_tsdb_spark.functions import tsdb
+from esxsnmp_tsdb_spark.operators._shared import (
+    OBS_CTE,
+    STEP,
+    T_JAN10,
+    T_JAN20,
+)
+from esxsnmp_tsdb_spark.registry import op
+from esxsnmp_tsdb_spark.sources import register_views
+
+# Seasonal anomaly: score each valid reading against the mean/std of its
+# CLASS's (weekday/weekend, hour-of-day) bucket over the whole fixture.
+# Class = the event_type leg of the path: per-series buckets are too thin
+# on the sparse fixture (and on any newly-provisioned series in prod) —
+# the class profile is the cold-start fallback every NOC profiler ships.
+SEASONAL_MIN_N = 8  # buckets thinner than this have no usable std
+SEASONAL_Z = 2.0
+
+# Maintenance calendar: every Sunday 02:00–04:00 UTC is an announced
+# window; slots inside it count neither as uptime nor downtime.
+MAINT_TOD_LO = 7200
+MAINT_TOD_HI = 14400
+SLA_PPM_TARGET = 995_000  # 99.5 %
+
+
+def _obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tsdb.obs_from_events(register_views(spark, sf_dir)["events"])
+
+
+# Integer epoch day-of-week (1970-01-01 was a Thursday): 0 = Sunday.
+_DOW_SQL = "((tse // 86400) + 4) % 7"
+
+
+@op(
+    "ts_seasonal_anomaly",
+    oracle=f"""
+WITH {OBS_CTE},
+keyed AS (
+  SELECT split_part(path, '/', 2) AS class, path, tse, value,
+         CASE WHEN {_DOW_SQL} IN (0, 6) THEN 'weekend' ELSE 'weekday' END
+           AS day_type,
+         (tse % 86400) // 3600 AS hod
+  FROM obs WHERE flags = 1
+),
+profile AS (
+  SELECT class, day_type, hod,
+         avg(value) AS mu, avg(value * value) AS m2,
+         count(*) AS n
+  FROM keyed GROUP BY class, day_type, hod
+),
+scored AS (
+  SELECT k.path, k.tse, k.value, k.day_type, k.hod,
+         round((k.value - p.mu)
+               / sqrt(greatest(p.m2 - p.mu * p.mu, 1e-12)), 4) AS z
+  FROM keyed k
+  JOIN profile p
+    ON p.class = k.class AND p.day_type = k.day_type AND p.hod = k.hod
+  WHERE p.n >= {SEASONAL_MIN_N} AND p.m2 - p.mu * p.mu > 1e-12
+)
+SELECT path, tse, value, day_type, hod, z
+FROM scored WHERE abs(z) > {SEASONAL_Z}
+""",
+)
+def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly report: each valid reading scored against the
+    mean/std of its class's (weekday/weekend, hour-of-day) bucket — the
+    "is 3am Sunday unusually busy *for a Sunday 3am*" question a plain
+    rolling z-score (`ts_anomaly_zscore`) can't ask.  The profile keys
+    on the event-type class, not the individual series: per-series
+    buckets are statistically empty on sparse series (here, and on any
+    newly-provisioned interface in prod), so the class profile is the
+    cold-start seasonal baseline.  Buckets come from pure integer epoch
+    arithmetic (the `ts_seasonal_baseline` convention), moments from the
+    explicit E[x²]−E[x]² formula, and the in/out decision compares the
+    ROUNDED z on both engines.
+
+    Scale: the profile is classes×48 rows — one group-by shuffle builds
+    it, then it broadcasts back onto obs, so the fact table is shuffled
+    exactly once and the scoring join adds no exchange."""
+    dow = (F.floor(F.col("tse") / 86400) + 4) % 7
+    keyed = (
+        _obs(spark, sf_dir)
+        .filter(F.col("flags") == 1)
+        .select(
+            F.element_at(F.split("path", "/"), 2).alias("class"),
+            "path",
+            "tse",
+            "value",
+            F.when(dow.isin(0, 6), "weekend")
+            .otherwise("weekday")
+            .alias("day_type"),
+            F.floor((F.col("tse") % 86400) / 3600).alias("hod"),
+        )
+    )
+    profile = keyed.groupBy("class", "day_type", "hod").agg(
+        F.avg("value").alias("mu"),
+        F.avg(F.col("value") * F.col("value")).alias("m2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    var = F.col("m2") - F.col("mu") * F.col("mu")
+    z = F.round(
+        (F.col("value") - F.col("mu"))
+        / F.sqrt(F.greatest(var, F.lit(1e-12))),
+        4,
+    )
+    return (
+        keyed.join(F.broadcast(profile), ["class", "day_type", "hod"])
+        .filter((F.col("n") >= SEASONAL_MIN_N) & (var > 1e-12))
+        .select("path", "tse", "value", "day_type", "hod", z.alias("z"))
+        .filter(F.abs(F.col("z")) > SEASONAL_Z)
+    )
+
+
+@op(
+    "ts_sla_maintenance_window",
+    oracle=f"""
+WITH {OBS_CTE},
+slots AS (
+  SELECT unnest(generate_series({T_JAN10}, {T_JAN20 - STEP}, {STEP}))
+    AS slot
+),
+cal AS (
+  SELECT count(*) AS n_slots,
+         CAST(sum(CASE WHEN ((slot // 86400) + 4) % 7 = 0
+                        AND slot % 86400 >= {MAINT_TOD_LO}
+                        AND slot % 86400 < {MAINT_TOD_HI}
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_maint
+  FROM slots
+),
+up AS (
+  SELECT path, count(DISTINCT tse - tse % {STEP}) AS n_up
+  FROM obs
+  WHERE flags = 1 AND tse >= {T_JAN10} AND tse < {T_JAN20}
+    AND NOT ((((tse - tse % {STEP}) // 86400) + 4) % 7 = 0
+             AND (tse - tse % {STEP}) % 86400 >= {MAINT_TOD_LO}
+             AND (tse - tse % {STEP}) % 86400 < {MAINT_TOD_HI})
+  GROUP BY path
+)
+SELECT path, n_up, n_slots, n_maint,
+       CAST((2 * n_up * 1000000 + (n_slots - n_maint))
+            // (2 * (n_slots - n_maint)) AS BIGINT) AS avail_ppm,
+       (2 * n_up * 1000000 + (n_slots - n_maint))
+         // (2 * (n_slots - n_maint)) < {SLA_PPM_TARGET} AS breach
+FROM up CROSS JOIN cal
+""",
+)
+def ts_sla_maintenance_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Availability report with announced maintenance excluded: a slot
+    counts as up iff a valid observation lands in it, slots inside the
+    weekly Sunday 02:00–04:00 UTC window count neither way, and
+    availability is up-slots over schedulable slots in half-up integer
+    ppm — the uptime number an operator actually owes against an SLA
+    (raw `ts_sla_report` charges planned work as downtime).
+
+    Scale: there is NO per-path time spine — the maintenance calendar is
+    path-independent, so it aggregates to ONE scalar row (n_slots,
+    n_maint) that cross-joins back as a broadcast; the per-path side is
+    a single distinct-aggregate shuffle on `path`.  At 100 TB the whole
+    op costs one exchange of (path, slot) pairs, not paths×slots rows."""
+    obs = _obs(spark, sf_dir)
+    slot = F.col("slot")
+    is_maint = (
+        (((F.floor(slot / 86400)) + 4) % 7 == 0)
+        & (slot % 86400 >= MAINT_TOD_LO)
+        & (slot % 86400 < MAINT_TOD_HI)
+    )
+    cal = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit(T_JAN10), F.lit(T_JAN20 - STEP), F.lit(STEP)
+                )
+            ).alias("slot")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_slots"),
+            F.sum(is_maint.cast("bigint")).alias("n_maint"),
+        )
+    )
+    up = (
+        obs.filter(
+            (F.col("flags") == 1)
+            & (F.col("tse") >= T_JAN10)
+            & (F.col("tse") < T_JAN20)
+        )
+        .select("path", (F.col("tse") - F.col("tse") % STEP).alias("slot"))
+        .filter(~is_maint)
+        .groupBy("path")
+        .agg(F.count_distinct("slot").alias("n_up"))
+    )
+    return up.crossJoin(F.broadcast(cal)).select(
+        "path",
+        "n_up",
+        "n_slots",
+        "n_maint",
+        F.expr(
+            "CAST((2 * n_up * 1000000 + (n_slots - n_maint))"
+            " div (2 * (n_slots - n_maint)) AS BIGINT)"
+        ).alias("avail_ppm"),
+        (
+            F.expr(
+                "(2 * n_up * 1000000 + (n_slots - n_maint))"
+                " div (2 * (n_slots - n_maint))"
+            )
+            < SLA_PPM_TARGET
+        ).alias("breach"),
+    )

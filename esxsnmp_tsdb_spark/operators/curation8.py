@@ -1,0 +1,312 @@
+"""§2.5 LLM-data-pipeline surface, batch 8 (EXT): semantic dedup via
+cluster-then-prune (the SemDeDup recipe) and winnowing fingerprint
+overlap (the MOSS local-fingerprinting scheme).
+
+Both are the published algorithms' Spark-first shapes:
+
+* SemDeDup (Abbas et al., 2023): assign every embedding to a coarse
+  cluster, then prune near-duplicates ONLY within a cluster — the
+  pairwise square never spans the corpus.  The cluster here is the same
+  deterministic every-50th-vector coarse quantizer the IVF family uses
+  (`similarity.sim_search_ivf`), so cells are ingest-persistable
+  partitions and the prune is an intra-partition join.
+* Winnowing (Schleimer et al., SIGMOD 2003): hash k-token shingles,
+  slide a w-hash window, keep each window's minimum — guarantees any
+  match of length ≥ w+k−1 tokens shares a fingerprint, at ~2/(w+1)
+  density.  Fingerprints are md5-derived 16-bit ints (`dedup._hex16`)
+  so both engines pick identical minima.
+
+House determinism: no RNG anywhere; keeper choice is min-vec_id; ratios
+are half-up integer ppm.
+
+Scale posture: SemDeDup's pair join is equi on cell id (bounded by the
+largest cell, salt-able like any hot key); winnowing joins the DISTINCT
+(doc, fingerprint) AGGREGATE with itself on fingerprint — with k=6-token
+shingles the fingerprint df is ~1 off the true overlaps (the
+`dedup_ngram_jaccard` blocker lesson), so the join output is
+overlap-sized, never doc².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from esxsnmp_tsdb_spark.functions.vector import dot, norm
+from esxsnmp_tsdb_spark.operators.dedup import (
+    NEAR_CTE,
+    _docs_with_near_copies,
+    _hex16,
+)
+from esxsnmp_tsdb_spark.operators.similarity import DOT_SQL, _dbl
+from esxsnmp_tsdb_spark.registry import op
+from esxsnmp_tsdb_spark.sources import register_views
+
+SEM_TAU = 0.6  # same near-dup threshold dedup_embedding_cosine proves
+CELL_SEED_MOD = 50  # every-50th vector seeds a centroid (IVF convention)
+
+WINNOW_K = 6  # tokens per shingle (selective on the small-vocab fixture)
+WINNOW_W = 4  # hashes per winnowing window
+WINNOW_MIN_SHARED = 3  # report pairs sharing at least this many prints
+
+
+def _t(spark: SparkSession, sf_dir: str):
+    return register_views(spark, sf_dir)
+
+
+_COS_AB = (
+    f"{DOT_SQL.format(d='a.d', a='a.embedding', b='b.embedding')} / "
+    f"(sqrt({DOT_SQL.format(d='a.d', a='a.embedding', b='a.embedding')}) * "
+    f"sqrt({DOT_SQL.format(d='b.d', a='b.embedding', b='b.embedding')}))"
+)
+
+# Near-dup embedding corpus: original ∪ zero-the-last-component mutation
+# (cosine ≈ 0.99 to its source) — the fixture's natural pairs top out
+# near cosine 0.48, so the planted copies are what gives the prune real
+# signal, exactly as `dedup.NEAR_CTE` does for the text dedup family.
+EMB_NEAR_CTE = """emb2 AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_concat(list_slice(embedding, 1, len(embedding) - 1),
+                     [CAST(0.0 AS FLOAT)]) AS embedding
+  FROM embeddings
+)"""
+
+
+def _emb_with_near_copies(e: DataFrame) -> DataFrame:
+    mutated = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.slice(F.col("embedding"), 1, F.size(F.col("embedding")) - 1),
+            F.array(F.lit(0.0).cast("float")),
+        ).alias("embedding"),
+    )
+    return e.select("vec_id", "embedding").unionAll(mutated)
+
+
+@op(
+    "dedup_semantic_cells",
+    oracle=f"""
+WITH {EMB_NEAR_CTE},
+e AS (SELECT vec_id, embedding, len(embedding) AS d FROM emb2),
+c AS (SELECT vec_id AS cid, embedding AS cv, d AS cd FROM e
+      WHERE vec_id % {CELL_SEED_MOD} = 0),
+assigned AS (
+  SELECT vec_id, embedding, d, cid FROM (
+    SELECT e.vec_id, e.embedding, e.d, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {DOT_SQL.format(d='e.d', a='e.embedding', b='c.cv')} /
+                      (sqrt({DOT_SQL.format(d='e.d', a='e.embedding',
+                                            b='e.embedding')}) *
+                       sqrt({DOT_SQL.format(d='c.cd', a='c.cv', b='c.cv')}))
+                      DESC, c.cid) AS rn
+    FROM e CROSS JOIN c
+  ) WHERE rn = 1
+),
+victims AS (
+  SELECT DISTINCT a.cid, b.vec_id AS victim
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_COS_AB} >= {SEM_TAU}
+),
+dropped AS (SELECT cid, count(*) AS n_dropped FROM victims GROUP BY cid),
+cells AS (SELECT cid, count(*) AS n_vecs FROM assigned GROUP BY cid)
+SELECT cells.cid, n_vecs,
+       COALESCE(n_dropped, 0) AS n_dropped,
+       n_vecs - COALESCE(n_dropped, 0) AS n_kept
+FROM cells LEFT JOIN dropped ON dropped.cid = cells.cid
+""",
+)
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: coarse-cluster the embedding corpus, then inside each
+    cluster drop every vector that has a cosine-≥-τ neighbor with a
+    smaller vec_id (min-id keeper — the deterministic stand-in for
+    "keep one per ε-similar group").  Output is the per-cell impact
+    table (n_vecs / n_dropped / n_kept) a curation run reports.
+
+    The cluster is the IVF coarse quantizer (every-{CELL_SEED_MOD}th
+    vector seeds a centroid, assignment = argmax cosine, ties to the
+    smaller cid) — at 100 TB the assignment happens at ingest and the
+    table is partitioned by cell, making the prune an intra-partition
+    equi-join: the corpus-wide pairwise square never materializes,
+    exactly the property that makes SemDeDup tractable at scale.
+    Centroids broadcast (catalog-sized); norms are hoisted per vector
+    so each pair costs one dot fold.  Runs on the planted near-copy
+    corpus (`EMB_NEAR_CTE`) so the prune has real signal — the raw
+    fixture's most-similar pair is only cosine ≈ 0.48."""
+    e = _emb_with_near_copies(
+        _t(spark, sf_dir)["embeddings"]
+    ).select(
+        "vec_id", "embedding", norm(_dbl(F.col("embedding"))).alias("nrm")
+    )
+    cent = e.filter(F.col("vec_id") % CELL_SEED_MOD == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        "cid",
+        (
+            dot(_dbl(F.col("embedding")), _dbl(F.col("cv")))
+            / (F.col("nrm") * F.col("cnrm"))
+        ).alias("c_cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cid")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "nrm", "cid")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    cos = dot(_dbl(F.col("a.embedding")), _dbl(F.col("b.embedding"))) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    victims = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= SEM_TAU)
+        .select(F.col("a.cid").alias("cid"), F.col("b.vec_id").alias("victim"))
+        .distinct()
+    )
+    dropped = victims.groupBy("cid").agg(F.count(F.lit(1)).alias("n_dropped"))
+    cells = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
+    n_dropped = F.coalesce(F.col("n_dropped"), F.lit(0).cast("bigint"))
+    return cells.join(dropped, "cid", "left").select(
+        "cid",
+        "n_vecs",
+        n_dropped.alias("n_dropped"),
+        (F.col("n_vecs") - n_dropped).alias("n_kept"),
+    )
+
+
+@op(
+    "doc_winnowing_overlap",
+    oracle=f"""
+WITH {NEAR_CTE},
+pos AS (
+  SELECT doc_id, i, {_hex16('shingle')} AS h FROM (
+    SELECT doc_id, i,
+           array_to_string(list_slice(string_split(text, ' '),
+                                      i, i + {WINNOW_K - 1}), ' ')
+             AS shingle
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(
+                   1, len(string_split(text, ' ')) - {WINNOW_K - 1})) AS i
+          FROM docs2)
+  )
+),
+win AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW
+                      AND {WINNOW_W - 1} FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc_id) AS n_sh
+  FROM pos
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE i <= n_sh - {WINNOW_W - 1}),
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.doc_a, s.doc_b, s.n_shared,
+       CAST((2 * s.n_shared * 1000000 + least(za.n_fp, zb.n_fp))
+            // (2 * least(za.n_fp, zb.n_fp)) AS BIGINT) AS overlap_ppm
+FROM shared s
+JOIN sizes za ON za.doc_id = s.doc_a
+JOIN sizes zb ON zb.doc_id = s.doc_b
+WHERE s.n_shared >= {WINNOW_MIN_SHARED}
+""",
+)
+def doc_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing overlap detection: hash every {WINNOW_K}-token shingle,
+    slide a {WINNOW_W}-hash window per document, keep each window's
+    minimum hash — the selected fingerprints guarantee any shared run of
+    ≥ {WINNOW_W + WINNOW_K - 1} tokens surfaces, at ~2/(w+1) the density
+    of full shingling (the MOSS plagiarism-detector scheme).  Pairs of
+    documents sharing ≥ {WINNOW_MIN_SHARED} fingerprints are reported
+    with a half-up-ppm containment ratio against the smaller document.
+
+    Scale: fingerprint selection is a bounded ROWS window inside each
+    doc (state = {WINNOW_W} hashes); the pair join runs on the DISTINCT
+    (doc, fingerprint) aggregate — fingerprint df is ~1 except on true
+    overlaps, so join output is overlap-sized, never doc².  Runs on the
+    near-copy corpus (`dedup.NEAR_CTE`) so the fixture has real signal."""
+    from esxsnmp_tsdb_spark.session import fan_out
+
+    docs2 = fan_out(
+        _docs_with_near_copies(_t(spark, sf_dir)["documents"])
+    )
+    toks = F.split(F.col("text"), " ")
+    sh = F.when(
+        F.size(toks) >= WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (WINNOW_K - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, WINNOW_K)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = docs2.select(
+        "doc_id", F.posexplode(sh).alias("p0", "shingle")
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("i"),
+        F.expr(_hex16("shingle")).alias("h"),
+    )
+    wmin = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    wcnt = Window.partitionBy("doc_id")
+    fps = (
+        pos.select(
+            "doc_id",
+            "i",
+            F.min("h").over(wmin).alias("fp"),
+            F.count(F.lit(1)).over(wcnt).alias("n_sh"),
+        )
+        .filter(F.col("i") <= F.col("n_sh") - (WINNOW_W - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = fps.alias("a")
+    b = fps.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+    za = F.broadcast(sizes).alias("za")
+    zb = F.broadcast(sizes).alias("zb")
+    return (
+        shared.join(za, F.col("doc_a") == F.col("za.doc_id"))
+        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
+        .withColumn("m", F.least(F.col("za.n_fp"), F.col("zb.n_fp")))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.expr(
+                "CAST((2 * n_shared * 1000000 + m) div (2 * m) AS BIGINT)"
+            ).alias("overlap_ppm"),
+        )
+    )

@@ -96,6 +96,7 @@ _OPERATOR_MODULES = (
     "esxsnmp_tsdb_spark.operators.analytics5",
     "esxsnmp_tsdb_spark.operators.analytics6",
     "esxsnmp_tsdb_spark.operators.analytics7",
+    "esxsnmp_tsdb_spark.operators.analytics8",
     "esxsnmp_tsdb_spark.operators.relational",
     "esxsnmp_tsdb_spark.operators.relational2",
     "esxsnmp_tsdb_spark.operators.relational3",
@@ -110,6 +111,7 @@ _OPERATOR_MODULES = (
     "esxsnmp_tsdb_spark.operators.curation5",
     "esxsnmp_tsdb_spark.operators.curation6",
     "esxsnmp_tsdb_spark.operators.curation7",
+    "esxsnmp_tsdb_spark.operators.curation8",
     "esxsnmp_tsdb_spark.operators.events_analytics",
     "esxsnmp_tsdb_spark.operators.events2",
     "esxsnmp_tsdb_spark.operators.events3",

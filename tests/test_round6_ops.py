@@ -1,0 +1,82 @@
+"""Behavioral invariants for the round-6 operator batch (analytics8,
+curation8) — semantics the oracle hash can't state directly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from esxsnmp_tsdb_spark.operators import analytics8, curation8
+from esxsnmp_tsdb_spark.operators.dedup import _docs_with_near_copies
+from esxsnmp_tsdb_spark.sources import register_views
+from tests.conftest import SF_SMOKE
+
+
+def test_seasonal_anomaly_only_extreme_z(spark):
+    """Every reported row clears the threshold on the rounded z, and the
+    bucket keys are consistent with the row's own timestamp."""
+    rep = analytics8.ts_seasonal_anomaly(spark, SF_SMOKE).cache()
+    assert (
+        rep.filter(F.abs(F.col("z")) <= analytics8.SEASONAL_Z).count() == 0
+    )
+    # hod/day_type must be re-derivable from tse alone
+    dow = (F.floor(F.col("tse") / 86400) + 4) % 7
+    bad = rep.filter(
+        (F.col("hod") != F.floor((F.col("tse") % 86400) / 3600))
+        | (
+            F.col("day_type")
+            != F.when(dow.isin(0, 6), "weekend").otherwise("weekday")
+        )
+    )
+    assert bad.count() == 0
+
+
+def test_sla_maintenance_accounting(spark):
+    """Schedulable slots bound uptime; calendar constants are exact for
+    the Jan-10..Jan-20 window (one Sunday → 24 maintenance slots)."""
+    rep = analytics8.ts_sla_maintenance_window(spark, SF_SMOKE).cache()
+    rows = rep.collect()
+    assert rows, "no paths reported"
+    for r in rows:
+        assert r.n_slots == 2880  # 10 days of 300s slots
+        assert r.n_maint == 24  # one Sunday x 2h of 300s slots
+        assert 0 <= r.n_up <= r.n_slots - r.n_maint
+        assert 0 <= r.avail_ppm <= 1_000_000
+        assert r.breach == (r.avail_ppm < analytics8.SLA_PPM_TARGET)
+
+
+def test_semdedup_cells_partition_corpus(spark):
+    """Cells partition the corpus: Σ n_vecs = 2·|embeddings| (original ∪
+    planted near-copy), kept+dropped = n_vecs per cell, and the planted
+    cosine-≈0.99 copies force a nonzero drop count."""
+    rep = curation8.dedup_semantic_cells(spark, SF_SMOKE).cache()
+    n_vecs = register_views(spark, SF_SMOKE)["embeddings"].count()
+    tot = rep.agg(F.sum("n_vecs").alias("s")).collect()[0].s
+    assert tot == 2 * n_vecs
+    assert rep.filter(
+        F.col("n_kept") + F.col("n_dropped") != F.col("n_vecs")
+    ).count() == 0
+    assert rep.filter(F.col("n_dropped") < 0).count() == 0
+    assert rep.agg(F.sum("n_dropped").alias("d")).collect()[0].d > 0
+
+
+def test_winnowing_detects_planted_near_copies(spark):
+    """The drop-last-token mutations share almost all fingerprints with
+    their originals: every (d, d+100000) pair must surface with
+    overlap_ppm near 1e6, and overlap_ppm is bounded by 1e6."""
+    rep = curation8.doc_winnowing_overlap(spark, SF_SMOKE).cache()
+    assert rep.filter(F.col("overlap_ppm") > 1_000_000).count() == 0
+    docs = register_views(spark, SF_SMOKE)["documents"]
+    # docs long enough to have >= WINNOW_MIN_SHARED fingerprints even
+    # after losing one token
+    k, w = curation8.WINNOW_K, curation8.WINNOW_W
+    min_toks = k + w - 1 + curation8.WINNOW_MIN_SHARED + 1
+    eligible = (
+        docs.filter(
+            F.size(F.split(F.col("text"), " ")) >= min_toks
+        ).count()
+    )
+    planted = rep.filter(
+        (F.col("doc_b") == F.col("doc_a") + 100000)
+        & (F.col("overlap_ppm") >= 900_000)
+    ).count()
+    assert planted >= eligible * 0.9, (planted, eligible)
