@@ -188,3 +188,54 @@ def test_late_data_report_single_exchange(spark):
     p = plan_str(Q["ingest_late_data_report"](spark, SF_ORACLE))
     n_shuffles = len(re.findall(r"\(\d+\) Exchange\b", p))
     assert n_shuffles == 1, f"expected 1 hash exchange, plan has {n_shuffles}"
+
+
+def test_seasonal_anomaly_profile_broadcasts(spark):
+    """The class profile (classes x 48 rows) must broadcast back onto the
+    fact side: exactly ONE hash exchange (the profile group-by) — the
+    scored obs stream itself is never shuffled."""
+    import re
+
+    spark.catalog.clearCache()  # see test_utilization_report_single_exchange
+    p = plan_str(Q["ts_seasonal_anomaly"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in p
+    n_shuffles = len(re.findall(r"\(\d+\) Exchange\b", p))
+    assert n_shuffles == 1, f"expected 1 hash exchange, plan has {n_shuffles}"
+
+
+def test_sla_maintenance_no_per_path_spine(spark):
+    """The maintenance calendar aggregates to ONE scalar row and joins as
+    a broadcast (BroadcastNestedLoopJoin); the per-path side is the
+    two-phase distinct aggregate plus the calendar's own scalar agg —
+    three exchanges, none proportional to paths x slots."""
+    import re
+
+    spark.catalog.clearCache()
+    p = plan_str(Q["ts_sla_maintenance_window"](spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" in p
+    n_shuffles = len(re.findall(r"\(\d+\) Exchange\b", p))
+    assert n_shuffles <= 3, f"expected <=3 hash exchanges, plan has {n_shuffles}"
+
+
+def test_semdedup_pair_join_is_equi_on_cell(spark):
+    """Centroids broadcast against the corpus (BroadcastNestedLoopJoin is
+    the k-way scoring fan-out); the prune pair join must be a REAL
+    equi-join on the cell id (SortMergeJoin/ShuffledHashJoin), never an
+    unblocked pairwise square."""
+    spark.catalog.clearCache()
+    p = plan_str(Q["dedup_semantic_cells"](spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" in p  # corpus x broadcast centroids
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+    assert "CartesianProduct" not in p
+
+
+def test_winnowing_join_on_fingerprint_aggregate(spark):
+    """Fingerprint selection is a bounded ROWS window; every join keys on
+    the fingerprint or doc_id (equi — at sf0.001 AQE broadcasts the small
+    fp aggregate, at scale it degrades to a shuffle hash join on fp);
+    the doc-pair square must never appear as a nested-loop."""
+    spark.catalog.clearCache()
+    p = plan_str(Q["doc_winnowing_overlap"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in p  # sizes dim + (at this sf) fp join
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
