@@ -232,3 +232,81 @@ def ts_sla_maintenance_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             < SLA_PPM_TARGET
         ).alias("breach"),
     )
+
+
+MTBF_HEARTBEAT = 900  # _shared.HEARTBEAT — gap beyond this is an incident
+
+
+@op(
+    "ts_mtbf_mttr",
+    oracle=f"""
+WITH {OBS_CTE},
+v AS (SELECT path, tse FROM obs WHERE flags = 1),
+g AS (
+  SELECT path, tse,
+         tse - lag(tse) OVER (PARTITION BY path ORDER BY tse) AS gap
+  FROM v
+),
+agg AS (
+  SELECT path,
+         CAST(sum(CASE WHEN gap > {MTBF_HEARTBEAT} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_incidents,
+         CAST(sum(CASE WHEN gap > {MTBF_HEARTBEAT}
+                       THEN gap - {MTBF_HEARTBEAT} ELSE 0 END)
+              AS BIGINT) AS downtime_sec,
+         max(tse) - min(tse) AS span_sec
+  FROM g GROUP BY path
+)
+SELECT path, n_incidents, downtime_sec,
+       CAST((2 * downtime_sec + n_incidents) // (2 * n_incidents)
+            AS BIGINT) AS mttr_sec,
+       CAST((2 * (span_sec - downtime_sec) + n_incidents)
+            // (2 * n_incidents) AS BIGINT) AS mtbf_sec
+FROM agg WHERE n_incidents > 0
+""",
+)
+def ts_mtbf_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MTBF / MTTR per series from heartbeat incidents: any gap between
+    consecutive valid observations beyond HEARTBEAT is an outage whose
+    repair time is the excess over the heartbeat (the `ts_sla_report`
+    downtime convention); MTTR = mean repair seconds per incident and
+    MTBF = mean up-seconds between incidents, both half-up integer —
+    the two numbers every reliability review opens with.
+
+    Tie-robust: duplicate timestamps make the lag pairing ambiguous,
+    but the sorted multiset of consecutive differences — and therefore
+    every aggregate here — is identical under any tie order, so the
+    engines can't diverge.  One hash exchange on `path`: the lag window
+    and the rollup share the same partitioning."""
+    v = (
+        _obs(spark, sf_dir)
+        .filter(F.col("flags") == 1)
+        .select("path", "tse")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("path").orderBy("tse")
+    g = v.withColumn("gap", F.col("tse") - F.lag("tse").over(w))
+    is_inc = F.col("gap") > MTBF_HEARTBEAT
+    agg = g.groupBy("path").agg(
+        F.sum(is_inc.cast("bigint")).alias("n_incidents"),
+        F.sum(
+            F.when(is_inc, F.col("gap") - MTBF_HEARTBEAT).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("downtime_sec"),
+        (F.max("tse") - F.min("tse")).alias("span_sec"),
+    )
+    return agg.filter(F.col("n_incidents") > 0).select(
+        "path",
+        "n_incidents",
+        "downtime_sec",
+        F.expr(
+            "CAST((2 * downtime_sec + n_incidents)"
+            " div (2 * n_incidents) AS BIGINT)"
+        ).alias("mttr_sec"),
+        F.expr(
+            "CAST((2 * (span_sec - downtime_sec) + n_incidents)"
+            " div (2 * n_incidents) AS BIGINT)"
+        ).alias("mtbf_sec"),
+    )

@@ -310,3 +310,170 @@ def doc_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_ppm"),
         )
     )
+
+
+# Content-defined chunking: a token STARTS a new chunk when its hash is
+# ≡ 0 (mod CDC_MOD) — the Rabin/LBFS boundary rule with md5 playing the
+# rolling hash.  Expected chunk length = CDC_MOD tokens.
+CDC_MOD = 16
+BPE_TOP = 20
+
+
+@op(
+    "chunk_dedup_cdc",
+    oracle=f"""
+WITH {NEAR_CTE},
+toks AS (
+  SELECT doc_id, i, {_hex16('tok')} AS h FROM (
+    SELECT doc_id, i, string_split(text, ' ')[i] AS tok
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(1, len(string_split(text, ' '))))
+                   AS i
+          FROM docs2)
+  )
+),
+marked AS (
+  SELECT doc_id, i, h,
+         sum(CASE WHEN h % {CDC_MOD} = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS chunk_id
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id, chunk_id,
+         count(*) AS n_toks,
+         CAST((sum(h * i) - (min(i) - 1) * sum(h)) * 1009 + count(*)
+              AS BIGINT) AS sig
+  FROM marked GROUP BY doc_id, chunk_id
+)
+SELECT sig, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+       min(n_toks) AS n_toks
+FROM chunks GROUP BY sig HAVING count(DISTINCT doc_id) >= 2
+""",
+)
+def chunk_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk dedup (the Rabin-fingerprint / LBFS / rsync
+    boundary scheme): a token opens a new chunk when its hash ≡ 0 mod
+    {CDC_MOD}, so chunk boundaries move WITH the content — edit one
+    token and only the chunk containing it changes, unlike fixed-width
+    chunking where one insertion shifts every later chunk
+    (`exact_substring_dedup` is the fixed-width contrast).  On the
+    near-copy corpus every mutated doc re-shares ALL its chunks except
+    the final one, which is exactly the cross-doc reuse table reported
+    here (chunk signature → how many docs / occurrences carry it).
+
+    The chunk signature is position-weighted integer arithmetic —
+    Σh·(i−start+1), closed over the group aggregate as Σh·i −
+    (start−1)·Σh — never a string rebuild, so no ordered string-agg
+    parity problem exists between engines.
+
+    Scale: tokenize+mark is map-side; chunk ids are a per-doc running
+    sum (bounded window state: one counter); the reuse table groups on
+    the 8-byte signature — only signatures and counts shuffle, the
+    corpus text never does.  This is the storage-dedup shape used on
+    multimodal blobs too: the same boundary rule on bytes instead of
+    tokens."""
+    from esxsnmp_tsdb_spark.session import fan_out
+
+    docs2 = fan_out(_docs_with_near_copies(_t(spark, sf_dir)["documents"]))
+    toks = docs2.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("p0", "tok"),
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("i"),
+        F.expr(_hex16("tok")).alias("h"),
+    )
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = toks.withColumn(
+        "chunk_id",
+        F.sum((F.col("h") % CDC_MOD == 0).cast("bigint")).over(wrun),
+    )
+    chunks = marked.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        (
+            (
+                F.sum(F.col("h") * F.col("i"))
+                - (F.min("i") - 1) * F.sum("h")
+            )
+            * 1009
+            + F.count(F.lit(1))
+        ).alias("sig"),
+    )
+    return (
+        chunks.groupBy("sig")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("n_toks").alias("n_toks"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@op(
+    "bpe_merge_pair_step",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, i, string_split(text, ' ')[i] AS tok
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, len(string_split(text, ' '))))
+                 AS i
+        FROM documents)
+),
+pairs AS (
+  SELECT tok AS left_tok,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS right_tok
+  FROM toks
+),
+counted AS (
+  SELECT left_tok, right_tok, count(*) AS n
+  FROM pairs WHERE right_tok IS NOT NULL
+  GROUP BY left_tok, right_tok
+)
+SELECT left_tok, right_tok, n, rank FROM (
+  SELECT *, row_number() OVER (
+           ORDER BY n DESC, left_tok, right_tok) AS rank
+  FROM counted
+) WHERE rank <= {BPE_TOP}
+""",
+)
+def bpe_merge_pair_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge step: count every adjacent token pair in
+    the corpus and rank the top {BPE_TOP} merge candidates — the inner
+    loop of byte-pair-encoding tokenizer training (the real trainer
+    repeats this, applies the winning merge, and recounts; each round
+    is exactly this plan).
+
+    Scale: pairing is a per-doc lead() window whose state is one token;
+    the count is a partial-aggregated group-by on the pair key; the
+    final ranking is `ranked_topk` = TakeOrderedAndProject — k rows per
+    partition to the driver, never a global sort.  Ties break on the
+    pair text so the merge choice is reproducible run-to-run (a
+    nondeterministic tie here would fork the whole tokenizer)."""
+    from esxsnmp_tsdb_spark.functions.topk import ranked_topk
+    from esxsnmp_tsdb_spark.session import fan_out
+
+    docs = fan_out(_t(spark, sf_dir)["documents"])
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("p0", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("p0")
+    pairs = toks.select(
+        F.col("tok").alias("left_tok"),
+        F.lead("tok").over(w).alias("right_tok"),
+    ).filter(F.col("right_tok").isNotNull())
+    counted = pairs.groupBy("left_tok", "right_tok").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return ranked_topk(
+        counted,
+        BPE_TOP,
+        [F.col("n").desc(), F.col("left_tok"), F.col("right_tok")],
+    )

@@ -1,0 +1,98 @@
+"""§2.4 sketch surface (EXT): mergeable-sketch distinct counting.
+
+`approx_distinct` (relational.py) proves HLL works as a one-shot
+aggregate; this module proves the property that actually matters at
+100 TB — HLL sketches are MERGEABLE STATE.  Count once per partition
+(here: per day), persist the byte-sized sketch, and answer any coarser
+rollup by unioning sketches instead of re-shuffling raw keys: the
+consolidation-ladder pattern (`sources/ladder.py`) applied to distinct
+counts, which plain `count(DISTINCT ...)` can never ladder because
+distinct counts don't add.
+
+Oracle strategy: a cross-engine estimate compare is impossible (DuckDB's
+approx_count_distinct is a different HLL), so the oracle pins the EXACT
+per-scope counts plus the CLAIM "the sketch path lands within tolerance"
+as a boolean the Spark side computes from its own deterministic sketch —
+if a Spark upgrade ever degrades the estimator beyond tolerance, the
+hash comparison fails loudly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from esxsnmp_tsdb_spark.functions import tsdb
+from esxsnmp_tsdb_spark.operators._shared import OBS_CTE
+from esxsnmp_tsdb_spark.registry import op
+from esxsnmp_tsdb_spark.sources import register_views
+
+# |estimate − exact| ≤ exact / HLL_TOL_DIV must hold per scope (5 %:
+# default lgConfigK=12 gives ~1.6 % standard error, so 5 % is ~3σ).
+HLL_TOL_DIV = 20
+
+
+def _obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tsdb.obs_from_events(register_views(spark, sf_dir)["events"])
+
+
+@op(
+    "approx_distinct_hll_merge",
+    oracle=f"""
+WITH {OBS_CTE},
+b AS (SELECT path, tse // 86400 AS day FROM obs),
+d AS (
+  SELECT 'day:' || CAST(day AS VARCHAR) AS scope,
+         count(DISTINCT path) AS n_exact
+  FROM b GROUP BY day
+),
+m AS (SELECT 'month' AS scope, count(DISTINCT path) AS n_exact FROM b)
+SELECT scope, n_exact, TRUE AS est_ok FROM d
+UNION ALL
+SELECT scope, n_exact, TRUE AS est_ok FROM m
+""",
+)
+def approx_distinct_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct active series per day via HLL sketches, then the month
+    answered by UNIONING the daily sketches — never re-touching raw
+    paths.  Each output row carries the exact count and `est_ok` =
+    "this scope's sketch estimate landed within 5 % of exact", which
+    the oracle pins to TRUE: the estimator's accuracy is part of the
+    contract, not a hope.
+
+    Scale: this is how distinct-counting ladders.  A 100 TB store keeps
+    one ~4 KB sketch per (series-class, day) partition, written at
+    ingest; weekly/monthly/arbitrary-range distinct counts are sketch
+    unions over the manifest — O(days) bytes of state instead of a
+    corpus-wide distinct shuffle per query.  `count(DISTINCT)` can't do
+    this because distinct counts don't add; sketches are the only
+    ladder-able form of this aggregate.  The month row here is computed
+    from `hll_union_agg` over the day sketches (the exact count beside
+    it is the audit), so the merge path itself is what the oracle
+    checks."""
+    base = _obs(spark, sf_dir).select(
+        F.floor(F.col("tse") / 86400).cast("bigint").alias("day"), "path"
+    )
+    daily = base.groupBy("day").agg(
+        F.count_distinct("path").alias("n_exact"),
+        F.hll_sketch_agg("path").alias("sk"),
+    )
+    tol_ok = (
+        F.abs(F.col("est") - F.col("n_exact")) * HLL_TOL_DIV
+        <= F.col("n_exact")
+    ).alias("est_ok")
+    day_rows = daily.withColumn(
+        "est", F.hll_sketch_estimate("sk")
+    ).select(
+        F.concat(F.lit("day:"), F.col("day").cast("string")).alias("scope"),
+        "n_exact",
+        tol_ok,
+    )
+    month_exact = base.agg(F.count_distinct("path").alias("n_exact"))
+    month_est = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    month_row = month_exact.crossJoin(F.broadcast(month_est)).select(
+        F.lit("month").alias("scope"), "n_exact", tol_ok
+    )
+    return day_rows.unionByName(month_row)

@@ -101,6 +101,7 @@ _OPERATOR_MODULES = (
     "esxsnmp_tsdb_spark.operators.relational2",
     "esxsnmp_tsdb_spark.operators.relational3",
     "esxsnmp_tsdb_spark.operators.scalar",
+    "esxsnmp_tsdb_spark.operators.sketches",
     "esxsnmp_tsdb_spark.operators.tpch",
     "esxsnmp_tsdb_spark.operators.tpch2",
     "esxsnmp_tsdb_spark.operators.dedup",

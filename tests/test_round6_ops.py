@@ -80,3 +80,59 @@ def test_winnowing_detects_planted_near_copies(spark):
         & (F.col("overlap_ppm") >= 900_000)
     ).count()
     assert planted >= eligible * 0.9, (planted, eligible)
+
+
+def test_mtbf_mttr_integer_identities(spark):
+    """Per row: mttr*n ≈ downtime (within the half-up quantum), downtime
+    never exceeds span, and incident counts are positive."""
+    rep = analytics8.ts_mtbf_mttr(spark, SF_SMOKE).cache()
+    assert rep.count() > 0
+    assert rep.filter(F.col("n_incidents") <= 0).count() == 0
+    assert rep.filter(F.col("downtime_sec") < 0).count() == 0
+    # half-up rounding: |mttr * n - downtime| <= n/2
+    bad = rep.filter(
+        F.abs(F.col("mttr_sec") * F.col("n_incidents") - F.col("downtime_sec"))
+        * 2
+        > F.col("n_incidents")
+    )
+    assert bad.count() == 0
+
+
+def test_cdc_chunks_survive_tail_edit(spark):
+    """Content-defined boundaries localize the drop-last-token edit:
+    a large majority of reported reuse rows are full (doc, mutated-doc)
+    chunk pairs, i.e. most chunks of a doc re-appear verbatim."""
+    rep = curation8.chunk_dedup_cdc(spark, SF_SMOKE).cache()
+    # every doc pairs with its mutation => thousands of shared chunks
+    assert rep.count() > 100
+    assert rep.filter(F.col("n_docs") < 2).count() == 0
+    assert rep.filter(F.col("n_occ") < F.col("n_docs")).count() == 0
+
+
+def test_bpe_step_is_total_ordered_topk(spark):
+    rep = curation8.bpe_merge_pair_step(spark, SF_SMOKE).cache()
+    rows = rep.orderBy("rank").collect()
+    assert len(rows) == curation8.BPE_TOP
+    assert [r.rank for r in rows] == list(range(1, curation8.BPE_TOP + 1))
+    # ranks follow (n desc, left, right) exactly
+    keys = [(-r.n, r.left_tok, r.right_tok) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_hll_merge_month_at_least_max_day(spark):
+    """The month's exact distinct count can never be below any single
+    day's, and every scope's sketch landed in tolerance."""
+    from esxsnmp_tsdb_spark.operators.sketches import (
+        approx_distinct_hll_merge,
+    )
+
+    out = approx_distinct_hll_merge(spark, SF_SMOKE).cache()
+    assert out.filter(~F.col("est_ok")).count() == 0
+    month = out.filter(F.col("scope") == "month").collect()[0].n_exact
+    max_day = (
+        out.filter(F.col("scope") != "month")
+        .agg(F.max("n_exact").alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert month >= max_day
