@@ -360,3 +360,85 @@ def inter_event_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap").cast("bigint").alias("min_gap"),
         F.max("gap").cast("bigint").alias("max_gap"),
     )
+
+
+@op(
+    "event_lift_matrix",
+    oracle=f"""
+WITH {EV_CTE},
+b AS (SELECT DISTINCT user_id, tse // 86400 AS day, event_type FROM ev),
+nb AS (SELECT count(*) AS n_baskets
+       FROM (SELECT DISTINCT user_id, day FROM b)),
+s AS (SELECT event_type, count(*) AS n_t FROM b GROUP BY event_type),
+p AS (
+  SELECT a.event_type AS type_a, b2.event_type AS type_b,
+         count(*) AS n_ab
+  FROM b a JOIN b b2 ON a.user_id = b2.user_id AND a.day = b2.day
+                    AND a.event_type < b2.event_type
+  GROUP BY a.event_type, b2.event_type
+)
+SELECT type_a, type_b, n_ab,
+       round(n_ab * n_baskets * 1.0 / (sa.n_t * sb.n_t), 6) AS lift
+FROM p
+JOIN s sa ON sa.event_type = p.type_a
+JOIN s sb ON sb.event_type = p.type_b
+CROSS JOIN nb
+""",
+)
+def event_lift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association lift between event types over (user, day) baskets:
+    lift(a,b) = P(a∧b) / (P(a)·P(b)) — >1 means the pair co-occurs
+    beyond chance (the market-basket measure, here on behavioral
+    sessions instead of orders; `event_markov_transition` is the
+    ORDERED counterpart, this is the unordered one).  The ratio is
+    integer-exact in the numerator (n_ab · n_baskets) and rounded to 6
+    on both engines.
+
+    Scale: baskets are the DISTINCT (user, day, type) aggregate; the
+    pair join is equi on the (user, day) basket key, so its output is
+    bounded by types²-per-basket, never corpus²; the per-type totals
+    and the basket count broadcast onto the pair table (types² rows).
+    One shuffle for the distinct, one for the pair count."""
+    ev = _ev(spark, sf_dir)
+    b = ev.select(
+        "user_id",
+        F.expr("tse div 86400").alias("day"),
+        "event_type",
+    ).distinct()
+    nb = b.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    s = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = b.alias("a")
+    b2 = b.alias("b2")
+    p = (
+        a.join(
+            b2,
+            (F.col("a.user_id") == F.col("b2.user_id"))
+            & (F.col("a.day") == F.col("b2.day"))
+            & (F.col("a.event_type") < F.col("b2.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b2.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sa = F.broadcast(s).alias("sa")
+    sb = F.broadcast(s).alias("sb")
+    return (
+        p.join(sa, F.col("type_a") == F.col("sa.event_type"))
+        .join(sb, F.col("type_b") == F.col("sb.event_type"))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab")
+                * F.col("n_baskets")
+                / (F.col("sa.n_t") * F.col("sb.n_t")),
+                6,
+            ).alias("lift"),
+        )
+    )

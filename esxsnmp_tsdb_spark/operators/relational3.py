@@ -165,3 +165,72 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum(cents) / 100.0, 6).alias("revenue"),
     )
+
+
+SKEW_TOP = 10
+
+
+@op(
+    "skew_key_report",
+    oracle=f"""
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_keys FROM c),
+r AS (
+  SELECT user_id, n,
+         row_number() OVER (ORDER BY n DESC, user_id) AS rank,
+         sum(n) OVER (ORDER BY n DESC, user_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_n
+  FROM c
+)
+SELECT rank, user_id, n, total, n_keys,
+       CAST((2 * n * 1000000 + total) // (2 * total) AS BIGINT)
+         AS share_ppm,
+       CAST((2 * cum_n * 1000000 + total) // (2 * total) AS BIGINT)
+         AS cum_share_ppm
+FROM r CROSS JOIN t WHERE rank <= {SKEW_TOP}
+""",
+)
+def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter diagnostics for a fact key: the top {SKEW_TOP} keys
+    by row count with each key's share and the cumulative coverage, in
+    half-up integer ppm — the report that decides whether a join/agg on
+    this key needs the salting recipe (`functions/skew.py`,
+    `salted_skew_join`) before it ships.  A top key holding >> 1/n_keys
+    of the rows is the task-straggler signature; the cumulative column
+    shows whether skew is one hot key or a fat head.
+
+    Scale: one partial-aggregated group-by on the key (only (key, count)
+    pairs shuffle), `ranked_topk` = TakeOrderedAndProject for the head,
+    and the scalar totals broadcast back onto the {SKEW_TOP} survivors;
+    the cumulative sum runs on the k-row bounded set via the audited
+    `bounded_running` window — nothing global ever single-partitions
+    the corpus."""
+    from esxsnmp_tsdb_spark.functions.topk import bounded_running, ranked_topk
+
+    ev = _t(spark, sf_dir)["events"]
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    r = ranked_topk(c, SKEW_TOP, [F.col("n").desc(), F.col("user_id")])
+    w = bounded_running(F.col("rank"), [F.col("rank")])
+    return (
+        r.withColumn("cum_n", F.sum("n").over(w))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "rank",
+            "user_id",
+            "n",
+            "total",
+            "n_keys",
+            F.expr(
+                "CAST((2 * n * 1000000 + total) div (2 * total) AS BIGINT)"
+            ).alias("share_ppm"),
+            F.expr(
+                "CAST((2 * cum_n * 1000000 + total) div (2 * total)"
+                " AS BIGINT)"
+            ).alias("cum_share_ppm"),
+        )
+    )

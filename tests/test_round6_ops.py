@@ -136,3 +136,33 @@ def test_hll_merge_month_at_least_max_day(spark):
         .m
     )
     assert month >= max_day
+
+
+def test_skew_report_shares_consistent(spark):
+    """Ranks are a contiguous prefix ordered by (n desc, key); shares
+    and cumulative shares are monotone and bounded by 1e6."""
+    from esxsnmp_tsdb_spark.operators.relational3 import (
+        SKEW_TOP,
+        skew_key_report,
+    )
+
+    rows = skew_key_report(spark, SF_SMOKE).orderBy("rank").collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) <= SKEW_TOP
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    cums = [r.cum_share_ppm for r in rows]
+    assert cums == sorted(cums)
+    assert all(0 < r.share_ppm <= r.cum_share_ppm <= 1_000_000 for r in rows)
+    assert all(r.total >= r.n * r.rank // 1 for r in rows)
+
+
+def test_lift_matrix_symmetric_support_bounds(spark):
+    """Pair support can't exceed either side's basket count, lift is
+    positive, and the matrix holds only upper-triangle pairs."""
+    from esxsnmp_tsdb_spark.operators.events4 import event_lift_matrix
+
+    rep = event_lift_matrix(spark, SF_SMOKE).cache()
+    assert rep.count() > 0
+    assert rep.filter(F.col("type_a") >= F.col("type_b")).count() == 0
+    assert rep.filter(F.col("lift") <= 0).count() == 0
