@@ -84,3 +84,142 @@ def stream_replay_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").cast("bigint").alias("cents"),
     )
+
+
+HLL_TOL_DIV = 20  # sketches.HLL_TOL_DIV — keep the two ops' contract equal
+
+
+@op(
+    "stream_distinct_hll",
+    oracle="""
+WITH obs AS (
+  SELECT concat_ws('/', user_id, event_type) AS path,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+),
+d AS (
+  SELECT 'day:' || CAST(day AS VARCHAR) AS scope,
+         count(DISTINCT path) AS n_exact
+  FROM obs GROUP BY day
+),
+m AS (SELECT 'month' AS scope, count(DISTINCT path) AS n_exact FROM obs)
+SELECT scope, n_exact, TRUE AS est_ok FROM d
+UNION ALL
+SELECT scope, n_exact, TRUE AS est_ok FROM m
+""",
+)
+def stream_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct counting via incremental HLL state — the live
+    twin of `approx_distinct_hll_merge`.  The fixture is staged as THREE
+    source files split on event_id (every day spans every micro-batch,
+    so each batch's per-day sketch must genuinely MERGE into carried
+    state, not just append); foreachBatch folds the batch sketch into a
+    per-day sketch table with `hll_union_agg`.  Because HLL union is a
+    register-wise max — associative, commutative, idempotent — the
+    thrice-merged streaming sketch is BIT-EQUAL in estimate to the
+    one-shot batch sketch, which the op asserts before returning; the
+    oracle then pins the exact counts and the 5 % tolerance claim.
+
+    This is why sketches, not count(DISTINCT), are the streaming answer
+    at 100 TB: distinct counts can't be updated incrementally, but a
+    4 KB-per-day sketch table absorbs any arrival order and any restart
+    (an idempotent union re-applied by a replayed batch changes
+    nothing), and the month rollup stays a union over the state table."""
+    from esxsnmp_tsdb_spark.sources import register_views
+
+    out = op_dir("hll_stream")
+    src = os.path.join(out, "src")
+    state = os.path.join(out, "state")
+    base = register_views(spark, sf_dir)["events"].select(
+        F.concat_ws("/", "user_id", "event_type").alias("path"),
+        F.expr(
+            "CAST(floor(unix_timestamp(ts)) AS BIGINT) div 86400"
+        ).alias("day"),
+        "event_id",
+    )
+    for part in range(3):
+        base.filter(F.col("event_id") % 3 == part).drop(
+            "event_id"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"part={part}")
+        )
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("day", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/part=*")
+    )
+
+    def merge_batch(bdf, epoch_id: int) -> None:
+        s = bdf.sparkSession
+        bsk = bdf.groupBy("day").agg(F.hll_sketch_agg("path").alias("sk"))
+        if os.path.exists(state):
+            prior = s.read.parquet(state)
+            merged = (
+                prior.unionByName(bsk)
+                .groupBy("day")
+                .agg(F.hll_union_agg("sk").alias("sk"))
+                # materialize before overwriting the path we just read
+                # (the stream_cdc_apply self-read-overwrite discipline)
+                .localCheckpoint(eager=True)
+            )
+        else:
+            merged = bsk
+        merged.write.mode("overwrite").parquet(state)
+
+    import tempfile
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="hll_ckpt_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    sk = spark.read.parquet(state)
+    streamed = sk.select(
+        "day", F.hll_sketch_estimate("sk").alias("est_stream")
+    )
+    oneshot = base.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("path")).alias("est_batch"),
+        F.count_distinct("path").alias("n_exact"),
+    )
+    joined = oneshot.join(streamed, "day").localCheckpoint(eager=True)
+    # Merge correctness: incremental union == one-shot sketch, exactly.
+    n_diverged = joined.filter(
+        F.col("est_stream") != F.col("est_batch")
+    ).count()
+    if n_diverged:
+        raise AssertionError(
+            f"stream_distinct_hll: {n_diverged} day sketches diverged "
+            "from the one-shot batch sketch — HLL union stopped being "
+            "associative/idempotent, which breaks the restart story"
+        )
+    tol_ok = (
+        F.abs(F.col("est") - F.col("n_exact")) * HLL_TOL_DIV
+        <= F.col("n_exact")
+    ).alias("est_ok")
+    day_rows = joined.select(
+        F.concat(F.lit("day:"), F.col("day").cast("string")).alias("scope"),
+        "n_exact",
+        F.col("est_stream").alias("est"),
+    ).select("scope", "n_exact", tol_ok)
+    month_exact = base.agg(F.count_distinct("path").alias("n_exact"))
+    month_est = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    month_row = month_exact.crossJoin(F.broadcast(month_est)).select(
+        F.lit("month").alias("scope"), "n_exact", tol_ok
+    )
+    return day_rows.unionByName(month_row)

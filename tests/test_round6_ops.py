@@ -166,3 +166,23 @@ def test_lift_matrix_symmetric_support_bounds(spark):
     assert rep.count() > 0
     assert rep.filter(F.col("type_a") >= F.col("type_b")).count() == 0
     assert rep.filter(F.col("lift") <= 0).count() == 0
+
+
+def test_stream_hll_matches_batch_twin(spark):
+    """The streamed sketch table must produce the same report as the
+    batch op — same scopes, same exacts, everything in tolerance (the
+    op itself asserts estimate-level equality with the one-shot
+    sketch; this pins the user-facing shape)."""
+    from esxsnmp_tsdb_spark.operators.sketches import (
+        approx_distinct_hll_merge,
+    )
+    from esxsnmp_tsdb_spark.operators.streaming_ops3 import (
+        stream_distinct_hll,
+    )
+
+    live = stream_distinct_hll(spark, SF_SMOKE).cache()
+    batch = approx_distinct_hll_merge(spark, SF_SMOKE).cache()
+    assert live.filter(~F.col("est_ok")).count() == 0
+    a = {(r.scope, r.n_exact) for r in live.collect()}
+    b = {(r.scope, r.n_exact) for r in batch.collect()}
+    assert a == b
