@@ -310,3 +310,137 @@ def ts_mtbf_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * n_incidents) AS BIGINT)"
         ).alias("mtbf_sec"),
     )
+
+
+PERIOD_MAX_LAG = 24  # scan lags 1..24h — finds the daily cycle
+PERIOD_MIN_PAIRS = 48
+
+
+@op(
+    "ts_period_detect",
+    oracle=f"""
+WITH {OBS_CTE},
+h AS (
+  SELECT split_part(path, '/', 2) AS event_type,
+         tse // 3600 AS hr,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS t
+  FROM obs GROUP BY 1, 2
+),
+lags AS (SELECT unnest(generate_series(1, {PERIOD_MAX_LAG})) AS lag),
+pairs AS (
+  SELECT a.event_type, l.lag, a.t AS x, b.t AS y
+  FROM h a CROSS JOIN lags l
+  JOIN h b ON b.event_type = a.event_type AND b.hr = a.hr + l.lag
+),
+s AS (
+  SELECT event_type, lag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pairs GROUP BY event_type, lag
+),
+r AS (
+  SELECT event_type, lag, n,
+         round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+               (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+                sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+               6) AS autocorr
+  FROM s
+  WHERE n >= {PERIOD_MIN_PAIRS}
+    AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+    AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+)
+SELECT event_type, lag AS period_hours, autocorr, n FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY autocorr DESC, lag) AS rn
+  FROM r
+) WHERE rn = 1
+""",
+)
+def ts_period_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant period per traffic class: Pearson autocorrelation of the
+    hourly series at every lag 1..{PERIOD_MAX_LAG} h, argmax on the
+    ROUNDED r (ties to the shorter lag) — `ts_autocorr_lag` generalized
+    from "is it seasonal" to "WHAT period is it" (a daily cycle peaks at
+    24).  The winning period feeds `ts_forecast_seasonal_naive` /
+    `ts_seasonal_baseline` with a measured season length instead of an
+    assumed one.
+
+    Exactness discipline is inherited from ts_autocorr_lag: five power
+    sums per (class, lag), each an exact int64 over integer cents; the
+    only doubles are the closed-form r, rounded before the argmax so
+    the winner can't flip between engines.
+
+    Scale: the hourly aggregate is catalog×calendar sized, so even
+    fanned out ×{PERIOD_MAX_LAG} lags the join input stays tiny at any
+    corpus scale; the argmax window partitions by class (bounded) —
+    the raw obs are touched once, in the first aggregate."""
+    obs = _obs(spark, sf_dir)
+    h = (
+        obs.select(
+            F.split("path", "/").getItem(1).alias("event_type"),
+            F.expr("tse div 3600").alias("hr"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.sum("cents").cast("bigint").alias("t"))
+    )
+    lags = spark.range(1, PERIOD_MAX_LAG + 1).select(
+        F.col("id").alias("lag")
+    )
+    a = h.alias("a")
+    b = h.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.hr") == F.col("a.hr") + F.col("lag")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            "lag",
+            F.col("a.t").alias("x"),
+            F.col("b.t").alias("y"),
+        )
+    )
+    s = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    varx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vary = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    r = s.filter(
+        (F.col("n") >= PERIOD_MIN_PAIRS) & (varx > 0) & (vary > 0)
+    ).select(
+        "event_type",
+        "lag",
+        "n",
+        F.round(
+            (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / (F.sqrt(varx) * F.sqrt(vary)),
+            6,
+        ).alias("autocorr"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("autocorr").desc(), "lag"
+    )
+    return (
+        r.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("lag").alias("period_hours"),
+            "autocorr",
+            "n",
+        )
+    )

@@ -227,3 +227,85 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value") * F.col("w") / F.col("w_total")), 6
         ).alias("credited_value"),
     )
+
+
+@op(
+    "scd2_point_in_time_join",
+    oracle=f"""
+WITH {_EV_CTE},
+e AS (
+  SELECT user_id, tse, event_id, event_type, tse // 86400 AS day FROM ev
+),
+vd AS (
+  SELECT user_id, day,
+         arg_min(event_type, tse * 10000000 + event_id) AS first_type
+  FROM e GROUP BY user_id, day
+),
+dim AS (
+  SELECT user_id, day AS valid_from,
+         lead(day) OVER (PARTITION BY user_id ORDER BY day) - 1
+           AS valid_to,
+         row_number() OVER (PARTITION BY user_id ORDER BY day) AS version,
+         first_type
+  FROM vd
+),
+j AS (
+  SELECT d.user_id, d.version, d.valid_from, d.valid_to, d.first_type
+  FROM e JOIN dim d ON d.user_id = e.user_id
+     AND e.day >= d.valid_from
+     AND (d.valid_to IS NULL OR e.day <= d.valid_to)
+)
+SELECT user_id, version, valid_from, valid_to, first_type,
+       count(*) AS n_events
+FROM j GROUP BY user_id, version, valid_from, valid_to, first_type
+""",
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join against a type-2 dimension: facts land
+    on the version whose [valid_from, valid_to] window contains the
+    fact's event day — the query EVERY warehouse with an SCD2 dimension
+    (`scd2_history_build`) runs daily, and the one that silently
+    corrupts when someone joins on the key alone and double-counts
+    across versions.  The dimension here is each user's activity-day
+    version history (attribute = that day's first event type, chosen by
+    the composite tse·10⁷+event_id key so both engines pick the same
+    row); every fact matches EXACTLY one version by construction, which
+    the row counts prove.
+
+    Scale: the join is equi on the business key with the validity
+    window as a residual range predicate — per-key fan-out is bounded
+    by that key's version count, never |facts|×|versions|.  At 100 TB
+    both sides bucket by the key (`storage_bucketed_join` layout) and
+    the PIT join runs shuffle-free inside buckets."""
+    ev = _ev(spark, sf_dir).withColumn("day", F.expr("tse div 86400"))
+    vd = ev.groupBy("user_id", "day").agg(
+        F.min_by(
+            "event_type", F.col("tse") * 10000000 + F.col("event_id")
+        ).alias("first_type")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    dim = vd.select(
+        "user_id",
+        F.col("day").alias("valid_from"),
+        (F.lead("day").over(w) - 1).alias("valid_to"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+        "first_type",
+    )
+    d = dim.alias("d")
+    e = ev.alias("e")
+    j = e.join(
+        d,
+        (F.col("e.user_id") == F.col("d.user_id"))
+        & (F.col("e.day") >= F.col("d.valid_from"))
+        & (
+            F.col("d.valid_to").isNull()
+            | (F.col("e.day") <= F.col("d.valid_to"))
+        ),
+    )
+    return j.groupBy(
+        F.col("d.user_id").alias("user_id"),
+        "version",
+        "valid_from",
+        "valid_to",
+        "first_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"))

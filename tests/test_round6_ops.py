@@ -186,3 +186,48 @@ def test_stream_hll_matches_batch_twin(spark):
     a = {(r.scope, r.n_exact) for r in live.collect()}
     b = {(r.scope, r.n_exact) for r in batch.collect()}
     assert a == b
+
+
+def test_period_detect_finds_bounded_period(spark):
+    """One winner per class, period within the scanned lag range, r in
+    [-1, 1] after rounding."""
+    from esxsnmp_tsdb_spark.operators.analytics8 import (
+        PERIOD_MAX_LAG,
+        ts_period_detect,
+    )
+
+    rows = ts_period_detect(spark, SF_SMOKE).collect()
+    assert rows
+    classes = [r.event_type for r in rows]
+    assert len(classes) == len(set(classes))
+    for r in rows:
+        assert 1 <= r.period_hours <= PERIOD_MAX_LAG
+        assert -1.000001 <= r.autocorr <= 1.000001
+
+
+def test_pit_join_covers_every_fact_exactly_once(spark):
+    """Versions partition each user's timeline: Σ n_events across
+    versions == |events|, and validity windows never overlap."""
+    from esxsnmp_tsdb_spark.operators.events3 import (
+        _ev,
+        scd2_point_in_time_join,
+    )
+
+    rep = scd2_point_in_time_join(spark, SF_SMOKE).cache()
+    total = rep.agg(F.sum("n_events").alias("s")).collect()[0].s
+    n_ev = _ev(spark, SF_SMOKE).count()
+    assert total == n_ev
+    # no overlapping windows per user: valid_from of version k+1 must
+    # exceed valid_to of version k
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("version")
+    bad = (
+        rep.withColumn("next_from", F.lead("valid_from").over(w))
+        .filter(
+            F.col("next_from").isNotNull()
+            & (F.col("next_from") <= F.col("valid_to"))
+        )
+        .count()
+    )
+    assert bad == 0
