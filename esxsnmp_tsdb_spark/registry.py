@@ -82,8 +82,54 @@ _ATTESTED = frozenset(
 )
 
 
+# Oldest-debt-first within the unattested group: these 66 keys have been
+# implemented since r1–r3 but no driver CORRECTNESS file has reached them
+# (they register after the r1/r2 families; VERDICT r3 "What's missing" #1
+# lists them verbatim).  Ordering them ahead of round-4's newly-added ops
+# makes the driver's 50-key window retire the oldest attestation debt
+# first.  Remove keys from this set as CORRECTNESS rounds absorb them
+# (update_attested.py's refresh makes that automatic: once attested, the
+# first sort key wins regardless of this tier).
+_PRIORITY_BACKLOG = frozenset(
+    {
+        'ann_recall_eval', 'api_timerange_json', 'attribution_linear',
+        'bigram_lm_perplexity', 'bm25_topdocs', 'dau_wau_mau',
+        'doc_fingerprint', 'embedding_centroid_per_label',
+        'format_roundtrip_csv', 'format_roundtrip_json',
+        'format_roundtrip_orc', 'funnel_time_to_convert',
+        'ingest_batch_append', 'ingest_cdc_merge',
+        'ingest_replay_idempotent', 'knn_pairs', 'lang_distribution',
+        'lang_id_confusion', 'lang_id_ngram', 'multimodal_decode',
+        'multimodal_embed', 'multimodal_frame_sample', 'multimodal_join',
+        'multimodal_tile_plan', 'pii_scrub_stats', 'scd2_history_build',
+        'sim_search_ann_lsh', 'sim_search_batch', 'sim_search_ivf',
+        'sim_search_ivf_pq', 'sim_search_lsh_multiprobe',
+        'sim_search_range', 'sim_search_topk', 'storage_bucketed_join',
+        'storage_compaction_integrity', 'storage_day_partitioned_scan',
+        'storage_retention_expire', 'storage_schema_evolution',
+        'storage_zorder_scan', 'stream_anomaly_zscore', 'stream_cdc_apply',
+        'stream_dedup', 'stream_first_touch', 'stream_ingest',
+        'stream_ladder_maintenance', 'stream_session', 'stream_sliding',
+        'stream_stateful_rate', 'stream_static_join', 'stream_stream_join',
+        'stream_topk_talkers', 'stream_tumbling', 'stream_watermark_late',
+        'term_zipf_slope', 'text_quality_score', 'text_repetition_filter',
+        'text_repetition_stats', 'text_stopword_stats',
+        'text_tokenize_stats', 'text_unigram_logprob', 'text_word_entropy',
+        'tfidf_topterms', 'token_count_bpe', 'ts_merge_upsert',
+        'vector_pq_adc', 'vocab_growth_heaps',
+    }
+)
+
+
 def _attest_order(keys) -> list[str]:
-    return sorted(keys, key=lambda k: (k in _ATTESTED, _REG_INDEX[k]))
+    return sorted(
+        keys,
+        key=lambda k: (
+            k in _ATTESTED,
+            k not in _PRIORITY_BACKLOG,
+            _REG_INDEX[k],
+        ),
+    )
 
 _OPERATOR_MODULES = (
     "esxsnmp_tsdb_spark.operators.timeseries",
