@@ -477,3 +477,44 @@ def bpe_merge_pair_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         BPE_TOP,
         [F.col("n").desc(), F.col("left_tok"), F.col("right_tok")],
     )
+
+
+KANON_K = 5  # classes smaller than this re-identify their members
+KANON_LEN_BUCKET = 100
+
+
+@op(
+    "privacy_k_anonymity",
+    oracle=f"""
+WITH classes AS (
+  SELECT lang, source, n_chars // {KANON_LEN_BUCKET} AS len_bucket,
+         count(*) AS k
+  FROM documents GROUP BY lang, source, len_bucket
+)
+SELECT lang, source, len_bucket, k
+FROM classes WHERE k < {KANON_K}
+""",
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity screen over the release quasi-identifiers: group the
+    corpus by (lang, source, length-bucket) and report every
+    equivalence class smaller than k={KANON_K} — the classes where
+    publishing per-document metadata re-identifies the document (the
+    governance gate a dataset release runs before shipping metadata
+    alongside text; `pii_scrub_stats` handles the content, this handles
+    the METADATA side channel).
+
+    Scale: one partial-aggregated group-by on the quasi-identifier
+    tuple — counts shuffle, documents don't; the report is
+    classes-sized.  The fix loop (generalize the bucket, re-screen) is
+    re-running this op with a coarser KANON_LEN_BUCKET."""
+    docs = _t(spark, sf_dir)["documents"]
+    return (
+        docs.groupBy(
+            "lang",
+            "source",
+            F.expr(f"n_chars div {KANON_LEN_BUCKET}").alias("len_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") < KANON_K)
+    )

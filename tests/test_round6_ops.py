@@ -231,3 +231,27 @@ def test_pit_join_covers_every_fact_exactly_once(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_k_anonymity_only_small_classes(spark):
+    """Every reported class is genuinely below k, and re-grouping the
+    corpus reproduces each reported k exactly."""
+    from esxsnmp_tsdb_spark.operators.curation8 import (
+        KANON_K,
+        KANON_LEN_BUCKET,
+        privacy_k_anonymity,
+    )
+
+    rep = privacy_k_anonymity(spark, SF_SMOKE).cache()
+    assert rep.count() > 0
+    assert rep.filter(F.col("k") >= KANON_K).count() == 0
+    docs = register_views(spark, SF_SMOKE)["documents"]
+    truth = docs.groupBy(
+        "lang",
+        "source",
+        F.expr(f"n_chars div {KANON_LEN_BUCKET}").alias("len_bucket"),
+    ).agg(F.count(F.lit(1)).alias("true_k"))
+    joined = rep.join(truth, ["lang", "source", "len_bucket"], "left")
+    assert joined.filter(
+        F.col("true_k").isNull() | (F.col("true_k") != F.col("k"))
+    ).count() == 0
