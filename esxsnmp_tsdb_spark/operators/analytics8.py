@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from esxsnmp_tsdb_spark.functions import tsdb
 from esxsnmp_tsdb_spark.operators._shared import (
+    HEARTBEAT,
     OBS_CTE,
     STEP,
     T_JAN10,
@@ -153,7 +154,8 @@ cal AS (
                    THEN 1 ELSE 0 END) AS BIGINT) AS n_maint
   FROM slots
 ),
-up AS (
+paths AS (SELECT DISTINCT path FROM obs),
+up0 AS (
   SELECT path, count(DISTINCT tse - tse % {STEP}) AS n_up
   FROM obs
   WHERE flags = 1 AND tse >= {T_JAN10} AND tse < {T_JAN20}
@@ -161,6 +163,10 @@ up AS (
              AND (tse - tse % {STEP}) % 86400 >= {MAINT_TOD_LO}
              AND (tse - tse % {STEP}) % 86400 < {MAINT_TOD_HI})
   GROUP BY path
+),
+up AS (
+  SELECT p.path, COALESCE(u.n_up, 0) AS n_up
+  FROM paths p LEFT JOIN up0 u ON u.path = p.path
 )
 SELECT path, n_up, n_slots, n_maint,
        CAST((2 * n_up * 1000000 + (n_slots - n_maint))
@@ -177,6 +183,11 @@ def ts_sla_maintenance_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     availability is up-slots over schedulable slots in half-up integer
     ppm — the uptime number an operator actually owes against an SLA
     (raw `ts_sla_report` charges planned work as downtime).
+
+    The path universe comes from ALL observations, not just the valid
+    in-window ones: a series that was down (or maintenance-only) for the
+    whole window still gets its row with n_up = 0 — the WORST breaches
+    must appear in the breach report, not vanish from it.
 
     Scale: there is NO per-path time spine — the maintenance calendar is
     path-independent, so it aggregates to ONE scalar row (n_slots,
@@ -204,7 +215,7 @@ def ts_sla_maintenance_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(is_maint.cast("bigint")).alias("n_maint"),
         )
     )
-    up = (
+    up0 = (
         obs.filter(
             (F.col("flags") == 1)
             & (F.col("tse") >= T_JAN10)
@@ -214,6 +225,15 @@ def ts_sla_maintenance_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~is_maint)
         .groupBy("path")
         .agg(F.count_distinct("slot").alias("n_up"))
+    )
+    up = (
+        obs.select("path")
+        .distinct()
+        .join(up0, "path", "left")
+        .select(
+            "path",
+            F.coalesce(F.col("n_up"), F.lit(0).cast("bigint")).alias("n_up"),
+        )
     )
     return up.crossJoin(F.broadcast(cal)).select(
         "path",
@@ -234,7 +254,9 @@ def ts_sla_maintenance_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MTBF_HEARTBEAT = 900  # _shared.HEARTBEAT — gap beyond this is an incident
+# Incident threshold is THE shared heartbeat — ts_sla_report and this op
+# must classify outages identically.
+MTBF_HEARTBEAT = HEARTBEAT
 
 
 @op(

@@ -73,8 +73,15 @@ def approx_distinct_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _obs(spark, sf_dir).select(
         F.floor(F.col("tse") / 86400).cast("bigint").alias("day"), "path"
     )
-    daily = base.groupBy("day").agg(
-        F.count_distinct("path").alias("n_exact"),
+    # One scan of obs feeds everything: the distinct (day, path) pairs
+    # are checkpointed and reused by the daily rows, the month estimate,
+    # AND the month exact — without this, collecting the returned union
+    # would re-run the sketch build once per consumer.  Dedup before
+    # sketching is free: HLL insertion is idempotent, so the sketch of
+    # the distinct pairs is the sketch of the raw stream.
+    pairs = base.distinct().localCheckpoint(eager=True)
+    daily = pairs.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
         F.hll_sketch_agg("path").alias("sk"),
     )
     tol_ok = (
@@ -88,7 +95,7 @@ def approx_distinct_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         tol_ok,
     )
-    month_exact = base.agg(F.count_distinct("path").alias("n_exact"))
+    month_exact = pairs.agg(F.count_distinct("path").alias("n_exact"))
     month_est = daily.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
     )

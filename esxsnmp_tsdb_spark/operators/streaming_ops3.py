@@ -86,7 +86,9 @@ def stream_replay_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-HLL_TOL_DIV = 20  # sketches.HLL_TOL_DIV — keep the two ops' contract equal
+# Shared import, not a copy: the live twin must assert the SAME accuracy
+# contract as the batch op, or the pair silently drifts apart.
+from esxsnmp_tsdb_spark.operators.sketches import HLL_TOL_DIV
 
 
 @op(
@@ -175,11 +177,11 @@ def stream_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             merged = bsk
         merged.write.mode("overwrite").parquet(state)
 
-    import tempfile
-
     q = (
         stream.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="hll_ckpt_"))
+        # under op_dir so it's cleared per call and removed at exit —
+        # a mkdtemp checkpoint would accumulate in /tmp across runs
+        .option("checkpointLocation", os.path.join(out, "ckpt"))
         .start()
     )
     try:
@@ -195,10 +197,16 @@ def stream_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_sketch_agg("path")).alias("est_batch"),
         F.count_distinct("path").alias("n_exact"),
     )
-    joined = oneshot.join(streamed, "day").localCheckpoint(eager=True)
-    # Merge correctness: incremental union == one-shot sketch, exactly.
+    # FULL outer: a day lost from the state table (or conjured into it)
+    # must count as divergence — an inner join would silently drop it
+    # and the guard below would never fire.
+    joined = oneshot.join(streamed, "day", "full").localCheckpoint(
+        eager=True
+    )
     n_diverged = joined.filter(
-        F.col("est_stream") != F.col("est_batch")
+        F.col("est_stream").isNull()
+        | F.col("est_batch").isNull()
+        | (F.col("est_stream") != F.col("est_batch"))
     ).count()
     if n_diverged:
         raise AssertionError(

@@ -255,3 +255,18 @@ def test_k_anonymity_only_small_classes(spark):
     assert joined.filter(
         F.col("true_k").isNull() | (F.col("true_k") != F.col("k"))
     ).count() == 0
+
+
+def test_sla_maintenance_covers_every_path(spark):
+    """The report row set is the full path universe — a fully-down
+    series must appear with n_up = 0 and breach = true, not vanish."""
+    from esxsnmp_tsdb_spark.functions import tsdb
+
+    rep = analytics8.ts_sla_maintenance_window(spark, SF_SMOKE)
+    n_paths = (
+        tsdb.obs_from_events(register_views(spark, SF_SMOKE)["events"])
+        .select("path")
+        .distinct()
+        .count()
+    )
+    assert rep.count() == n_paths
