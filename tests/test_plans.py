@@ -206,15 +206,18 @@ def test_seasonal_anomaly_profile_broadcasts(spark):
 def test_sla_maintenance_no_per_path_spine(spark):
     """The maintenance calendar aggregates to ONE scalar row and joins as
     a broadcast (BroadcastNestedLoopJoin); the per-path side is the
-    two-phase distinct aggregate plus the calendar's own scalar agg —
-    three exchanges, none proportional to paths x slots."""
+    two-phase distinct aggregate, the path-universe distinct (which the
+    up-counts join as a broadcast-hash, not a shuffle), and the
+    calendar's own scalar agg — four exchanges, none proportional to
+    paths x slots."""
     import re
 
     spark.catalog.clearCache()
     p = plan_str(Q["ts_sla_maintenance_window"](spark, SF_ORACLE))
-    assert "BroadcastNestedLoopJoin" in p
+    assert "BroadcastNestedLoopJoin" in p  # 1-row calendar
+    assert "CartesianProduct" not in p
     n_shuffles = len(re.findall(r"\(\d+\) Exchange\b", p))
-    assert n_shuffles <= 3, f"expected <=3 hash exchanges, plan has {n_shuffles}"
+    assert n_shuffles <= 4, f"expected <=4 hash exchanges, plan has {n_shuffles}"
 
 
 def test_semdedup_pair_join_is_equi_on_cell(spark):
@@ -237,5 +240,39 @@ def test_winnowing_join_on_fingerprint_aggregate(spark):
     spark.catalog.clearCache()
     p = plan_str(Q["doc_winnowing_overlap"](spark, SF_ORACLE))
     assert "BroadcastHashJoin" in p  # sizes dim + (at this sf) fp join
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_topk_report_ops_use_takeordered(spark):
+    """Global top-k in the diagnostics/report ops must plan as
+    TakeOrderedAndProject (k rows per partition to the driver), never a
+    global sort or single-partition window."""
+    for key in ("skew_key_report", "bpe_merge_pair_step"):
+        spark.catalog.clearCache()
+        p = plan_str(Q[key](spark, SF_ORACLE))
+        assert "TakeOrderedAndProject" in p, key
+
+
+def test_single_exchange_report_ops(spark):
+    """MTBF/MTTR and the k-anonymity screen are one-shuffle shapes: the
+    lag window + rollup share the path partitioning / the QI group-by is
+    the only exchange."""
+    import re
+
+    for key in ("ts_mtbf_mttr", "privacy_k_anonymity"):
+        spark.catalog.clearCache()
+        p = plan_str(Q[key](spark, SF_ORACLE))
+        n = len(re.findall(r"\(\d+\) Exchange\b", p))
+        assert n == 1, f"{key}: expected 1 hash exchange, got {n}"
+
+
+def test_pit_join_is_keyed_not_cartesian(spark):
+    """The SCD2 point-in-time join must key on the business key with the
+    validity window as residual — a nested-loop or cartesian here means
+    the range predicate swallowed the equi key."""
+    spark.catalog.clearCache()
+    p = plan_str(Q["scd2_point_in_time_join"](spark, SF_ORACLE))
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
