@@ -103,3 +103,71 @@ def approx_distinct_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("month").alias("scope"), "n_exact", tol_ok
     )
     return day_rows.unionByName(month_row)
+
+
+HIST_BUCKET_W = 20  # value-domain bucket width (fixture values ~0..100)
+
+
+@op(
+    "ts_histogram_ladder",
+    oracle=f"""
+WITH {OBS_CTE},
+b AS (
+  SELECT tse // 86400 AS day,
+         CAST(floor(value * 100) AS BIGINT) // {HIST_BUCKET_W * 100}
+           AS bucket
+  FROM obs WHERE flags = 1
+),
+d AS (
+  SELECT 'day:' || CAST(day AS VARCHAR) AS scope, bucket,
+         count(*) AS n
+  FROM b GROUP BY day, bucket
+),
+m AS (
+  SELECT 'month' AS scope, bucket, CAST(sum(n) AS BIGINT) AS n
+  FROM (SELECT CAST(SUBSTRING(scope, 5) AS BIGINT) AS day, bucket, n
+        FROM d) GROUP BY bucket
+)
+SELECT scope, bucket, n FROM d
+UNION ALL
+SELECT scope, bucket, n FROM m
+""",
+)
+def ts_histogram_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-distribution ladder: per-day equi-width histograms whose
+    month rollup is computed FROM THE DAY HISTOGRAMS (bucket counts
+    add), never from the raw observations — the exact-mergeable
+    companion to `approx_distinct_hll_merge`: histograms, like sums and
+    counts but unlike medians or distinct counts, are ladder-able state,
+    which is why the consolidation ladder stores them and derives any
+    coarser window for free.
+
+    The month CTE in the oracle deliberately re-derives from the day
+    rows (not from obs) so what the hash pins is the MERGE law itself:
+    if bucket addition ever stopped reproducing the month distribution,
+    the comparison would fail.
+
+    Scale: one group-by over (day, bucket) — counts shuffle, values
+    don't; the month level aggregates the day table (days×buckets rows,
+    metadata-sized).  At 100 TB the day histograms persist next to the
+    day partitions and a year-long distribution query reads 365 tiny
+    rows per bucket instead of re-binning the corpus."""
+    obs = _obs(spark, sf_dir)
+    b = obs.filter(F.col("flags") == 1).select(
+        F.expr("tse div 86400").alias("day"),
+        F.expr(
+            f"CAST(floor(value * 100) AS BIGINT) div {HIST_BUCKET_W * 100}"
+        ).alias("bucket"),
+    )
+    d = b.groupBy("day", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    day_rows = d.select(
+        F.concat(F.lit("day:"), F.col("day").cast("string")).alias("scope"),
+        "bucket",
+        "n",
+    )
+    month_rows = (
+        d.groupBy("bucket")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+        .select(F.lit("month").alias("scope"), "bucket", "n")
+    )
+    return day_rows.unionByName(month_rows)

@@ -270,3 +270,29 @@ def test_sla_maintenance_covers_every_path(spark):
         .count()
     )
     assert rep.count() == n_paths
+
+
+def test_histogram_ladder_merge_law(spark):
+    """Month bucket counts equal the sum of day bucket counts, and the
+    total mass equals the valid-observation count."""
+    from esxsnmp_tsdb_spark.functions import tsdb
+    from esxsnmp_tsdb_spark.operators.sketches import ts_histogram_ladder
+
+    out = ts_histogram_ladder(spark, SF_SMOKE).cache()
+    month = {
+        r.bucket: r.n
+        for r in out.filter(F.col("scope") == "month").collect()
+    }
+    days = (
+        out.filter(F.col("scope") != "month")
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("s"))
+        .collect()
+    )
+    assert {r.bucket: r.s for r in days} == month
+    n_valid = (
+        tsdb.obs_from_events(register_views(spark, SF_SMOKE)["events"])
+        .filter(F.col("flags") == 1)
+        .count()
+    )
+    assert sum(month.values()) == n_valid
