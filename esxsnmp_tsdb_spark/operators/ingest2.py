@@ -214,3 +214,120 @@ def ingest_late_data_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum(lateness), F.lit(0)) / F.count(F.lit(1)), 6
         ).alias("avg_lateness_s"),
     )
+
+
+FRESH_NOW = 1706745600  # _shared.T_FEB01 — the report's fixed "now"
+FRESH_STALE_SEC = 2 * 900  # two missed heartbeats = stale
+
+
+@op(
+    "api_freshness_report",
+    oracle=f"""
+WITH obs AS (
+  SELECT concat_ws('/', user_id, event_type) AS path,
+         event_type AS class,
+         CAST(floor(epoch(ts)) AS BIGINT) AS tse
+  FROM events
+),
+per_series AS (
+  SELECT class, path, count(*) AS n_obs, max(tse) AS last_tse
+  FROM obs GROUP BY class, path
+)
+SELECT class,
+       count(*) AS n_series,
+       CAST(sum(n_obs) AS BIGINT) AS n_obs,
+       max(last_tse) AS last_tse,
+       {FRESH_NOW} - max(last_tse) AS staleness_sec,
+       CAST(sum(CASE WHEN {FRESH_NOW} - last_tse > {FRESH_STALE_SEC}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_stale_series
+FROM per_series GROUP BY class
+""",
+)
+def api_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The collector status page (ESxSNMP's device/oidset health view †
+    SURVEY §2.3): per class, how many series exist, when the newest
+    observation landed, and how many series have gone quiet for more
+    than two heartbeats as of a FIXED report time — the first page an
+    on-call engineer opens when polling breaks.  The report "now" is
+    pinned (not wall-clock) so the op is reproducible and
+    oracle-checkable; a deployment substitutes current_timestamp.
+
+    Scale: one partial-aggregated group-by per series, rolled up to
+    classes on the same shuffle's output — per-series maxima are the
+    only state, and the report is catalog-sized."""
+    ev = register_views(spark, sf_dir)["events"]
+    per_series = (
+        ev.select(
+            F.concat_ws("/", "user_id", "event_type").alias("path"),
+            F.col("event_type").alias("class"),
+            F.unix_timestamp("ts").alias("tse"),
+        )
+        .groupBy("class", "path")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.max("tse").alias("last_tse"),
+        )
+    )
+    stale = (FRESH_NOW - F.col("last_tse")) > FRESH_STALE_SEC
+    return per_series.groupBy("class").agg(
+        F.count(F.lit(1)).alias("n_series"),
+        F.sum("n_obs").cast("bigint").alias("n_obs"),
+        F.max("last_tse").alias("last_tse"),
+        (FRESH_NOW - F.max("last_tse")).alias("staleness_sec"),
+        F.sum(stale.cast("bigint")).alias("n_stale_series"),
+    )
+
+
+@op(
+    "ts_poll_interval_drift",
+    oracle="""
+WITH obs AS (
+  SELECT concat_ws('/', user_id, event_type) AS path,
+         CAST(floor(epoch(ts)) AS BIGINT) AS tse,
+         event_id
+  FROM events
+),
+g AS (
+  SELECT path,
+         tse - lag(tse) OVER (PARTITION BY path ORDER BY tse, event_id)
+           AS gap
+  FROM obs
+)
+SELECT path,
+       count(*) AS n_gaps,
+       round(quantile_cont(gap, 0.5), 4) AS p50_gap,
+       round(quantile_cont(gap, 0.95), 4) AS p95_gap,
+       max(gap) AS max_gap
+FROM g WHERE gap IS NOT NULL GROUP BY path
+""",
+)
+def ts_poll_interval_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Actual polling cadence per series: median / p95 / max
+    inter-observation gap — the report that tells an operator the
+    configured STEP no longer matches reality (a drifting median means
+    the poller is overloaded; a fat p95 with a tight median means
+    intermittent stalls; `ts_gap_report` counts violations, this
+    measures the distribution they come from).
+
+    Percentiles are the exact interpolated form (Spark `percentile` ≡
+    DuckDB `quantile_cont`, both R-7 — the `percentiles` op precedent);
+    gaps are integer seconds off one lag window that shares its
+    exchange with the rollup.  At 100 TB swap percentile for
+    percentile_approx per the house note on relational.percentiles."""
+    from pyspark.sql import Window
+
+    obs = register_views(spark, sf_dir)["events"].select(
+        F.concat_ws("/", "user_id", "event_type").alias("path"),
+        F.unix_timestamp("ts").alias("tse"),
+        "event_id",
+    )
+    w = Window.partitionBy("path").orderBy("tse", "event_id")
+    g = obs.withColumn("gap", F.col("tse") - F.lag("tse").over(w)).filter(
+        F.col("gap").isNotNull()
+    )
+    return g.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.expr("percentile(gap, 0.5)"), 4).alias("p50_gap"),
+        F.round(F.expr("percentile(gap, 0.95)"), 4).alias("p95_gap"),
+        F.max("gap").alias("max_gap"),
+    )

@@ -296,3 +296,33 @@ def test_histogram_ladder_merge_law(spark):
         .count()
     )
     assert sum(month.values()) == n_valid
+
+
+def test_freshness_report_consistency(spark):
+    """Series/obs totals reconcile with the fixture; staleness derives
+    from the row's own last_tse; stale counts bounded by series counts."""
+    from esxsnmp_tsdb_spark.operators.ingest2 import (
+        FRESH_NOW,
+        api_freshness_report,
+    )
+
+    rep = api_freshness_report(spark, SF_SMOKE).cache()
+    ev = register_views(spark, SF_SMOKE)["events"]
+    assert rep.agg(F.sum("n_obs").alias("s")).collect()[0].s == ev.count()
+    assert rep.filter(
+        F.col("staleness_sec") != FRESH_NOW - F.col("last_tse")
+    ).count() == 0
+    assert rep.filter(
+        F.col("n_stale_series") > F.col("n_series")
+    ).count() == 0
+
+
+def test_poll_drift_percentiles_ordered(spark):
+    """p50 <= p95 <= max per series, gaps positive counts."""
+    from esxsnmp_tsdb_spark.operators.ingest2 import ts_poll_interval_drift
+
+    rep = ts_poll_interval_drift(spark, SF_SMOKE).cache()
+    assert rep.count() > 0
+    assert rep.filter(F.col("p50_gap") > F.col("p95_gap")).count() == 0
+    assert rep.filter(F.col("p95_gap") > F.col("max_gap")).count() == 0
+    assert rep.filter(F.col("n_gaps") <= 0).count() == 0
