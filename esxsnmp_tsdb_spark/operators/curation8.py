@@ -188,6 +188,45 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def winnow_fingerprints(
+    docs2: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Distinct winnowed fingerprints per doc: (doc_id, fp).
+
+    k-token shingle hashes, trailing w-hash window minima, distinct —
+    the Schleimer-Wilkerson-Aiken selection whose guarantee (any shared
+    run of ≥ w+k−1 tokens shares a fingerprint) is property-tested in
+    tests/test_properties.py."""
+    toks = F.split(F.col("text"), " ")
+    sh = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = docs2.select(
+        "doc_id", F.posexplode(sh).alias("p0", "shingle")
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("i"),
+        F.expr(_hex16("shingle")).alias("h"),
+    )
+    wmin = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    wcnt = Window.partitionBy("doc_id")
+    return (
+        pos.select(
+            "doc_id",
+            "i",
+            F.min("h").over(wmin).alias("fp"),
+            F.count(F.lit(1)).over(wcnt).alias("n_sh"),
+        )
+        .filter(F.col("i") <= F.col("n_sh") - (w - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
 @op(
     "doc_winnowing_overlap",
     oracle=f"""
@@ -247,38 +286,7 @@ def doc_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs2 = fan_out(
         _docs_with_near_copies(_t(spark, sf_dir)["documents"])
     )
-    toks = F.split(F.col("text"), " ")
-    sh = F.when(
-        F.size(toks) >= WINNOW_K,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (WINNOW_K - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, WINNOW_K)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    pos = docs2.select(
-        "doc_id", F.posexplode(sh).alias("p0", "shingle")
-    ).select(
-        "doc_id",
-        (F.col("p0") + 1).alias("i"),
-        F.expr(_hex16("shingle")).alias("h"),
-    )
-    wmin = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(0, WINNOW_W - 1)
-    )
-    wcnt = Window.partitionBy("doc_id")
-    fps = (
-        pos.select(
-            "doc_id",
-            "i",
-            F.min("h").over(wmin).alias("fp"),
-            F.count(F.lit(1)).over(wcnt).alias("n_sh"),
-        )
-        .filter(F.col("i") <= F.col("n_sh") - (WINNOW_W - 1))
-        .select("doc_id", "fp")
-        .distinct()
-    )
+    fps = winnow_fingerprints(docs2)
     sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     a = fps.alias("a")
     b = fps.alias("b")
@@ -317,6 +325,44 @@ def doc_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rolling hash.  Expected chunk length = CDC_MOD tokens.
 CDC_MOD = 16
 BPE_TOP = 20
+
+
+def cdc_chunk_table(docs2: DataFrame, mod: int = CDC_MOD) -> DataFrame:
+    """Content-defined chunk table: (doc_id, chunk_id, n_toks, sig).
+
+    A token starts a new chunk when its hash ≡ 0 (mod ``mod``); the
+    signature is the position-weighted integer Σh·(i−start+1), closed
+    over the group aggregate — its edit-locality (a one-token change
+    touches only the chunks adjacent to the edit) is property-tested in
+    tests/test_properties.py."""
+    toks = docs2.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("p0", "tok"),
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("i"),
+        F.expr(_hex16("tok")).alias("h"),
+    )
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = toks.withColumn(
+        "chunk_id",
+        F.sum((F.col("h") % mod == 0).cast("bigint")).over(wrun),
+    )
+    return marked.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        (
+            (
+                F.sum(F.col("h") * F.col("i"))
+                - (F.min("i") - 1) * F.sum("h")
+            )
+            * 1009
+            + F.count(F.lit(1))
+        ).alias("sig"),
+    )
 
 
 @op(
@@ -377,36 +423,9 @@ def chunk_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from esxsnmp_tsdb_spark.session import fan_out
 
     docs2 = fan_out(_docs_with_near_copies(_t(spark, sf_dir)["documents"]))
-    toks = docs2.select(
-        "doc_id",
-        F.posexplode(F.split(F.col("text"), " ")).alias("p0", "tok"),
-    ).select(
-        "doc_id",
-        (F.col("p0") + 1).alias("i"),
-        F.expr(_hex16("tok")).alias("h"),
-    )
-    wrun = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    marked = toks.withColumn(
-        "chunk_id",
-        F.sum((F.col("h") % CDC_MOD == 0).cast("bigint")).over(wrun),
-    )
-    chunks = marked.groupBy("doc_id", "chunk_id").agg(
-        F.count(F.lit(1)).alias("n_toks"),
-        (
-            (
-                F.sum(F.col("h") * F.col("i"))
-                - (F.min("i") - 1) * F.sum("h")
-            )
-            * 1009
-            + F.count(F.lit(1))
-        ).alias("sig"),
-    )
     return (
-        chunks.groupBy("sig")
+        cdc_chunk_table(docs2)
+        .groupBy("sig")
         .agg(
             F.count_distinct("doc_id").alias("n_docs"),
             F.count(F.lit(1)).alias("n_occ"),

@@ -185,3 +185,78 @@ def test_integer_round_half_up_identity(n, d):
     frac = q - lo
     want = lo + (1 if frac >= Fraction(1, 2) else 0)
     assert got == want
+
+
+# ---- round-6 algorithmic guarantees (winnowing, CDC chunking) ----
+
+_tok = st.integers(min_value=0, max_value=29).map(lambda i: f"w{i}")
+_toklist = lambda lo, hi: st.lists(_tok, min_size=lo, max_size=hi)  # noqa: E731
+
+
+def _docs_df(spark, docs):
+    return spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+
+
+@given(
+    shared=_toklist(9, 14),  # >= WINNOW_W + WINNOW_K - 1 = 9 tokens
+    p1=_toklist(0, 6),
+    p2=_toklist(0, 6),
+    s1=_toklist(0, 6),
+    s2=_toklist(0, 6),
+)
+@PROP
+def test_winnowing_guarantee(spark, shared, p1, p2, s1, s2):
+    """The published winnowing guarantee: two docs sharing a token run
+    of length >= w+k-1 MUST share at least one fingerprint, whatever
+    surrounds the run (Schleimer et al. §2 — the property the MOSS
+    detector is built on)."""
+    from esxsnmp_tsdb_spark.operators.curation8 import winnow_fingerprints
+
+    df = _docs_df(spark, [p1 + shared + s1, p2 + shared + s2])
+    fps = winnow_fingerprints(df).collect()
+    a = {r.fp for r in fps if r.doc_id == 0}
+    b = {r.fp for r in fps if r.doc_id == 1}
+    assert a & b, (sorted(a), sorted(b))
+
+
+@given(toks=_toklist(2, 40))
+@PROP
+def test_cdc_tail_deletion_preserves_all_but_last_chunk(spark, toks):
+    """Dropping the LAST token must leave every chunk except the final
+    one bit-identical — the content-defined locality that fixed-width
+    chunking lacks."""
+    from esxsnmp_tsdb_spark.operators.curation8 import cdc_chunk_table
+
+    df = _docs_df(spark, [toks, toks[:-1]])
+    rows = cdc_chunk_table(df).collect()
+    import collections
+
+    sig0 = collections.Counter(r.sig for r in rows if r.doc_id == 0)
+    sig1 = collections.Counter(r.sig for r in rows if r.doc_id == 1)
+    n_chunks = sum(sig0.values())
+    matched = sum(min(sig0[s], sig1[s]) for s in sig0)
+    assert matched >= n_chunks - 1, (n_chunks, matched)
+
+
+@given(toks=_toklist(3, 40), data=st.data())
+@PROP
+def test_cdc_substitution_is_local(spark, toks, data):
+    """Substituting ONE token changes at most the chunk containing it
+    plus one boundary-adjacent neighbour; everything else re-shares."""
+    from esxsnmp_tsdb_spark.operators.curation8 import cdc_chunk_table
+
+    pos = data.draw(st.integers(min_value=0, max_value=len(toks) - 1))
+    repl = data.draw(_tok.filter(lambda t: t != toks[pos]))
+    mutated = toks[:pos] + [repl] + toks[pos + 1 :]
+    df = _docs_df(spark, [toks, mutated])
+    rows = cdc_chunk_table(df).collect()
+    import collections
+
+    sig0 = collections.Counter(r.sig for r in rows if r.doc_id == 0)
+    sig1 = collections.Counter(r.sig for r in rows if r.doc_id == 1)
+    n_chunks = sum(sig0.values())
+    matched = sum(min(sig0[s], sig1[s]) for s in sig0)
+    assert matched >= n_chunks - 2, (n_chunks, matched, toks, pos, repl)
