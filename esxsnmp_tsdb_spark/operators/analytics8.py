@@ -21,7 +21,7 @@ the whole op is one distinct-aggregate shuffle on `path`.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from esxsnmp_tsdb_spark.functions import tsdb
@@ -465,4 +465,113 @@ def ts_period_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "autocorr",
             "n",
         )
+    )
+
+
+# Composition constants come from the proven pieces in analytics4 — the
+# composed detector must agree with its parts by construction.
+from esxsnmp_tsdb_spark.operators.analytics4 import (  # noqa: E402
+    MAD_CUT,
+    MAD_K,
+    STL_HALF,
+    _SLOT_CTE,
+    _slot_series,
+)
+
+
+@op(
+    "ts_stl_residual_anomaly",
+    oracle=f"""
+WITH {OBS_CTE}, {_SLOT_CTE},
+tr AS (
+  SELECT path, slot, x,
+         round(avg(x) OVER (PARTITION BY path ORDER BY slot
+                            ROWS BETWEEN {STL_HALF - 1} PRECEDING
+                                     AND {STL_HALF} FOLLOWING), 6) AS trend
+  FROM slotavg
+),
+se AS (
+  SELECT path, slot, x, trend,
+         round(avg(x - trend) OVER (
+           PARTITION BY path, CAST((slot % 86400) // 3600 AS INTEGER)), 6) + 0
+           AS seasonal
+  FROM tr
+),
+res AS (
+  SELECT path, slot, x,
+         round(x - trend - seasonal, 6) + 0 AS resid
+  FROM se
+),
+med AS (
+  SELECT path, round(quantile_cont(resid, 0.5), 6) AS med
+  FROM res GROUP BY path
+),
+dev AS (
+  SELECT r.path, r.slot, r.x, r.resid,
+         round(abs(r.resid - m.med), 6) AS dev
+  FROM res r JOIN med m ON r.path = m.path
+),
+mad AS (
+  SELECT path, round(quantile_cont(dev, 0.5), 6) AS mad
+  FROM dev GROUP BY path
+)
+SELECT d.path, d.slot, d.x, d.resid,
+       round(d.dev / ({MAD_K} * m.mad), 6) AS score
+FROM dev d JOIN mad m ON d.path = m.path
+WHERE m.mad > 0 AND round(d.dev / ({MAD_K} * m.mad), 6) > {MAD_CUT}
+""",
+)
+def ts_stl_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted robust anomaly detection — the textbook
+    composition (STL residual → MAD threshold, the S-H-ESD shape): a
+    reading is anomalous only if it deviates after removing the trend
+    and the hour-of-day seasonal pattern, scored by the robust
+    |resid − median| / (1.4826·MAD) statistic.  Catches the 3am spike a
+    raw z-score normalizes away under the daily cycle, and ignores the
+    busy-hour peak a raw threshold would page on.
+
+    Both stages reuse the exact formulations proven independently
+    (`ts_stl_decompose`'s chain-rounded trend/seasonal, and
+    `ts_anomaly_mad`'s rounded median/MAD with the in/out decision on
+    ROUNDED scores), so the composition inherits their cross-engine
+    agreement.
+
+    Scale: trend rides one shuffle on path, seasonal a (path, hod)
+    refinement of it; the two medians are per-path aggregates whose
+    results broadcast back — catalog-sized joins at any corpus scale."""
+    s = _slot_series(spark, sf_dir)
+    wt = (
+        Window.partitionBy("path")
+        .orderBy("slot")
+        .rowsBetween(-(STL_HALF - 1), STL_HALF)
+    )
+    tr = s.withColumn("trend", F.round(F.avg("x").over(wt), 6))
+    hod = F.expr("CAST((slot % 86400) div 3600 AS INT)")
+    ws = Window.partitionBy("path", hod)
+    res = tr.withColumn(
+        "seasonal",
+        F.round(F.avg(F.col("x") - F.col("trend")).over(ws), 6) + 0.0,
+    ).select(
+        "path",
+        "slot",
+        "x",
+        (
+            F.round(F.col("x") - F.col("trend") - F.col("seasonal"), 6)
+            + 0.0
+        ).alias("resid"),
+    )
+    med = res.groupBy("path").agg(
+        F.round(F.expr("percentile(resid, 0.5)"), 6).alias("med")
+    )
+    dev = res.join(F.broadcast(med), "path").withColumn(
+        "dev", F.round(F.abs(F.col("resid") - F.col("med")), 6)
+    )
+    mad = dev.groupBy("path").agg(
+        F.round(F.expr("percentile(dev, 0.5)"), 6).alias("mad")
+    )
+    score = F.round(F.col("dev") / (MAD_K * F.col("mad")), 6)
+    return (
+        dev.join(F.broadcast(mad), "path")
+        .filter((F.col("mad") > 0) & (score > MAD_CUT))
+        .select("path", "slot", "x", "resid", score.alias("score"))
     )

