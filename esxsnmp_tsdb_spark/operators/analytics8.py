@@ -575,3 +575,129 @@ def ts_stl_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("mad") > 0) & (score > MAD_CUT))
         .select("path", "slot", "x", "resid", score.alias("score"))
     )
+
+
+XCORR_MAX_LAG = 6  # scan lags -6..+6 hours
+XCORR_MIN_PAIRS = 48
+
+
+@op(
+    "ts_lead_lag_correlation",
+    oracle=f"""
+WITH {OBS_CTE},
+h AS (
+  SELECT split_part(path, '/', 2) AS class,
+         tse // 3600 AS hr,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS t
+  FROM obs GROUP BY 1, 2
+),
+lags AS (SELECT unnest(generate_series(-{XCORR_MAX_LAG},
+                                       {XCORR_MAX_LAG})) AS lag),
+pairs AS (
+  SELECT a.class AS class_a, b.class AS class_b, l.lag,
+         a.t AS x, b.t AS y
+  FROM h a CROSS JOIN lags l
+  JOIN h b ON b.hr = a.hr + l.lag AND a.class < b.class
+),
+s AS (
+  SELECT class_a, class_b, lag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pairs GROUP BY class_a, class_b, lag
+),
+r AS (
+  SELECT class_a, class_b, lag, n,
+         round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+               (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+                sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+               6) AS xcorr
+  FROM s
+  WHERE n >= {XCORR_MIN_PAIRS}
+    AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+    AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+)
+SELECT class_a, class_b, lag AS best_lag, xcorr, n FROM (
+  SELECT *, row_number() OVER (PARTITION BY class_a, class_b
+                               ORDER BY abs(xcorr) DESC, lag) AS rn
+  FROM r
+) WHERE rn = 1
+""",
+)
+def ts_lead_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead/lag discovery between traffic classes: Pearson correlation
+    of the two hourly series at every shift −{XCORR_MAX_LAG}..+
+    {XCORR_MAX_LAG} h, keeping each pair's strongest |r| (ties to the
+    smaller lag) — a positive best_lag means class_a's traffic LEADS
+    class_b's, the "which metric moves first" hint an on-call engineer
+    uses to order a cascading-failure timeline.
+
+    Same exactness discipline as `ts_period_detect`: five exact int64
+    power sums per (pair, lag); doubles only in the closed-form r,
+    rounded before the argmax.  Scale: the hourly class aggregate is
+    catalog×calendar sized, the pair×lag fan-out is classes²·13 over
+    that tiny table, and raw obs are touched exactly once."""
+    obs = _obs(spark, sf_dir)
+    h = (
+        obs.select(
+            F.split("path", "/").getItem(1).alias("class"),
+            F.expr("tse div 3600").alias("hr"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("class", "hr")
+        .agg(F.sum("cents").cast("bigint").alias("t"))
+    )
+    lags = spark.range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1).select(
+        F.col("id").alias("lag")
+    )
+    a = h.alias("a")
+    b = h.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b.hr") == F.col("a.hr") + F.col("lag"))
+            & (F.col("a.class") < F.col("b.class")),
+        )
+        .select(
+            F.col("a.class").alias("class_a"),
+            F.col("b.class").alias("class_b"),
+            "lag",
+            F.col("a.t").alias("x"),
+            F.col("b.t").alias("y"),
+        )
+    )
+    s = pairs.groupBy("class_a", "class_b", "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    varx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vary = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    r = s.filter(
+        (F.col("n") >= XCORR_MIN_PAIRS) & (varx > 0) & (vary > 0)
+    ).select(
+        "class_a",
+        "class_b",
+        "lag",
+        "n",
+        F.round(
+            (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / (F.sqrt(varx) * F.sqrt(vary)),
+            6,
+        ).alias("xcorr"),
+    )
+    w = Window.partitionBy("class_a", "class_b").orderBy(
+        F.abs(F.col("xcorr")).desc(), "lag"
+    )
+    return (
+        r.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("class_a", "class_b", F.col("lag").alias("best_lag"), "xcorr", "n")
+    )

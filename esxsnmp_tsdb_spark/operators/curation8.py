@@ -537,3 +537,110 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("k"))
         .filter(F.col("k") < KANON_K)
     )
+
+
+HARDNEG_TOP = 3  # negatives mined per anchor
+
+
+@op(
+    "mine_hard_negatives",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding, len(embedding) AS d
+           FROM embeddings),
+c AS (SELECT vec_id AS cid, embedding AS cv, d AS cd FROM e
+      WHERE vec_id % {CELL_SEED_MOD} = 0),
+assigned AS (
+  SELECT vec_id, label, embedding, d, cid FROM (
+    SELECT e.vec_id, e.label, e.embedding, e.d, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {DOT_SQL.format(d='e.d', a='e.embedding', b='c.cv')} /
+                      (sqrt({DOT_SQL.format(d='e.d', a='e.embedding',
+                                            b='e.embedding')}) *
+                       sqrt({DOT_SQL.format(d='c.cd', a='c.cv', b='c.cv')}))
+                      DESC, c.cid) AS rn
+    FROM e CROSS JOIN c
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+         round({_COS_AB}, 6) AS cos
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.label != b.label AND a.vec_id != b.vec_id
+)
+SELECT anchor_id, neg_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY cos DESC, neg_id) AS rank
+  FROM cand
+) WHERE rank <= {HARDNEG_TOP}
+""",
+)
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every anchor
+    vector, the {HARDNEG_TOP} most-similar vectors with a DIFFERENT
+    label — the near-misses that actually teach an embedding model its
+    decision boundary (random negatives are trivially separable and
+    contribute ~zero gradient).  Selection ranks on the ROUNDED cosine
+    with vec_id tiebreak so the mined pair set is reproducible
+    run-to-run — a nondeterministic pair set would make training runs
+    unrepeatable.
+
+    Scale: candidates come from the IVF cell blocker (same coarse cell,
+    different label), NOT an all-pairs sweep — exactly where hard
+    negatives live, since same-cell vectors are the similar ones; the
+    per-anchor top-k is a window partitioned by anchor (never global).
+    At 100 TB the cell assignment is the ingest-persisted partition key
+    and mining runs cell-by-cell, embarrassingly parallel."""
+    e = _t(spark, sf_dir)["embeddings"].select(
+        "vec_id",
+        "label",
+        "embedding",
+        norm(_dbl(F.col("embedding"))).alias("nrm"),
+    )
+    cent = e.filter(F.col("vec_id") % CELL_SEED_MOD == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "embedding",
+        "nrm",
+        "cid",
+        (
+            dot(_dbl(F.col("embedding")), _dbl(F.col("cv")))
+            / (F.col("nrm") * F.col("cnrm"))
+        ).alias("c_cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cid")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", "nrm", "cid")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    cos = F.round(
+        dot(_dbl(F.col("a.embedding")), _dbl(F.col("b.embedding")))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    cand = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid"))
+        & (F.col("a.label") != F.col("b.label"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("anchor_id"),
+        F.col("b.vec_id").alias("neg_id"),
+        cos.alias("cos"),
+    )
+    wr = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").desc(), "neg_id"
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= HARDNEG_TOP)
+        .select("anchor_id", "neg_id", "cos", "rank")
+    )

@@ -344,3 +344,58 @@ def test_stl_residual_anomaly_is_seasonal_subset(spark):
     assert rep.filter(
         F.col("score").isNull() | (F.col("score") <= 0)
     ).count() == 0
+
+
+def test_hard_negatives_cross_label_topk(spark):
+    """Every mined pair crosses labels, ranks are a 1..k prefix per
+    anchor, and cosines are non-increasing within an anchor."""
+    from esxsnmp_tsdb_spark.operators.curation8 import (
+        HARDNEG_TOP,
+        mine_hard_negatives,
+    )
+
+    rep = mine_hard_negatives(spark, SF_SMOKE).cache()
+    assert rep.count() > 0
+    emb = register_views(spark, SF_SMOKE)["embeddings"].select(
+        "vec_id", "label"
+    )
+    la = emb.withColumnRenamed("vec_id", "anchor_id").withColumnRenamed(
+        "label", "label_a"
+    )
+    lb = emb.withColumnRenamed("vec_id", "neg_id").withColumnRenamed(
+        "label", "label_b"
+    )
+    joined = rep.join(la, "anchor_id").join(lb, "neg_id")
+    assert joined.filter(F.col("label_a") == F.col("label_b")).count() == 0
+    assert rep.filter(
+        (F.col("rank") < 1) | (F.col("rank") > HARDNEG_TOP)
+    ).count() == 0
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor_id").orderBy("rank")
+    bad = (
+        rep.withColumn("prev_cos", F.lag("cos").over(w))
+        .filter(
+            F.col("prev_cos").isNotNull()
+            & (F.col("cos") > F.col("prev_cos"))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_lead_lag_one_winner_per_pair(spark):
+    from esxsnmp_tsdb_spark.operators.analytics8 import (
+        XCORR_MAX_LAG,
+        ts_lead_lag_correlation,
+    )
+
+    rows = ts_lead_lag_correlation(spark, SF_SMOKE).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.class_a < r.class_b
+        assert (r.class_a, r.class_b) not in seen
+        seen.add((r.class_a, r.class_b))
+        assert -XCORR_MAX_LAG <= r.best_lag <= XCORR_MAX_LAG
+        assert -1.000001 <= r.xcorr <= 1.000001
