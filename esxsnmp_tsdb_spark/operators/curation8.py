@@ -644,3 +644,79 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= HARDNEG_TOP)
         .select("anchor_id", "neg_id", "cos", "rank")
     )
+
+
+# Target language mix for the training run, in ppm of the token budget
+# (powers-of-two-ish shares so the table reads like a real mixture
+# recipe; any set summing to 1e6 works).
+MIX_TARGET_PPM = {
+    "en": 500_000,
+    "de": 150_000,
+    "fr": 150_000,
+    "es": 120_000,
+    "zh": 80_000,
+}
+_MIX_VALUES = ", ".join(
+    f"('{lang}', {ppm})" for lang, ppm in sorted(MIX_TARGET_PPM.items())
+)
+MIX_BUDGET_TOKENS = 1_000_000  # total training-token budget
+
+
+@op(
+    "dataset_mixture_epochs",
+    oracle=f"""
+WITH tgt(lang, target_ppm) AS (VALUES {_MIX_VALUES}),
+have AS (
+  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY lang
+)
+SELECT h.lang, h.n_tokens, t.target_ppm,
+       CAST(t.target_ppm AS BIGINT) * {MIX_BUDGET_TOKENS} // 1000000
+         AS target_tokens,
+       CAST((2 * (CAST(t.target_ppm AS BIGINT) * {MIX_BUDGET_TOKENS}
+                  // 1000000) * 1000000 + h.n_tokens)
+            // (2 * h.n_tokens) AS BIGINT) AS epochs_ppm
+FROM have h JOIN tgt t ON t.lang = h.lang
+""",
+)
+def dataset_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mixture epochs table: given a target language mix (ppm
+    of a fixed training-token budget) and the tokens actually available
+    per language, how many passes over each language's data the sampler
+    must take — epochs_ppm > 1e6 means UPSAMPLING (repeat data, the
+    low-resource-language regime), < 1e6 means subsampling (the
+    `sample_importance_weighted` / `sample_token_budget` regime).  This
+    is the table a pretraining run's §"data" section publishes.
+
+    All arithmetic is half-up integer ppm over exact token counts — the
+    recipe is reproducible to the token.  Scale: one aggregate per
+    language over the corpus; the target table is a broadcast literal;
+    output is |languages| rows."""
+    docs = _t(spark, sf_dir)["documents"]
+    tgt = spark.createDataFrame(
+        sorted(MIX_TARGET_PPM.items()), "lang string, target_ppm int"
+    )
+    have = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens")
+    )
+    return (
+        have.join(F.broadcast(tgt), "lang")
+        .withColumn(
+            "target_tokens",
+            F.expr(
+                f"CAST(target_ppm AS BIGINT) * {MIX_BUDGET_TOKENS}"
+                " div 1000000"
+            ),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "target_ppm",
+            "target_tokens",
+            F.expr(
+                "CAST((2 * target_tokens * 1000000 + n_tokens)"
+                " div (2 * n_tokens) AS BIGINT)"
+            ).alias("epochs_ppm"),
+        )
+    )

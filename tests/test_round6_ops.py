@@ -399,3 +399,23 @@ def test_lead_lag_one_winner_per_pair(spark):
         seen.add((r.class_a, r.class_b))
         assert -XCORR_MAX_LAG <= r.best_lag <= XCORR_MAX_LAG
         assert -1.000001 <= r.xcorr <= 1.000001
+
+
+def test_mixture_epochs_identity(spark):
+    """epochs * available ≈ target tokens (half-up quantum), and the
+    target shares cover every language present in the target table."""
+    from esxsnmp_tsdb_spark.operators.curation8 import (
+        MIX_BUDGET_TOKENS,
+        MIX_TARGET_PPM,
+        dataset_mixture_epochs,
+    )
+
+    rows = dataset_mixture_epochs(spark, SF_SMOKE).collect()
+    assert {r.lang for r in rows} <= set(MIX_TARGET_PPM)
+    for r in rows:
+        assert r.target_tokens == r.target_ppm * MIX_BUDGET_TOKENS // 10**6
+        # half-up: |epochs_ppm * n_tokens - target_tokens * 1e6| <= n/2
+        assert (
+            abs(r.epochs_ppm * r.n_tokens - r.target_tokens * 10**6) * 2
+            <= r.n_tokens
+        )
