@@ -100,3 +100,107 @@ def storage_file_skipping_manifest(
             .alias("cents"),
         )
     )
+
+
+# Snapshot-GC fixture window: reuse storage2's snapshot constants so the
+# two ops describe the same table lifecycle.
+from esxsnmp_tsdb_spark.operators._shared import T_JAN20  # noqa: E402
+from esxsnmp_tsdb_spark.operators.storage2 import (  # noqa: E402
+    SNAP_CHANGED,
+)
+
+
+@op(
+    "storage_snapshot_gc",
+    oracle=f"""
+WITH {OBS_CTE},
+base AS (
+  SELECT value, tse // 86400 AS day
+  FROM obs WHERE tse >= {T_JAN10} AND tse < {T_JAN20}
+)
+SELECT day, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(CASE WHEN day = {SNAP_CHANGED}
+                                THEN value * 2 ELSE value END * 100)
+                     AS BIGINT)) AS BIGINT) AS cents
+FROM base GROUP BY day
+""",
+)
+def storage_snapshot_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot expiry + garbage collection — the VACUUM half of the
+    manifest time-travel lifecycle (`storage_snapshot_time_travel`
+    proves create/read; this proves you can ever reclaim space): build
+    snapshot 1, copy-on-write one day into snapshot 2, EXPIRE snapshot
+    1, then delete every version directory no surviving manifest
+    references.  The op asserts the GC removed exactly the superseded
+    day-version (and nothing else), and the returned table is snapshot
+    2 read back AFTER the GC — the oracle recomputing it from the
+    fixture proves reclamation lost no live data.
+
+    The deletion rule is manifest-driven (referenced-set difference),
+    never age- or pattern-driven — the invariant that makes VACUUM safe
+    in real table formats: a file is dead iff NO retained snapshot
+    lists it, regardless of its name or mtime.
+
+    Scale: GC is pure manifest arithmetic (set difference over file
+    lists, KB-sized) plus deletes; no data file is ever read.  The
+    build is one partitioned write + one day rewrite, as in the
+    time-travel op."""
+    import json
+    import shutil
+
+    obs = tsdb.obs_from_events(register_views(spark, sf_dir)["events"])
+    base = obs.where(
+        (F.col("tse") >= T_JAN10) & (F.col("tse") < T_JAN20)
+    ).withColumn("day", F.expr("tse div 86400"))
+
+    root = op_dir("snapshot_gc")
+    v1_root = os.path.join(root, "data_v1")
+    (
+        base.withColumn("day_p", F.col("day"))
+        .write.mode("overwrite")
+        .partitionBy("day_p")
+        .parquet(v1_root)
+    )
+    import glob as _glob
+
+    manifest1 = {
+        os.path.basename(p).split("=", 1)[1]: p
+        for p in _glob.glob(os.path.join(v1_root, "day_p=*"))
+    }
+    manifest2 = dict(manifest1)
+    p2 = os.path.join(root, "data", str(SNAP_CHANGED), "v2")
+    (
+        base.where(F.col("day") == SNAP_CHANGED)
+        .withColumn("value", F.col("value") * 2)
+        .write.mode("overwrite")
+        .parquet(p2)
+    )
+    manifest2[str(SNAP_CHANGED)] = p2
+    for name, m in (("s1", manifest1), ("s2", manifest2)):
+        with open(os.path.join(root, f"manifest_{name}.json"), "w") as f:
+            json.dump(m, f)
+
+    # ---- expire s1, GC by referenced-set difference ----
+    os.remove(os.path.join(root, "manifest_s1.json"))
+    retained = set()
+    for mf in _glob.glob(os.path.join(root, "manifest_*.json")):
+        with open(mf) as f:
+            retained |= set(json.load(f).values())
+    all_dirs = set(_glob.glob(os.path.join(v1_root, "day_p=*"))) | {p2}
+    dead = sorted(all_dirs - retained)
+    expected_dead = os.path.join(v1_root, f"day_p={SNAP_CHANGED}")
+    assert dead == [expected_dead], (dead, expected_dead)
+    for d in dead:
+        shutil.rmtree(d)
+    assert not os.path.exists(expected_dead)
+
+    with open(os.path.join(root, "manifest_s2.json")) as f:
+        m2 = json.load(f)
+    assert all(os.path.exists(p) for p in m2.values()), "GC ate live data"
+    back = spark.read.parquet(*m2.values())
+    return back.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )

@@ -419,3 +419,23 @@ def test_mixture_epochs_identity(spark):
             abs(r.epochs_ppm * r.n_tokens - r.target_tokens * 10**6) * 2
             <= r.n_tokens
         )
+
+
+def test_snapshot_gc_keeps_live_days(spark):
+    """Post-GC snapshot-2 read covers all 10 days, and the superseded
+    v1 day directory is genuinely gone (the in-op asserts enforce the
+    referenced-set rule; this pins the user-visible result)."""
+    import os
+
+    from esxsnmp_tsdb_spark.operators._workdirs import op_dir
+    from esxsnmp_tsdb_spark.operators.storage2 import SNAP_CHANGED
+    from esxsnmp_tsdb_spark.operators.storage3 import storage_snapshot_gc
+
+    out = storage_snapshot_gc(spark, SF_SMOKE).cache()
+    assert out.count() == 10
+    assert out.filter(F.col("day") == SNAP_CHANGED).count() == 1
+    root = op_dir("snapshot_gc", fresh=False)
+    assert not os.path.exists(
+        os.path.join(root, "data_v1", f"day_p={SNAP_CHANGED}")
+    )
+    assert not os.path.exists(os.path.join(root, "manifest_s1.json"))
