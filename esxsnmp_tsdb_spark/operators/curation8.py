@@ -671,13 +671,16 @@ have AS (
            AS n_tokens
   FROM documents GROUP BY lang
 )
-SELECT h.lang, h.n_tokens, t.target_ppm,
+SELECT t.lang, COALESCE(h.n_tokens, 0) AS n_tokens, t.target_ppm,
        CAST(t.target_ppm AS BIGINT) * {MIX_BUDGET_TOKENS} // 1000000
          AS target_tokens,
-       CAST((2 * (CAST(t.target_ppm AS BIGINT) * {MIX_BUDGET_TOKENS}
-                  // 1000000) * 1000000 + h.n_tokens)
-            // (2 * h.n_tokens) AS BIGINT) AS epochs_ppm
-FROM have h JOIN tgt t ON t.lang = h.lang
+       CASE WHEN COALESCE(h.n_tokens, 0) > 0
+            THEN CAST((2 * (CAST(t.target_ppm AS BIGINT)
+                            * {MIX_BUDGET_TOKENS} // 1000000) * 1000000
+                       + h.n_tokens)
+                      // (2 * h.n_tokens) AS BIGINT)
+            END AS epochs_ppm
+FROM tgt t LEFT JOIN have h ON h.lang = t.lang
 """,
 )
 def dataset_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -690,9 +693,13 @@ def dataset_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the table a pretraining run's §"data" section publishes.
 
     All arithmetic is half-up integer ppm over exact token counts — the
-    recipe is reproducible to the token.  Scale: one aggregate per
-    language over the corpus; the target table is a broadcast literal;
-    output is |languages| rows."""
+    recipe is reproducible to the token.  The join runs FROM the target
+    table (left join onto availability): a target language with zero
+    corpus tokens must surface as an n_tokens = 0 / NULL-epochs row —
+    an unallocatable share of the budget is a finding, not a row to
+    drop silently.  Scale: one aggregate per language over the corpus;
+    the target table is a broadcast literal; output is |languages|
+    rows."""
     docs = _t(spark, sf_dir)["documents"]
     tgt = spark.createDataFrame(
         sorted(MIX_TARGET_PPM.items()), "lang string, target_ppm int"
@@ -701,7 +708,12 @@ def dataset_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens")
     )
     return (
-        have.join(F.broadcast(tgt), "lang")
+        # broadcast the aggregate (the BUILD side of the left join —
+        # the preserved target side can't build)
+        tgt.join(F.broadcast(have), "lang", "left")
+        .withColumn(
+            "n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0).cast("bigint"))
+        )
         .withColumn(
             "target_tokens",
             F.expr(
@@ -715,8 +727,9 @@ def dataset_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "target_ppm",
             "target_tokens",
             F.expr(
-                "CAST((2 * target_tokens * 1000000 + n_tokens)"
-                " div (2 * n_tokens) AS BIGINT)"
+                "CASE WHEN n_tokens > 0 THEN"
+                " CAST((2 * target_tokens * 1000000 + n_tokens)"
+                " div (2 * n_tokens) AS BIGINT) END"
             ).alias("epochs_ppm"),
         )
     )

@@ -22,6 +22,7 @@ from esxsnmp_tsdb_spark.functions import tsdb
 from esxsnmp_tsdb_spark.operators._shared import (
     OBS_CTE,
     STEP,
+    T_FEB01,
     T_JAN10,
     T_JAN15_NOON,
     T_JAN20,
@@ -216,21 +217,17 @@ def ingest_late_data_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-FRESH_NOW = 1706745600  # _shared.T_FEB01 — the report's fixed "now"
+FRESH_NOW = T_FEB01  # the report's fixed "now" (import, not a copy)
 FRESH_STALE_SEC = 2 * 900  # two missed heartbeats = stale
 
 
 @op(
     "api_freshness_report",
     oracle=f"""
-WITH obs AS (
-  SELECT concat_ws('/', user_id, event_type) AS path,
-         event_type AS class,
-         CAST(floor(epoch(ts)) AS BIGINT) AS tse
-  FROM events
-),
+WITH {OBS_CTE},
 per_series AS (
-  SELECT class, path, count(*) AS n_obs, max(tse) AS last_tse
+  SELECT split_part(path, '/', 2) AS class, path,
+         count(*) AS n_obs, max(tse) AS last_tse
   FROM obs GROUP BY class, path
 )
 SELECT class,
@@ -255,12 +252,12 @@ def api_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one partial-aggregated group-by per series, rolled up to
     classes on the same shuffle's output — per-series maxima are the
     only state, and the report is catalog-sized."""
-    ev = register_views(spark, sf_dir)["events"]
+    obs = tsdb.obs_from_events(register_views(spark, sf_dir)["events"])
     per_series = (
-        ev.select(
-            F.concat_ws("/", "user_id", "event_type").alias("path"),
-            F.col("event_type").alias("class"),
-            F.unix_timestamp("ts").alias("tse"),
+        obs.select(
+            F.element_at(F.split("path", "/"), 2).alias("class"),
+            "path",
+            "tse",
         )
         .groupBy("class", "path")
         .agg(
@@ -280,13 +277,8 @@ def api_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "ts_poll_interval_drift",
-    oracle="""
-WITH obs AS (
-  SELECT concat_ws('/', user_id, event_type) AS path,
-         CAST(floor(epoch(ts)) AS BIGINT) AS tse,
-         event_id
-  FROM events
-),
+    oracle=f"""
+WITH {OBS_CTE},
 g AS (
   SELECT path,
          tse - lag(tse) OVER (PARTITION BY path ORDER BY tse, event_id)
@@ -314,13 +306,7 @@ def ts_poll_interval_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps are integer seconds off one lag window that shares its
     exchange with the rollup.  At 100 TB swap percentile for
     percentile_approx per the house note on relational.percentiles."""
-    from pyspark.sql import Window
-
-    obs = register_views(spark, sf_dir)["events"].select(
-        F.concat_ws("/", "user_id", "event_type").alias("path"),
-        F.unix_timestamp("ts").alias("tse"),
-        "event_id",
-    )
+    obs = tsdb.obs_from_events(register_views(spark, sf_dir)["events"])
     w = Window.partitionBy("path").orderBy("tse", "event_id")
     g = obs.withColumn("gap", F.col("tse") - F.lag("tse").over(w)).filter(
         F.col("gap").isNotNull()

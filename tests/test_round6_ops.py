@@ -328,17 +328,17 @@ def test_poll_drift_percentiles_ordered(spark):
     assert rep.filter(F.col("n_gaps") <= 0).count() == 0
 
 
-def test_stl_residual_anomaly_is_seasonal_subset(spark):
-    """Every flagged row clears the MAD cut on the rounded score, and
-    the detector flags FEWER rows than a raw-value MAD would whenever
-    the series has real seasonal structure (residuals are tighter than
-    raw values)."""
+def test_stl_residual_anomaly_flags_extreme_residuals(spark):
+    """The detector finds something on the fixture (non-vacuous), and
+    every flagged row clears the MAD cut on the rounded score with a
+    positive finite value."""
     from esxsnmp_tsdb_spark.operators.analytics8 import (
         ts_stl_residual_anomaly,
     )
     from esxsnmp_tsdb_spark.operators.analytics4 import MAD_CUT
 
     rep = ts_stl_residual_anomaly(spark, SF_SMOKE).cache()
+    assert rep.count() > 0  # an empty report can't regress silently
     assert rep.filter(F.col("score") <= MAD_CUT).count() == 0
     # scores are positive and finite
     assert rep.filter(
@@ -411,9 +411,14 @@ def test_mixture_epochs_identity(spark):
     )
 
     rows = dataset_mixture_epochs(spark, SF_SMOKE).collect()
-    assert {r.lang for r in rows} <= set(MIX_TARGET_PPM)
+    # FULL coverage of the target mix: a language missing from the
+    # corpus must still appear (n_tokens=0, NULL epochs), never vanish
+    assert {r.lang for r in rows} == set(MIX_TARGET_PPM)
     for r in rows:
         assert r.target_tokens == r.target_ppm * MIX_BUDGET_TOKENS // 10**6
+        if r.n_tokens == 0:
+            assert r.epochs_ppm is None
+            continue
         # half-up: |epochs_ppm * n_tokens - target_tokens * 1e6| <= n/2
         assert (
             abs(r.epochs_ppm * r.n_tokens - r.target_tokens * 10**6) * 2
