@@ -733,3 +733,74 @@ def dataset_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("epochs_ppm"),
         )
     )
+
+
+OOD_TAU = 0.1  # best-centroid cosine below this = out-of-distribution
+
+
+@op(
+    "doc_semantic_outliers",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding, len(embedding) AS d FROM embeddings),
+c AS (SELECT vec_id AS cid, embedding AS cv, d AS cd FROM e
+      WHERE vec_id % {CELL_SEED_MOD} = 0),
+best AS (
+  SELECT vec_id, cid AS best_cid, best_cos FROM (
+    SELECT e.vec_id, c.cid,
+           round({DOT_SQL.format(d='e.d', a='e.embedding', b='c.cv')} /
+                 (sqrt({DOT_SQL.format(d='e.d', a='e.embedding',
+                                       b='e.embedding')}) *
+                  sqrt({DOT_SQL.format(d='c.cd', a='c.cv', b='c.cv')})),
+                 6) AS best_cos,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {DOT_SQL.format(d='e.d', a='e.embedding', b='c.cv')} /
+                      (sqrt({DOT_SQL.format(d='e.d', a='e.embedding',
+                                            b='e.embedding')}) *
+                       sqrt({DOT_SQL.format(d='c.cd', a='c.cv', b='c.cv')}))
+                      DESC, c.cid) AS rn
+    FROM e CROSS JOIN c
+  ) WHERE rn = 1
+)
+SELECT vec_id, best_cid, best_cos
+FROM best WHERE best_cos < {OOD_TAU}
+""",
+)
+def doc_semantic_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-distribution screen on the embedding corpus: vectors whose
+    BEST coarse-centroid cosine is still below τ sit in no cluster's
+    direction at all — the mis-embedded / off-domain / garbage-input
+    rows a curation run quarantines before they seed a cluster of their
+    own (`embedding_norm_outliers` catches magnitude pathologies; this
+    catches directional ones).  The in/out decision compares the
+    ROUNDED best cosine on both engines.
+
+    Scale: the scoring is the same corpus × broadcast-centroid fan-out
+    every IVF op pays at ingest — at 100 TB this screen is a free
+    by-product of cell assignment (the argmax is already computed; the
+    outlier bit is one comparison on it)."""
+    e = _t(spark, sf_dir)["embeddings"].select(
+        "vec_id", "embedding", norm(_dbl(F.col("embedding"))).alias("nrm")
+    )
+    cent = e.filter(F.col("vec_id") % CELL_SEED_MOD == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    c_cos = dot(_dbl(F.col("embedding")), _dbl(F.col("cv"))) / (
+        F.col("nrm") * F.col("cnrm")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", c_cos.alias("c_cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("cid").alias("best_cid"),
+            F.round("c_cos", 6).alias("best_cos"),
+        )
+        .filter(F.col("best_cos") < OOD_TAU)
+    )

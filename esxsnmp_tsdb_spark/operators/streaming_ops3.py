@@ -231,3 +231,149 @@ def stream_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("month").alias("scope"), "n_exact", tol_ok
     )
     return day_rows.unionByName(month_row)
+
+
+from esxsnmp_tsdb_spark.operators.sketches import HIST_BUCKET_W
+
+
+@op(
+    "stream_histogram_ladder",
+    oracle=f"""
+WITH obs AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS tse,
+         CAST(value AS DOUBLE) AS value,
+         CASE WHEN event_id % 10 = 0 THEN 0 ELSE 1 END AS flags
+  FROM events
+),
+b AS (
+  SELECT tse // 86400 AS day,
+         CAST(floor(value * 100) AS BIGINT) // {HIST_BUCKET_W * 100}
+           AS bucket
+  FROM obs WHERE flags = 1
+),
+d AS (
+  SELECT 'day:' || CAST(day AS VARCHAR) AS scope, bucket,
+         count(*) AS n
+  FROM b GROUP BY day, bucket
+),
+m AS (
+  SELECT 'month' AS scope, bucket, CAST(sum(n) AS BIGINT) AS n
+  FROM (SELECT bucket, n FROM d) GROUP BY bucket
+)
+SELECT scope, bucket, n FROM d
+UNION ALL
+SELECT scope, bucket, n FROM m
+""",
+)
+def stream_histogram_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming value-distribution ladder — the live, EXACT-mergeable
+    companion to `stream_distinct_hll` (and the streaming twin of
+    `ts_histogram_ladder`): each micro-batch's per-(day, bucket) counts
+    fold into a persisted histogram state table by plain addition, and
+    the month level is derived from the day histograms, never from raw
+    data.  Because bucket-count addition is associative and commutative,
+    the 3-batch incremental state must equal the one-shot batch
+    histogram EXACTLY, which the op asserts before returning — the
+    restart/replay story needs no tolerance at all for this aggregate.
+
+    Scale: the state table is days×buckets rows (metadata-sized); each
+    micro-batch shuffles only its own (day, bucket) partial counts; at
+    100 TB this is the continuously-maintained distribution panel that
+    plain streaming percentile state cannot express (quantiles don't
+    merge; histograms do)."""
+    from pyspark.sql import types as T
+
+    from esxsnmp_tsdb_spark.sources import register_views
+
+    out = op_dir("hist_stream")
+    src = os.path.join(out, "src")
+    state = os.path.join(out, "state")
+    ev = register_views(spark, sf_dir)["events"]
+    base = ev.select(
+        F.expr(
+            "CAST(floor(unix_timestamp(ts)) AS BIGINT) div 86400"
+        ).alias("day"),
+        F.expr(
+            f"CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT)"
+            f" div {HIST_BUCKET_W * 100}"
+        ).alias("bucket"),
+        "event_id",
+    ).filter(F.col("event_id") % 10 != 0)
+    for part in range(3):
+        base.filter(F.col("event_id") % 3 == part).drop(
+            "event_id"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"part={part}")
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("day", T.LongType()),
+            T.StructField("bucket", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/part=*")
+    )
+
+    def merge_batch(bdf, epoch_id: int) -> None:
+        s = bdf.sparkSession
+        inc = bdf.groupBy("day", "bucket").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+        if os.path.exists(state):
+            prior = s.read.parquet(state)
+            merged = (
+                prior.unionByName(inc)
+                .groupBy("day", "bucket")
+                .agg(F.sum("n").cast("bigint").alias("n"))
+                .localCheckpoint(eager=True)  # self-read-overwrite rule
+            )
+        else:
+            merged = inc
+        merged.write.mode("overwrite").parquet(state)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(out, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    st = spark.read.parquet(state)
+    oneshot = base.drop("event_id").groupBy("day", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # exact-merge proof: full outer so lost/conjured cells count too
+    j = st.withColumnRenamed("n", "n_stream").join(
+        oneshot.withColumnRenamed("n", "n_batch"),
+        ["day", "bucket"],
+        "full",
+    )
+    n_diverged = j.filter(
+        F.col("n_stream").isNull()
+        | F.col("n_batch").isNull()
+        | (F.col("n_stream") != F.col("n_batch"))
+    ).count()
+    if n_diverged:
+        raise AssertionError(
+            f"stream_histogram_ladder: {n_diverged} (day, bucket) cells "
+            "diverged from the one-shot histogram — count addition "
+            "stopped being exact, which can only be lost state"
+        )
+    day_rows = st.select(
+        F.concat(F.lit("day:"), F.col("day").cast("string")).alias("scope"),
+        "bucket",
+        "n",
+    )
+    month_rows = (
+        st.groupBy("bucket")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+        .select(F.lit("month").alias("scope"), "bucket", "n")
+    )
+    return day_rows.unionByName(month_rows)

@@ -444,3 +444,38 @@ def test_snapshot_gc_keeps_live_days(spark):
         os.path.join(root, "data_v1", f"day_p={SNAP_CHANGED}")
     )
     assert not os.path.exists(os.path.join(root, "manifest_s1.json"))
+
+
+def test_semantic_outliers_are_directional_tail(spark):
+    """Flagged vectors sit below τ on the rounded best-centroid cosine;
+    centroid seed vectors (cosine 1.0 to themselves) can never appear."""
+    from esxsnmp_tsdb_spark.operators.curation8 import (
+        CELL_SEED_MOD,
+        OOD_TAU,
+        doc_semantic_outliers,
+    )
+
+    rep = doc_semantic_outliers(spark, SF_SMOKE).cache()
+    assert rep.count() > 0
+    assert rep.filter(F.col("best_cos") >= OOD_TAU).count() == 0
+    assert rep.filter(F.col("vec_id") % CELL_SEED_MOD == 0).count() == 0
+
+
+def test_stream_histogram_matches_batch_twin(spark):
+    """The streamed histogram state reproduces the batch ladder exactly
+    (the op itself asserts cell-level equality with the one-shot
+    histogram; this pins the user-facing shape)."""
+    from esxsnmp_tsdb_spark.operators.sketches import ts_histogram_ladder
+    from esxsnmp_tsdb_spark.operators.streaming_ops3 import (
+        stream_histogram_ladder,
+    )
+
+    live = {
+        (r.scope, r.bucket): r.n
+        for r in stream_histogram_ladder(spark, SF_SMOKE).collect()
+    }
+    batch = {
+        (r.scope, r.bucket): r.n
+        for r in ts_histogram_ladder(spark, SF_SMOKE).collect()
+    }
+    assert live == batch
