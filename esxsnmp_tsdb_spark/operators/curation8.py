@@ -85,6 +85,36 @@ def _emb_with_near_copies(e: DataFrame) -> DataFrame:
     return e.select("vec_id", "embedding").unionAll(mutated)
 
 
+def _assign_cells(e: DataFrame) -> DataFrame:
+    """The ONE coarse-quantizer assignment every cell-blocked op here
+    shares (SemDeDup prune, hard-negative mining, OOD screen): seed a
+    centroid from every {CELL_SEED_MOD}th vector OF THE GIVEN corpus,
+    assign each vector to its argmax-cosine centroid (ties to the
+    smaller cid).  Input must carry (vec_id, embedding, nrm) plus any
+    extra columns to keep; output adds ``cid`` and ``best_cos`` (the
+    winning raw cosine).  Centroids broadcast; norms are hoisted so the
+    k-way scoring pays one dot fold per (row, centroid).  Keeping this
+    in one place is what keeps the three consumers on the SAME cell
+    geometry — forked copies could silently diverge."""
+    cent = e.filter(F.col("vec_id") % CELL_SEED_MOD == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored = e.crossJoin(F.broadcast(cent)).withColumn(
+        "c_cos",
+        dot(_dbl(F.col("embedding")), _dbl(F.col("cv")))
+        / (F.col("nrm") * F.col("cnrm")),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "cv", "cnrm")
+        .withColumnRenamed("c_cos", "best_cos")
+    )
+
+
 @op(
     "dedup_semantic_cells",
     oracle=f"""
@@ -141,27 +171,7 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id", "embedding", norm(_dbl(F.col("embedding"))).alias("nrm")
     )
-    cent = e.filter(F.col("vec_id") % CELL_SEED_MOD == 0).select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("cv"),
-        F.col("nrm").alias("cnrm"),
-    )
-    scored = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "embedding",
-        "nrm",
-        "cid",
-        (
-            dot(_dbl(F.col("embedding")), _dbl(F.col("cv")))
-            / (F.col("nrm") * F.col("cnrm"))
-        ).alias("c_cos"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cid")
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "nrm", "cid")
-    )
+    assigned = _assign_cells(e).select("vec_id", "embedding", "nrm", "cid")
     a = assigned.alias("a")
     b = assigned.alias("b")
     cos = dot(_dbl(F.col("a.embedding")), _dbl(F.col("b.embedding"))) / (
@@ -597,27 +607,8 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         norm(_dbl(F.col("embedding"))).alias("nrm"),
     )
-    cent = e.filter(F.col("vec_id") % CELL_SEED_MOD == 0).select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("cv"),
-        F.col("nrm").alias("cnrm"),
-    )
-    scored = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "label",
-        "embedding",
-        "nrm",
-        "cid",
-        (
-            dot(_dbl(F.col("embedding")), _dbl(F.col("cv")))
-            / (F.col("nrm") * F.col("cnrm"))
-        ).alias("c_cos"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cid")
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "embedding", "nrm", "cid")
+    assigned = _assign_cells(e).select(
+        "vec_id", "label", "embedding", "nrm", "cid"
     )
     a = assigned.alias("a")
     b = assigned.alias("b")
@@ -782,25 +773,12 @@ def doc_semantic_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir)["embeddings"].select(
         "vec_id", "embedding", norm(_dbl(F.col("embedding"))).alias("nrm")
     )
-    cent = e.filter(F.col("vec_id") % CELL_SEED_MOD == 0).select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("cv"),
-        F.col("nrm").alias("cnrm"),
-    )
-    c_cos = dot(_dbl(F.col("embedding")), _dbl(F.col("cv"))) / (
-        F.col("nrm") * F.col("cnrm")
-    )
-    scored = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "cid", c_cos.alias("c_cos")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cid")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        _assign_cells(e)
         .select(
             "vec_id",
             F.col("cid").alias("best_cid"),
-            F.round("c_cos", 6).alias("best_cos"),
+            F.round("best_cos", 6).alias("best_cos"),
         )
         .filter(F.col("best_cos") < OOD_TAU)
     )

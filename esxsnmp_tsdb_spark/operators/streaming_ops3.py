@@ -91,6 +91,35 @@ def stream_replay_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
 from esxsnmp_tsdb_spark.operators.sketches import HLL_TOL_DIV
 
 
+def _stage_three_parts(base: DataFrame, src: str) -> None:
+    """Stage ``base`` as three source files split on event_id % 3 (the
+    id column is dropped after splitting).  Every day spans every
+    micro-batch, so per-day state must genuinely merge across batches —
+    the staging shared by the incremental-state streaming ops."""
+    for part in range(3):
+        base.filter(F.col("event_id") % 3 == part).drop(
+            "event_id"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"part={part}")
+        )
+
+
+def _drive(stream: DataFrame, fn, ckpt: str) -> None:
+    """Run a foreachBatch query over ``stream`` to completion.
+
+    The checkpoint lives under the op's `op_dir` (cleared per call,
+    removed at exit) — a mkdtemp checkpoint would accumulate in /tmp."""
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 @op(
     "stream_distinct_hll",
     oracle="""
@@ -139,12 +168,7 @@ def stream_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("day"),
         "event_id",
     )
-    for part in range(3):
-        base.filter(F.col("event_id") % 3 == part).drop(
-            "event_id"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(src, f"part={part}")
-        )
+    _stage_three_parts(base, src)
 
     from pyspark.sql import types as T
 
@@ -161,6 +185,10 @@ def stream_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def merge_batch(bdf, epoch_id: int) -> None:
+        # Read-modify-write is replay-safe HERE because HLL union is
+        # IDEMPOTENT: a re-delivered epoch re-unions the same registers
+        # and changes nothing.  An additive aggregate must NOT use this
+        # shape — see stream_histogram_ladder's epoch-keyed partials.
         s = bdf.sparkSession
         bsk = bdf.groupBy("day").agg(F.hll_sketch_agg("path").alias("sk"))
         if os.path.exists(state):
@@ -177,17 +205,7 @@ def stream_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             merged = bsk
         merged.write.mode("overwrite").parquet(state)
 
-    q = (
-        stream.writeStream.foreachBatch(merge_batch)
-        # under op_dir so it's cleared per call and removed at exit —
-        # a mkdtemp checkpoint would accumulate in /tmp across runs
-        .option("checkpointLocation", os.path.join(out, "ckpt"))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drive(stream, merge_batch, os.path.join(out, "ckpt"))
 
     sk = spark.read.parquet(state)
     streamed = sk.select(
@@ -233,18 +251,14 @@ def stream_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return day_rows.unionByName(month_row)
 
 
-from esxsnmp_tsdb_spark.operators.sketches import HIST_BUCKET_W
+from esxsnmp_tsdb_spark.operators._shared import OBS_CTE  # noqa: E402
+from esxsnmp_tsdb_spark.operators.sketches import HIST_BUCKET_W  # noqa: E402
 
 
 @op(
     "stream_histogram_ladder",
     oracle=f"""
-WITH obs AS (
-  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS tse,
-         CAST(value AS DOUBLE) AS value,
-         CASE WHEN event_id % 10 = 0 THEN 0 ELSE 1 END AS flags
-  FROM events
-),
+WITH {OBS_CTE},
 b AS (
   SELECT tse // 86400 AS day,
          CAST(floor(value * 100) AS BIGINT) // {HIST_BUCKET_W * 100}
@@ -258,7 +272,7 @@ d AS (
 ),
 m AS (
   SELECT 'month' AS scope, bucket, CAST(sum(n) AS BIGINT) AS n
-  FROM (SELECT bucket, n FROM d) GROUP BY bucket
+  FROM d GROUP BY bucket
 )
 SELECT scope, bucket, n FROM d
 UNION ALL
@@ -268,19 +282,22 @@ SELECT scope, bucket, n FROM m
 def stream_histogram_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming value-distribution ladder — the live, EXACT-mergeable
     companion to `stream_distinct_hll` (and the streaming twin of
-    `ts_histogram_ladder`): each micro-batch's per-(day, bucket) counts
-    fold into a persisted histogram state table by plain addition, and
-    the month level is derived from the day histograms, never from raw
-    data.  Because bucket-count addition is associative and commutative,
-    the 3-batch incremental state must equal the one-shot batch
-    histogram EXACTLY, which the op asserts before returning — the
-    restart/replay story needs no tolerance at all for this aggregate.
+    `ts_histogram_ladder`).  Counts ADD, so unlike the idempotent HLL
+    union a read-modify-write state table would double-count a replayed
+    micro-batch; instead each batch writes its per-(day, bucket) partial
+    counts to ``state/epoch=<id>`` with mode=overwrite — the
+    `stream_replay_exactly_once` idempotent-sink recipe — and the day/
+    month ladder is derived by summing the epoch partials at read.  A
+    re-delivered epoch lands on its own directory and changes nothing.
+    The 3-batch incremental result must equal the one-shot batch
+    histogram EXACTLY (addition is associative), which the op asserts
+    cell-by-cell over a FULL outer join before returning.
 
-    Scale: the state table is days×buckets rows (metadata-sized); each
-    micro-batch shuffles only its own (day, bucket) partial counts; at
-    100 TB this is the continuously-maintained distribution panel that
-    plain streaming percentile state cannot express (quantiles don't
-    merge; histograms do)."""
+    Scale: each epoch's partial is days×buckets rows (metadata-sized);
+    deriving totals reads O(epochs) tiny files, compacted periodically
+    like any ladder level; at 100 TB this is the continuously-maintained
+    distribution panel that plain streaming percentile state cannot
+    express (quantiles don't merge; histograms do)."""
     from pyspark.sql import types as T
 
     from esxsnmp_tsdb_spark.sources import register_views
@@ -299,12 +316,7 @@ def stream_histogram_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket"),
         "event_id",
     ).filter(F.col("event_id") % 10 != 0)
-    for part in range(3):
-        base.filter(F.col("event_id") % 3 == part).drop(
-            "event_id"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(src, f"part={part}")
-        )
+    _stage_three_parts(base, src)
 
     schema = T.StructType(
         [
@@ -318,34 +330,21 @@ def stream_histogram_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src + "/part=*")
     )
 
-    def merge_batch(bdf, epoch_id: int) -> None:
-        s = bdf.sparkSession
-        inc = bdf.groupBy("day", "bucket").agg(
+    def write_epoch_partial(bdf, epoch_id: int) -> None:
+        # idempotent: a retried epoch overwrites its own partial
+        bdf.groupBy("day", "bucket").agg(
             F.count(F.lit(1)).cast("bigint").alias("n")
+        ).write.mode("overwrite").parquet(
+            os.path.join(state, f"epoch={epoch_id}")
         )
-        if os.path.exists(state):
-            prior = s.read.parquet(state)
-            merged = (
-                prior.unionByName(inc)
-                .groupBy("day", "bucket")
-                .agg(F.sum("n").cast("bigint").alias("n"))
-                .localCheckpoint(eager=True)  # self-read-overwrite rule
-            )
-        else:
-            merged = inc
-        merged.write.mode("overwrite").parquet(state)
 
-    q = (
-        stream.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", os.path.join(out, "ckpt"))
-        .start()
+    _drive(stream, write_epoch_partial, os.path.join(out, "ckpt"))
+
+    st = (
+        spark.read.parquet(state)
+        .groupBy("day", "bucket")
+        .agg(F.sum("n").cast("bigint").alias("n"))
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-
-    st = spark.read.parquet(state)
     oneshot = base.drop("event_id").groupBy("day", "bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
