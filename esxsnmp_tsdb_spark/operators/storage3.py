@@ -204,3 +204,85 @@ def storage_snapshot_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
+
+
+ERASED_USER = 7  # the data subject whose rows must disappear
+
+
+@op(
+    "storage_gdpr_erasure",
+    oracle=f"""
+WITH {OBS_CTE},
+base AS (
+  SELECT path, value, tse // 86400 AS day
+  FROM obs WHERE tse >= {T_JAN10} AND tse < {T_JAN20}
+    AND split_part(path, '/', 1) != '{ERASED_USER}'
+)
+SELECT day, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM base GROUP BY day
+""",
+)
+def storage_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten erasure against a day-partitioned store:
+    delete every row of one data subject by rewriting ONLY the
+    partitions that contain them (anti-filter + dynamic partition
+    overwrite), then prove the two things an auditor asks for — the
+    subject is GONE from a full-store scan, and nobody else's data
+    moved (the oracle recomputes the expected store from the fixture
+    minus the subject).
+
+    Plain parquet has no row-level delete, so the rewrite unit is the
+    partition: erasure cost is Σ(touched partitions), which for a
+    subject active every day is the whole store — the honest worst
+    case, and exactly why deletion-vector formats (Delta/Iceberg v2)
+    exist: they append tombstones and defer the rewrite to compaction.
+    The partition-scoped overwrite here is the pattern either way; the
+    formats just shrink the rewrite grain.
+
+    Scale: touched-day discovery is a distinct-aggregate over the
+    subject's rows (tiny); each rewrite is one partition's scan minus
+    one user; the proof scan aggregates the store once."""
+    from esxsnmp_tsdb_spark.functions import tsdb as _tsdb
+    from esxsnmp_tsdb_spark.sources import register_views as _rv
+
+    obs = _tsdb.obs_from_events(_rv(spark, sf_dir)["events"])
+    base = obs.where(
+        (F.col("tse") >= T_JAN10) & (F.col("tse") < T_JAN20)
+    ).withColumn("day", F.expr("tse div 86400"))
+
+    root = op_dir("gdpr_store")
+    store = os.path.join(root, "data")
+    (
+        base.withColumn("day_p", F.col("day"))
+        .write.mode("overwrite")
+        .partitionBy("day_p")
+        .parquet(store)
+    )
+    subject = F.element_at(F.split("path", "/"), 1) == str(ERASED_USER)
+    stored = spark.read.parquet(store)
+    touched = [
+        r.day_p
+        for r in stored.filter(subject).select("day_p").distinct().collect()
+    ]
+    assert touched, "fixture subject wrote no rows — erasure untestable"
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        stored.filter(F.col("day_p").isin(touched))
+        .filter(~subject)
+        # materialize before overwriting the partitions we just read
+        # (the stream_cdc_apply self-read-overwrite discipline)
+        .localCheckpoint(eager=True)
+        .write.mode("overwrite")
+        .partitionBy("day_p")
+        .parquet(store)
+    )
+    back = spark.read.parquet(store)
+    n_left = back.filter(subject).count()
+    assert n_left == 0, f"erasure left {n_left} subject rows behind"
+    return back.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )

@@ -479,3 +479,41 @@ def test_stream_histogram_matches_batch_twin(spark):
         for r in ts_histogram_ladder(spark, SF_SMOKE).collect()
     }
     assert live == batch
+
+
+def test_contract_report_has_red_and_green(spark):
+    """The contract table carries both passing and failing checks on
+    the fixture (a gate that can only pass is untested wiring), and
+    pass == (n_violations == 0) per row."""
+    from esxsnmp_tsdb_spark.operators.ingest3 import data_quality_contract
+
+    rows = data_quality_contract(spark, SF_SMOKE).collect()
+    assert len(rows) == 6
+    assert any(r.pass_ if hasattr(r, "pass_") else r["pass"] for r in rows)
+    assert any(
+        not (r.pass_ if hasattr(r, "pass_") else r["pass"]) for r in rows
+    )
+    for r in rows:
+        ok = r.pass_ if hasattr(r, "pass_") else r["pass"]
+        assert ok == (r.n_violations == 0)
+
+
+def test_gdpr_erasure_removes_only_subject(spark):
+    """Post-erasure store: subject absent (in-op assert), everyone
+    else's row count intact vs the fixture."""
+    from esxsnmp_tsdb_spark.functions import tsdb
+    from esxsnmp_tsdb_spark.operators._shared import T_JAN10, T_JAN20
+    from esxsnmp_tsdb_spark.operators.storage3 import (
+        ERASED_USER,
+        storage_gdpr_erasure,
+    )
+
+    out = storage_gdpr_erasure(spark, SF_SMOKE)
+    total = out.agg(F.sum("n").alias("s")).collect()[0].s
+    obs = tsdb.obs_from_events(
+        register_views(spark, SF_SMOKE)["events"]
+    ).filter((F.col("tse") >= T_JAN10) & (F.col("tse") < T_JAN20))
+    expect = obs.filter(
+        F.element_at(F.split("path", "/"), 1) != str(ERASED_USER)
+    ).count()
+    assert total == expect
