@@ -701,3 +701,103 @@ def ts_lead_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("class_a", "class_b", F.col("lag").alias("best_lag"), "xcorr", "n")
     )
+
+
+@op(
+    "ts_incident_merge_windows",
+    oracle=f"""
+WITH {OBS_CTE},
+v AS (SELECT path, tse FROM obs WHERE flags = 1),
+g AS (
+  SELECT path, split_part(path, '/', 2) AS class,
+         lag(tse) OVER (PARTITION BY path ORDER BY tse) AS t0, tse AS t1
+  FROM v
+),
+inc AS (
+  SELECT class, path, t0, t1 FROM g WHERE t1 - t0 > {HEARTBEAT}
+),
+sweep AS (
+  SELECT class, path, t0, t1,
+         max(t1) OVER (PARTITION BY class ORDER BY t0, t1, path
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_max
+  FROM inc
+),
+marked AS (
+  SELECT class, path, t0, t1,
+         CASE WHEN prev_max IS NULL OR t0 > prev_max THEN 1 ELSE 0 END
+           AS new_win
+  FROM sweep
+),
+numbered AS (
+  SELECT class, path, t0, t1,
+         CAST(sum(new_win) OVER (PARTITION BY class
+                                 ORDER BY t0, t1, path
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS BIGINT)
+           AS win_id
+  FROM marked
+)
+SELECT class, win_id, min(t0) AS win_start, max(t1) AS win_end,
+       CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
+       CAST(count(*) AS BIGINT) AS n_incidents
+FROM numbered GROUP BY class, win_id
+""",
+)
+def ts_incident_merge_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleet-level incident windows: every per-series heartbeat outage
+    becomes an interval (previous valid obs → next valid obs), and
+    overlapping intervals WITHIN a class merge into one incident window
+    with the count of series it swallowed — the sweep-line interval
+    union that turns 400 per-interface alerts into the one row a NOC
+    pages on ("core-class outage, 37 interfaces, 14:02–14:31").
+
+    The sweep is the classic running-max trick: order intervals by
+    start, a new window opens exactly when an interval starts after the
+    max end seen so far; the window id is the running count of such
+    opens.  Both windows partition by CLASS (never a global order) and
+    the tie order (t0, t1, path) is total, so the ids are deterministic
+    on both engines.
+
+    Scale: one exchange on path for the gap lag, one on class for the
+    sweep — class cardinality is the catalog's class set, and each
+    class's interval list is incident-sized, not corpus-sized."""
+    v = (
+        _obs(spark, sf_dir)
+        .filter(F.col("flags") == 1)
+        .select("path", "tse")
+    )
+    wp = Window.partitionBy("path").orderBy("tse")
+    inc = (
+        v.select(
+            "path",
+            F.element_at(F.split("path", "/"), 2).alias("class"),
+            F.lag("tse").over(wp).alias("t0"),
+            F.col("tse").alias("t1"),
+        )
+        .filter(F.col("t1") - F.col("t0") > HEARTBEAT)
+    )
+    order = [F.col("t0"), F.col("t1"), F.col("path")]
+    wprev = (
+        Window.partitionBy("class")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("class")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = inc.withColumn(
+        "new_win",
+        (
+            F.col("t0") > F.coalesce(F.max("t1").over(wprev), F.lit(-1))
+        ).cast("bigint"),
+    )
+    numbered = marked.withColumn("win_id", F.sum("new_win").over(wrun))
+    return numbered.groupBy("class", "win_id").agg(
+        F.min("t0").alias("win_start"),
+        F.max("t1").alias("win_end"),
+        F.count_distinct("path").alias("n_paths"),
+        F.count(F.lit(1)).alias("n_incidents"),
+    )

@@ -517,3 +517,26 @@ def test_gdpr_erasure_removes_only_subject(spark):
         F.element_at(F.split("path", "/"), 1) != str(ERASED_USER)
     ).count()
     assert total == expect
+
+
+def test_incident_windows_are_disjoint_and_cover(spark):
+    """Within a class, merged windows are disjoint and ordered; each
+    window's incident count is >= its path count; window ids are a
+    contiguous 1..k sequence."""
+    from esxsnmp_tsdb_spark.operators.analytics8 import (
+        ts_incident_merge_windows,
+    )
+
+    rows = ts_incident_merge_windows(spark, SF_SMOKE).collect()
+    assert rows
+    by_class = {}
+    for r in rows:
+        by_class.setdefault(r["class"], []).append(r)
+    for cls, rs in by_class.items():
+        rs.sort(key=lambda r: r.win_id)
+        assert [r.win_id for r in rs] == list(range(1, len(rs) + 1)), cls
+        for r in rs:
+            assert r.win_start <= r.win_end
+            assert r.n_incidents >= r.n_paths >= 1
+        for a, b in zip(rs, rs[1:]):
+            assert b.win_start > a.win_end, (cls, a, b)
