@@ -40,83 +40,75 @@ _REG_INDEX: dict[str, int] = {}
 # round's 50-key attestation window on keys already attested).
 _ATTESTED = frozenset(
     {
-        'anti_join', 'approx_distinct', 'approx_percentiles', 'array_agg_sorted',
-        'asof_join', 'asof_join_nearest', 'attribution_last_touch', 'broadcast_join',
-        'cross_join_topk', 'cross_source_dedup_priority', 'cumulative_distinct_users', 'customer_rfm',
-        'decontaminate_ngram', 'decontamination_overlap', 'dedup_cluster_size_stats', 'dedup_connected_components',
-        'dedup_embedding_cosine', 'dedup_exact', 'dedup_near_minhash', 'dedup_ngram_jaccard',
-        'dedup_simhash', 'dedup_threshold_sweep', 'distinct_agg', 'doc_length_histogram',
-        'doc_pagerank', 'domain_quota_sample', 'embedding_norm_outliers', 'embedding_pca_power_iteration',
+        'ann_recall_eval', 'anti_join', 'api_timerange_json', 'approx_distinct',
+        'approx_percentiles', 'array_agg_sorted', 'asof_join', 'asof_join_nearest',
+        'attribution_last_touch', 'attribution_linear', 'bigram_lm_perplexity', 'bm25_topdocs',
+        'broadcast_join', 'cross_join_topk', 'cross_source_dedup_priority', 'cumulative_distinct_users',
+        'customer_rfm', 'dau_wau_mau', 'decontaminate_ngram', 'decontamination_overlap',
+        'dedup_cluster_size_stats', 'dedup_connected_components', 'dedup_embedding_cosine', 'dedup_exact',
+        'dedup_near_minhash', 'dedup_ngram_jaccard', 'dedup_simhash', 'dedup_threshold_sweep',
+        'distinct_agg', 'doc_fingerprint', 'doc_length_histogram', 'doc_pagerank',
+        'domain_quota_sample', 'embedding_centroid_per_label', 'embedding_norm_outliers', 'embedding_pca_power_iteration',
         'embedding_quantize', 'event_bigrams', 'event_funnel', 'exact_substring_dedup',
-        'grouping_sets', 'hash_aggregate', 'hash_join_inner', 'kmeans_one_step',
-        'market_basket_pairs', 'minhash_band_sensitivity', 'minhash_jaccard_estimate', 'ngram_topk',
-        'outer_join_full', 'outer_join_left', 'percentiles', 'pipeline_corpus_curate',
-        'pivot_unpivot', 'projection_filter', 'quality_filter_funnel', 'range_interval_join',
-        'retention_cohort', 'rollup_cube', 'salted_aggregate', 'sample_stratified',
-        'scalar_array_funcs', 'scalar_bitwise_funcs', 'scalar_date_funcs', 'scalar_json_funcs',
-        'scalar_math_funcs', 'scalar_string_funcs', 'scan_parquet', 'semi_join',
-        'seq_packing', 'set_except', 'set_intersect', 'set_union',
-        'sort_limit_topk', 'sort_merge_join', 'split_train_test', 'subquery_scalar',
-        'text_ngram_novelty', 'topk_docs_per_source', 'tpch_q1', 'tpch_q10',
-        'tpch_q11', 'tpch_q12', 'tpch_q13', 'tpch_q14',
-        'tpch_q15', 'tpch_q16', 'tpch_q17', 'tpch_q18',
-        'tpch_q19', 'tpch_q2', 'tpch_q20', 'tpch_q21',
-        'tpch_q22', 'tpch_q3', 'tpch_q4', 'tpch_q5',
-        'tpch_q6', 'tpch_q7', 'tpch_q8', 'tpch_q9',
-        'ts_agg_cascade', 'ts_alert_rules_eval', 'ts_anomaly_mad', 'ts_anomaly_zscore',
-        'ts_billing_p95', 'ts_bin_split', 'ts_burst_detect', 'ts_calendar_heatmap',
-        'ts_capacity_forecast', 'ts_counter_reset_detect', 'ts_counter_wrap', 'ts_counter_wrap64',
-        'ts_delta', 'ts_downsample_avg', 'ts_downsample_delta', 'ts_downsample_last',
-        'ts_downsample_minmax', 'ts_downsample_ohlc', 'ts_downsample_percentile', 'ts_ewma',
-        'ts_flag_filter', 'ts_fleet_zscore', 'ts_forecast_seasonal_naive', 'ts_gap_fill_locf',
-        'ts_gap_report', 'ts_heartbeat_invalidate', 'ts_interpolate', 'ts_ladder_backfill',
-        'ts_ladder_route', 'ts_last_known', 'ts_linear_trend', 'ts_metadata_get',
+        'format_roundtrip_csv', 'format_roundtrip_json', 'format_roundtrip_orc', 'funnel_time_to_convert',
+        'grouping_sets', 'hash_aggregate', 'hash_join_inner', 'ingest_batch_append',
+        'ingest_cdc_merge', 'ingest_replay_idempotent', 'kmeans_one_step', 'knn_pairs',
+        'lang_distribution', 'lang_id_confusion', 'lang_id_ngram', 'market_basket_pairs',
+        'minhash_band_sensitivity', 'minhash_jaccard_estimate', 'multimodal_decode', 'multimodal_embed',
+        'multimodal_frame_sample', 'multimodal_join', 'multimodal_tile_plan', 'ngram_topk',
+        'outer_join_full', 'outer_join_left', 'percentiles', 'pii_scrub_stats',
+        'pipeline_corpus_curate', 'pivot_unpivot', 'projection_filter', 'quality_filter_funnel',
+        'range_interval_join', 'retention_cohort', 'rollup_cube', 'salted_aggregate',
+        'sample_stratified', 'scalar_array_funcs', 'scalar_bitwise_funcs', 'scalar_date_funcs',
+        'scalar_json_funcs', 'scalar_math_funcs', 'scalar_string_funcs', 'scan_parquet',
+        'scd2_history_build', 'semi_join', 'seq_packing', 'set_except',
+        'set_intersect', 'set_union', 'sim_search_ann_lsh', 'sim_search_batch',
+        'sim_search_ivf', 'sim_search_ivf_pq', 'sim_search_lsh_multiprobe', 'sim_search_range',
+        'sim_search_topk', 'sort_limit_topk', 'sort_merge_join', 'split_train_test',
+        'storage_bucketed_join', 'storage_compaction_integrity', 'storage_day_partitioned_scan', 'storage_retention_expire',
+        'subquery_scalar', 'term_zipf_slope', 'text_ngram_novelty', 'text_quality_score',
+        'text_repetition_filter', 'text_repetition_stats', 'text_stopword_stats', 'text_tokenize_stats',
+        'text_unigram_logprob', 'text_word_entropy', 'tfidf_topterms', 'token_count_bpe',
+        'topk_docs_per_source', 'tpch_q1', 'tpch_q10', 'tpch_q11',
+        'tpch_q12', 'tpch_q13', 'tpch_q14', 'tpch_q15',
+        'tpch_q16', 'tpch_q17', 'tpch_q18', 'tpch_q19',
+        'tpch_q2', 'tpch_q20', 'tpch_q21', 'tpch_q22',
+        'tpch_q3', 'tpch_q4', 'tpch_q5', 'tpch_q6',
+        'tpch_q7', 'tpch_q8', 'tpch_q9', 'ts_agg_cascade',
+        'ts_alert_rules_eval', 'ts_anomaly_mad', 'ts_anomaly_zscore', 'ts_billing_p95',
+        'ts_bin_split', 'ts_burst_detect', 'ts_calendar_heatmap', 'ts_capacity_forecast',
+        'ts_counter_reset_detect', 'ts_counter_wrap', 'ts_counter_wrap64', 'ts_delta',
+        'ts_downsample_avg', 'ts_downsample_delta', 'ts_downsample_last', 'ts_downsample_minmax',
+        'ts_downsample_ohlc', 'ts_downsample_percentile', 'ts_ewma', 'ts_flag_filter',
+        'ts_fleet_zscore', 'ts_forecast_seasonal_naive', 'ts_gap_fill_locf', 'ts_gap_report',
+        'ts_heartbeat_invalidate', 'ts_interpolate', 'ts_ladder_backfill', 'ts_ladder_route',
+        'ts_last_known', 'ts_linear_trend', 'ts_merge_upsert', 'ts_metadata_get',
         'ts_missing_islands', 'ts_percent_change_movers', 'ts_point_lookup', 'ts_range_scan',
         'ts_rate', 'ts_rate_invalid_reasons', 'ts_rolling_1h', 'ts_rolling_median',
         'ts_rollup_multi_granularity', 'ts_seasonal_baseline', 'ts_series_catalog', 'ts_series_correlation',
         'ts_sessionize', 'ts_sla_report', 'ts_slot_dedup', 'ts_step_change',
         'ts_stl_decompose', 'ts_time_spine', 'ts_top_talkers', 'ts_valid_ratio',
-        'ts_value_histogram', 'ts_wma', 'window_distribution', 'window_lag_lead',
-        'window_rank', 'window_running',
+        'ts_value_histogram', 'ts_wma', 'vector_pq_adc', 'vocab_growth_heaps',
+        'window_distribution', 'window_lag_lead', 'window_rank', 'window_running',
     }
 )
 
 
-# Oldest-debt-first within the unattested group: these 66 keys have been
-# implemented since r1–r3 but no driver CORRECTNESS file has reached them
-# (they register after the r1/r2 families; VERDICT r3 "What's missing" #1
-# lists them verbatim).  Ordering them ahead of round-4's newly-added ops
-# makes the driver's 50-key window retire the oldest attestation debt
-# first.  Remove keys from this set as CORRECTNESS rounds absorb them
-# (update_attested.py's refresh makes that automatic: once attested, the
-# first sort key wins regardless of this tier).
+# Oldest-debt-first within the unattested group: keys implemented in
+# earlier rounds that no driver CORRECTNESS file has reached yet.  Ordering
+# them ahead of newer additions makes the driver's 50-key window retire the
+# oldest attestation debt first.  Pruned each round after
+# ``update_attested.py --write`` (once attested, the first sort key wins
+# regardless of this tier; keys here are the r2/r3-era remainder — the two
+# storage layout ops plus the whole §2.6 streaming contract family).
 _PRIORITY_BACKLOG = frozenset(
     {
-        'ann_recall_eval', 'api_timerange_json', 'attribution_linear',
-        'bigram_lm_perplexity', 'bm25_topdocs', 'dau_wau_mau',
-        'doc_fingerprint', 'embedding_centroid_per_label',
-        'format_roundtrip_csv', 'format_roundtrip_json',
-        'format_roundtrip_orc', 'funnel_time_to_convert',
-        'ingest_batch_append', 'ingest_cdc_merge',
-        'ingest_replay_idempotent', 'knn_pairs', 'lang_distribution',
-        'lang_id_confusion', 'lang_id_ngram', 'multimodal_decode',
-        'multimodal_embed', 'multimodal_frame_sample', 'multimodal_join',
-        'multimodal_tile_plan', 'pii_scrub_stats', 'scd2_history_build',
-        'sim_search_ann_lsh', 'sim_search_batch', 'sim_search_ivf',
-        'sim_search_ivf_pq', 'sim_search_lsh_multiprobe',
-        'sim_search_range', 'sim_search_topk', 'storage_bucketed_join',
-        'storage_compaction_integrity', 'storage_day_partitioned_scan',
-        'storage_retention_expire', 'storage_schema_evolution',
-        'storage_zorder_scan', 'stream_anomaly_zscore', 'stream_cdc_apply',
-        'stream_dedup', 'stream_first_touch', 'stream_ingest',
-        'stream_ladder_maintenance', 'stream_session', 'stream_sliding',
-        'stream_stateful_rate', 'stream_static_join', 'stream_stream_join',
-        'stream_topk_talkers', 'stream_tumbling', 'stream_watermark_late',
-        'term_zipf_slope', 'text_quality_score', 'text_repetition_filter',
-        'text_repetition_stats', 'text_stopword_stats',
-        'text_tokenize_stats', 'text_unigram_logprob', 'text_word_entropy',
-        'tfidf_topterms', 'token_count_bpe', 'ts_merge_upsert',
-        'vector_pq_adc', 'vocab_growth_heaps',
+        'storage_schema_evolution', 'storage_zorder_scan',
+        'stream_anomaly_zscore', 'stream_cdc_apply', 'stream_dedup',
+        'stream_first_touch', 'stream_ingest', 'stream_ladder_maintenance',
+        'stream_session', 'stream_sliding', 'stream_stateful_rate',
+        'stream_static_join', 'stream_stream_join', 'stream_topk_talkers',
+        'stream_tumbling', 'stream_watermark_late',
     }
 )
 
@@ -178,6 +170,7 @@ _OPERATOR_MODULES = (
     "esxsnmp_tsdb_spark.operators.streaming_ops",
     "esxsnmp_tsdb_spark.operators.streaming_ops2",
     "esxsnmp_tsdb_spark.operators.streaming_ops3",
+    "esxsnmp_tsdb_spark.operators.rrd_pipeline",
 )
 
 _loaded = False
