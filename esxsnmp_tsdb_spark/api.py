@@ -1,0 +1,265 @@
+"""Reference object-API façade: ``TSDB / TSDBSet / TSDBVar`` (SURVEY.md
+§1.1, §3.1–§3.3 — ``tsdb/__init__.py · TSDB / TSDBSet / TSDBVar`` †).
+
+A user porting reference-era code drives this lifecycle:
+
+    db  = TSDB.create(spark, root)          # † TSDB.create(path)
+    rtr = db.add_set("router1")             # † TSDBSet.add_set
+    var = rtr.add_var("inOctets", step=300) # † TSDBSet.add_var
+    var.insert(tse, value)                  # † TSDBVar.insert (slot LWW)
+    db.get_var("router1/inOctets").select(begin, end)   # † TSDBVar.select
+
+Everything delegates to the engine's existing functions — this is a
+discoverability wrapper, not a second engine:
+
+- the set/var tree is a directory tree, each node carrying the reference's
+  flat ``TSDB_METADATA`` key=value text file († TSDBBase.load_metadata /
+  save_metadata), with STEP / HEARTBEAT / TYPE_ID / LAST_UPDATE keys;
+- observations live per-var as parquet appends with an ``ingest_seq``
+  batch counter, so slot-addressed overwrite (last-write-wins per slot,
+  † TSDBVar.insert positional overwrite) replays deterministically through
+  ``row_number`` — same semantics as operators/ingest.py `ts_merge_upsert`;
+- ``select(begin, end)`` materializes never-written slots as invalid rows
+  (flags=0, value NULL) on a dense spine († TSDBVar.select yielding
+  invalid rows) — `sequence`-explode, the `ts_time_spine` pattern;
+- ``get`` / ``get_last`` are the `ts_point_lookup` / `ts_last_known`
+  semantics against the var's own step.
+
+Scale note: the façade's per-var parquet directory mirrors the reference's
+per-var chunk files 1:1 (compat path, small var counts).  Bulk analytics
+stay on the engine's long-table layout (sources/catalog.py); nothing in
+the operator registry depends on this module.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from esxsnmp_tsdb_spark.functions.tsdb import ROW_VALID, slot_of
+
+METADATA_FILE = "TSDB_METADATA"
+_ROW_SCHEMA = "tse long, flags int, value double, ingest_seq long"
+
+
+def _read_metadata(path: str) -> dict[str, str]:
+    meta: dict[str, str] = {}
+    with open(os.path.join(path, METADATA_FILE)) as f:
+        for line in f:
+            line = line.strip()
+            if line and "=" in line:
+                k, _, v = line.partition("=")
+                meta[k] = v
+    return meta
+
+
+def _write_metadata(path: str, meta: dict[str, str]) -> None:
+    with open(os.path.join(path, METADATA_FILE), "w") as f:
+        for k, v in sorted(meta.items()):
+            f.write(f"{k}={v}\n")
+
+
+class _Node:
+    """Shared set/var node behavior († TSDBBase)."""
+
+    def __init__(self, spark: SparkSession, fs_path: str, path: str):
+        if not os.path.isfile(os.path.join(fs_path, METADATA_FILE)):
+            raise KeyError(f"no TSDB node at {fs_path!r}")
+        self.spark = spark
+        self.fs_path = fs_path
+        self.path = path  # slash-joined logical path ("" for the root)
+        self.metadata = _read_metadata(fs_path)
+
+    def save_metadata(self) -> None:
+        _write_metadata(self.fs_path, self.metadata)
+
+
+class TSDBSet(_Node):
+    """Namespace node († TSDBSet): nestable grouping of sets and vars."""
+
+    def _child(self, name: str) -> str:
+        if "/" in name or name in ("", ".", ".."):
+            raise ValueError(f"invalid node name {name!r}")
+        return os.path.join(self.fs_path, name)
+
+    def add_set(self, name: str) -> "TSDBSet":
+        fs = self._child(name)
+        os.makedirs(fs, exist_ok=True)
+        if not os.path.isfile(os.path.join(fs, METADATA_FILE)):
+            _write_metadata(fs, {"NODE": "set"})
+        return TSDBSet(self.spark, fs, f"{self.path}/{name}".lstrip("/"))
+
+    def add_var(
+        self,
+        name: str,
+        step: int = 300,
+        heartbeat: int | None = None,
+        type_id: str = "Gauge32",
+    ) -> "TSDBVar":
+        fs = self._child(name)
+        os.makedirs(fs, exist_ok=True)
+        if not os.path.isfile(os.path.join(fs, METADATA_FILE)):
+            _write_metadata(
+                fs,
+                {
+                    "NODE": "var",
+                    "STEP": str(step),
+                    "HEARTBEAT": str(heartbeat if heartbeat is not None else 3 * step),
+                    "TYPE_ID": type_id,
+                    "LAST_SEQ": "0",
+                    "VERSION": "1",
+                },
+            )
+        return TSDBVar(self.spark, fs, f"{self.path}/{name}".lstrip("/"))
+
+    def _walk(self, kind: str) -> list[str]:
+        out = []
+        for dirpath, _dirnames, filenames in os.walk(self.fs_path):
+            if dirpath != self.fs_path and METADATA_FILE in filenames:
+                if _read_metadata(dirpath).get("NODE") == kind:
+                    out.append(os.path.relpath(dirpath, self.fs_path).replace(os.sep, "/"))
+        return sorted(out)
+
+    def list_sets(self) -> list[str]:
+        return self._walk("set")
+
+    def list_vars(self) -> list[str]:
+        return self._walk("var")
+
+    def get_set(self, path: str) -> "TSDBSet":
+        node = self._get(path)
+        if not isinstance(node, TSDBSet):
+            raise KeyError(f"{path!r} is a var, not a set")
+        return node
+
+    def get_var(self, path: str) -> "TSDBVar":
+        node = self._get(path)
+        if not isinstance(node, TSDBVar):
+            raise KeyError(f"{path!r} is a set, not a var")
+        return node
+
+    def _get(self, path: str) -> "_Node":
+        fs = os.path.join(self.fs_path, *path.split("/"))
+        kind = _read_metadata(fs).get("NODE") if os.path.isfile(
+            os.path.join(fs, METADATA_FILE)
+        ) else None
+        if kind is None:
+            raise KeyError(f"no such node {path!r}")
+        cls = TSDBVar if kind == "var" else TSDBSet
+        return cls(self.spark, fs, f"{self.path}/{path}".lstrip("/"))
+
+
+class TSDB(TSDBSet):
+    """Database root († TSDB): ``TSDB.create(spark, root)`` then
+    ``TSDB(spark, root)`` to reopen."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        super().__init__(spark, root, "")
+
+    @classmethod
+    def create(cls, spark: SparkSession, root: str) -> "TSDB":
+        if os.path.isfile(os.path.join(root, METADATA_FILE)):
+            raise FileExistsError(f"TSDB already exists at {root!r}")
+        os.makedirs(root, exist_ok=True)
+        _write_metadata(root, {"NODE": "set", "TSDB_VERSION": "4"})
+        return cls(spark, root)
+
+
+class TSDBVar(_Node):
+    """One series († TSDBVar): slot-quantized rows, last-write-wins."""
+
+    @property
+    def step(self) -> int:
+        return int(self.metadata["STEP"])
+
+    @property
+    def heartbeat(self) -> int:
+        return int(self.metadata["HEARTBEAT"])
+
+    @property
+    def _data(self) -> str:
+        return os.path.join(self.fs_path, "data")
+
+    def insert(self, tse: int, value: float | None, flags: int = ROW_VALID) -> None:
+        self.insert_batch([(tse, value, flags)])
+
+    def insert_batch(self, rows) -> None:
+        """Append one ingest batch; the per-var LAST_SEQ counter makes
+        slot overwrite (last insert wins, † TSDBVar.insert) replay
+        deterministically regardless of file listing order."""
+        seq = int(self.metadata["LAST_SEQ"]) + 1
+        df = self.spark.createDataFrame(
+            [(int(t), int(fl), None if v is None else float(v), seq)
+             for (t, v, fl) in ((r[0], r[1], r[2] if len(r) > 2 else ROW_VALID)
+                                for r in rows)],
+            "tse long, flags int, value double, ingest_seq long",
+        )
+        df.coalesce(1).write.mode("append").parquet(self._data)
+        self.metadata["LAST_SEQ"] = str(seq)
+        self.metadata["LAST_UPDATE"] = str(max(int(r[0]) for r in rows))
+        self.save_metadata()
+
+    def _rows(self) -> DataFrame:
+        if not os.path.isdir(self._data):
+            return self.spark.createDataFrame([], _ROW_SCHEMA)
+        return self.spark.read.schema(_ROW_SCHEMA).parquet(self._data)
+
+    def _lww(self, df: DataFrame) -> DataFrame:
+        """Last-write-wins per slot: later ingest_seq, then later tse."""
+        slot = slot_of(F.col("tse"), self.step)
+        w = Window.partitionBy(slot).orderBy(
+            F.desc("ingest_seq"), F.desc("tse")
+        )
+        return (
+            df.withColumn("slot", slot)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "ingest_seq")
+        )
+
+    def select(
+        self, begin: int, end: int, flags: int | None = None
+    ) -> DataFrame:
+        """Rows with ``begin <= tse < end`` († TSDBVar.select): one row per
+        slot, never-written slots materialized as invalid rows (flags=0,
+        value NULL †) unless a ``flags`` mask filters them out."""
+        step = self.step
+        lo, hi = begin - begin % step, (end - 1) - (end - 1) % step
+        present = self._lww(
+            self._rows().filter((F.col("tse") >= lo) & (F.col("tse") < end))
+        )
+        spine = self.spark.range(1).select(
+            F.explode(F.sequence(F.lit(lo), F.lit(hi), F.lit(step))).alias("slot")
+        )
+        out = (
+            spine.join(present, "slot", "left")
+            .select(
+                F.coalesce("tse", "slot").alias("tse"),
+                F.coalesce("flags", F.lit(0)).alias("flags"),
+                "value",
+                "slot",
+            )
+        )
+        if flags is not None:
+            out = out.filter(F.col("flags").bitwiseAND(F.lit(flags)) != 0)
+        return out.orderBy("slot")
+
+    def get(self, tse: int):
+        """The row in the slot containing ``tse`` († TSDBVar.get)."""
+        slot = tse - tse % self.step
+        return self.select(slot, slot + self.step).collect()[0]
+
+    def get_last(self):
+        """Latest valid row († TSDBVar.get_last)."""
+        rows = (
+            self._lww(self._rows())
+            .filter(F.col("flags").bitwiseAND(ROW_VALID) != 0)
+            .orderBy(F.desc("slot"))
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            raise KeyError(f"var {self.path!r} has no valid rows")
+        return rows[0]

@@ -1,0 +1,73 @@
+"""Reference-lifecycle round trip through the object façade (api.py —
+SURVEY §3.1/§3.2: create → add_set → add_var → insert → select/get/
+get_last, slot overwrite, invalid-row materialization, metadata reload)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from esxsnmp_tsdb_spark.api import TSDB, TSDBVar
+from esxsnmp_tsdb_spark.functions.tsdb import ROW_VALID
+
+
+@pytest.fixture(scope="module")
+def db(spark):
+    with tempfile.TemporaryDirectory() as root:
+        yield TSDB.create(spark, root + "/tsdb")
+
+
+def test_lifecycle_roundtrip(spark, db):
+    rtr = db.add_set("router1")
+    var = rtr.add_var("inOctets", step=300, heartbeat=900)
+    var.insert_batch([(600, 10.0, ROW_VALID), (900, 20.0, ROW_VALID)])
+    var.insert(1800, 50.0)
+
+    # reopen from disk: tree walk + metadata reload († TSDB(path))
+    db2 = TSDB(spark, db.fs_path)
+    assert db2.list_sets() == ["router1"]
+    assert db2.list_vars() == ["router1/inOctets"]
+    v2 = db2.get_var("router1/inOctets")
+    assert isinstance(v2, TSDBVar)
+    assert v2.step == 300 and v2.heartbeat == 900
+
+    got = {r.slot: (r.flags, r.value) for r in v2.select(600, 2100).collect()}
+    # written slots valid, never-written slots materialized invalid (†)
+    assert got[600] == (ROW_VALID, 10.0)
+    assert got[900] == (ROW_VALID, 20.0)
+    assert got[1200] == (0, None)
+    assert got[1500] == (0, None)
+    assert got[1800] == (ROW_VALID, 50.0)
+    assert len(got) == 5
+    # flags mask drops the invalid spine rows († select(flags=...))
+    assert {r.slot for r in v2.select(600, 2100, flags=ROW_VALID).collect()} == {
+        600,
+        900,
+        1800,
+    }
+
+
+def test_slot_overwrite_last_write_wins(spark, db):
+    var = db.get_set("router1").add_var("errs", step=300)
+    var.insert(310, 1.0)
+    var.insert(320, 2.0)  # same slot (300): later insert wins
+    row = var.get(300)
+    assert (row.tse, row.value) == (320, 2.0)
+    assert var.get_last().value == 2.0
+
+
+def test_get_last_skips_invalid(spark, db):
+    var = db.get_set("router1").add_var("drops", step=300)
+    var.insert(300, 5.0)
+    var.insert(600, 7.0, flags=0)  # invalid tail row
+    assert var.get_last().value == 5.0
+
+
+def test_node_type_errors(spark, db):
+    with pytest.raises(KeyError):
+        db.get_var("router1")  # a set, not a var
+    with pytest.raises(KeyError):
+        db.get_set("router1/inOctets")  # a var, not a set
+    with pytest.raises(FileExistsError):
+        TSDB.create(spark, db.fs_path)
