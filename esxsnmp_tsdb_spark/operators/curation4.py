@@ -83,7 +83,9 @@ def minhash_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     configuration: a pair's FIRST agreeing band index says which prefix
     configurations would have caught it, so the sweep is a conditional
     rollup over the single `agree` table — adding configurations costs
-    nothing."""
+    nothing.  The signature table feeds both sides of the agree
+    self-join, so it is localCheckpoint-ed: ONE shingle+md5+min pass,
+    not two lineage replays (plan-asserted in tests/test_plans.py)."""
     docs2 = _docs_with_near_copies(_t(spark, sf_dir)["documents"])
     sh = _shingled(docs2)
     bands = spark.range(SWEEP_BANDS).select(F.col("id").cast("int").alias("band"))
@@ -96,6 +98,7 @@ def minhash_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "band")
         .agg(F.min("bh").alias("sig"))
+        .localCheckpoint()
     )
     a, b = sigs.alias("a"), sigs.alias("b")
     agree = (

@@ -165,10 +165,16 @@ pairs AS (
 )"""
 
 
-def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-(doc, band) MinHash signatures — Spark twin of the `sigs` CTE."""
-    docs2 = _docs_with_near_copies(_t(spark, sf_dir)["documents"])
-    sh = _shingled(docs2)
+def _minhash_sigs(
+    spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
+) -> DataFrame:
+    """Per-(doc, band) MinHash signatures — Spark twin of the `sigs` CTE.
+
+    Pass a pre-built (ideally checkpointed) ``sh`` shingle table to share
+    ONE shingle pass across the signature stage and other consumers."""
+    if sh is None:
+        docs2 = _docs_with_near_copies(_t(spark, sf_dir)["documents"])
+        sh = _shingled(docs2)
     bands = spark.range(N_BANDS).select(F.col("id").cast("int").alias("band"))
     return (
         sh.crossJoin(F.broadcast(bands))
@@ -529,12 +535,16 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both ratios are small-denominator rationals rounded on both sides.
 
     The signature table feeds FOUR join sides (pair generation a/b,
-    band-compare a/b), so it is localCheckpoint-ed: one shingle+min
-    computation instead of four lineage replays — at corpus scale sigs
-    is |docs|×{N_BANDS} short rows, cheap to materialize."""
+    band-compare a/b) and the shingle table THREE (sizes, intersection
+    a/b), so BOTH are localCheckpoint-ed: one shingle explode and one
+    min-hash aggregation total, instead of seven lineage replays — at
+    corpus scale sigs is |docs|×{N_BANDS} short rows and shingled is the
+    (bounded) shingle set, both cheap next to recomputing them.  The
+    executed plan reads documents.parquet ZERO times — every branch scans
+    a checkpoint (asserted in tests/test_plans.py)."""
     docs2 = _docs_with_near_copies(_t(spark, sf_dir)["documents"])
-    sh = _shingled(docs2)
-    sigs = _minhash_sigs(spark, sf_dir).localCheckpoint()
+    sh = _shingled(docs2).localCheckpoint()
+    sigs = _minhash_sigs(spark, sf_dir, sh=sh).localCheckpoint()
     pairs = _pairs_from_sigs(sigs)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"), F.col("band").alias("band_a"),

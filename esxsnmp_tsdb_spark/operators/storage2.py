@@ -51,23 +51,40 @@ def _obs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bucketed_table(
-    spark: SparkSession, df: DataFrame, name: str, key: str
+    spark: SparkSession, df: DataFrame, name: str, key: str, *sort_cols: str
 ) -> DataFrame:
     """(Re)create an external bucketed+sorted parquet table and return it.
 
-    The table lives in the op's scratch dir (never the warehouse), so the
-    driver's vanilla session leaves nothing in cwd; DROP+overwrite makes
-    repeated bench/driver invocations idempotent."""
+    ``sort_cols`` extends the in-bucket sort beyond the bucket key (e.g.
+    ``(path, tse)`` for the obs store, so per-series windows read
+    pre-sorted buckets).  The table lives in the op's scratch dir (never
+    the warehouse), so the driver's vanilla session leaves nothing in cwd;
+    DROP+overwrite makes repeated bench/driver invocations idempotent."""
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     (
         df.write.format("parquet")
         .option("path", os.path.join(op_dir(name), "t"))
         .bucketBy(N_BUCKETS, key)
-        .sortBy(key)
+        .sortBy(key, *sort_cols)
         .mode("overwrite")
         .saveAsTable(name)
     )
     return spark.table(name)
+
+
+def bucketed_obs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SURVEY §4 obs storage posture as a readable table: observations
+    stored ``bucketBy(hash(path)).sortBy(path, tse)``.
+
+    Every §2.2 consolidation shape then needs NO exchange: a group-by on
+    (path, slot) is satisfied by the bucket hash on path (path ⊂ grouping
+    keys ⇒ co-located), and a per-series lag/rate window on
+    partitionBy(path).orderBy(tse) reads the bucket layout directly —
+    the window/agg exchange that every raw-parquet plan carries simply
+    disappears (asserted in tests/test_storage2.py).  At 100 TB this is
+    the difference between consolidating a day re-shuffling the fleet's
+    ingest and consolidating it bucket-local."""
+    return _bucketed_table(spark, _obs(spark, sf_dir), "bkt_obs", "path", "tse")
 
 
 @op(

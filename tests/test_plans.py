@@ -276,3 +276,22 @@ def test_pit_join_is_keyed_not_cartesian(spark):
     assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_minhash_eval_scans_signature_stage_once(spark):
+    """The dedup-eval tail (VERDICT r4 item 6): both eval ops must serve
+    every consumer branch from checkpointed shingle/signature tables —
+    a refactor that drops the localCheckpoint re-derives the shingle
+    explode per join side and silently multiplies the corpus pass."""
+    spark.catalog.clearCache()
+    p = plan_str(Q["minhash_jaccard_estimate"](spark, SF_ORACLE))
+    # all seven consumer branches read the two checkpoints...
+    assert "Scan ExistingRDD" in p
+    # ...and the raw corpus is scanned ZERO times in the final plan
+    assert "documents.parquet" not in p, "shingle stage re-derived from raw"
+
+    spark.catalog.clearCache()
+    p2 = plan_str(Q["minhash_band_sensitivity"](spark, SF_ORACLE))
+    assert "Scan ExistingRDD" in p2
+    # the only permitted raw scan is the 1-row n_docs count
+    assert p2.count("documents.parquet") <= 1, "signature stage re-derived"

@@ -51,3 +51,44 @@ def test_schema_evolution_backfills_nulls(spark):
     assert rows
     for r in rows:
         assert r.n_quality < r.n  # old generation really is NULL
+
+
+def test_bucketed_obs_consolidation_has_no_exchange(spark):
+    """VERDICT r4 item 7: the §2.2 consolidation family on the bucketed
+    obs layout (bucketBy(hash(path)).sortBy(path, tse)) must plan with
+    ZERO hashpartitioning exchange — both the (path, slot) group-by
+    (bucket hash on path co-locates every grouping key) and the
+    per-series lag window (reads pre-sorted buckets)."""
+    from pyspark.sql import Window
+
+    from esxsnmp_tsdb_spark.functions import tsdb
+    from esxsnmp_tsdb_spark.operators.storage2 import bucketed_obs_table
+    from esxsnmp_tsdb_spark.plans import plan_str
+
+    obs = bucketed_obs_table(spark, SF_SMOKE)
+
+    # downsample-avg shape: groupBy (path, slot)
+    ds = obs.groupBy("path", tsdb.slot_of(F.col("tse"), 3600).alias("slot")).agg(
+        F.avg("value").alias("average"), F.count(F.lit(1)).alias("n")
+    )
+    p = plan_str(ds)
+    assert "Exchange hashpartitioning" not in p, p
+
+    # rate shape: per-series lag window
+    w = Window.partitionBy("path").orderBy("tse", "event_id")
+    d = obs.select(
+        "path", "tse", (F.col("value") - F.lag("value").over(w)).alias("delta")
+    )
+    p2 = plan_str(d)
+    assert "Exchange hashpartitioning" not in p2, p2
+
+    # and the values are the raw-parquet values (layout changed the
+    # physics, not the answer)
+    from esxsnmp_tsdb_spark.sources import register_views
+
+    raw = tsdb.obs_from_events(register_views(spark, SF_SMOKE)["events"])
+    want = raw.groupBy("path").agg(F.sum("value").alias("s")).collect()
+    got = obs.groupBy("path").agg(F.sum("value").alias("s")).collect()
+    assert {(r.path, round(r.s, 6)) for r in got} == {
+        (r.path, round(r.s, 6)) for r in want
+    }
