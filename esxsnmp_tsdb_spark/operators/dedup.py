@@ -205,8 +205,11 @@ def _pairs_from_sigs(sigs: DataFrame) -> DataFrame:
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of MINHASH_PAIRS_SQL's `pairs` CTE."""
-    return _pairs_from_sigs(_minhash_sigs(spark, sf_dir))
+    """Spark twin of MINHASH_PAIRS_SQL's `pairs` CTE.
+
+    The signature table feeds both sides of the band-bucket self-join, so
+    it is localCheckpoint-ed: one shingle+md5+min pass, not two."""
+    return _pairs_from_sigs(_minhash_sigs(spark, sf_dir).localCheckpoint())
 
 
 @op(
@@ -273,32 +276,52 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(20):
-        neigh = (
-            edges.join(labels, edges.src == labels.doc)
-            .groupBy(F.col("dst").alias("doc2"))
-            .agg(F.min("label").alias("nl"))
-        )
-        l1 = labels.join(neigh, labels.doc == neigh.doc2, "left").select(
-            "doc",
-            F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
-        )
-        # pointer jump: label <- label(label); labels are always node ids,
-        # so the self-join maps every label to its current representative.
-        m = l1.select(F.col("doc").alias("p_doc"), F.col("label").alias("p_label"))
-        l2 = (
-            l1.join(m, l1.label == m.p_doc, "left")
-            .select("doc", F.coalesce("p_label", "label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            l2.join(labels.withColumnRenamed("label", "old"), "doc")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels = l2
-        if changed == 0:
-            break
+    # Size the loop's shuffle width to the candidate graph, not the
+    # session default: the CC input is the near-dup edge set — orders of
+    # magnitude smaller than the corpus — and every extra shuffle
+    # partition is pure per-round scheduling overhead across the
+    # O(log d) iterations.  (~1M edge rows per partition; a 100 TB
+    # corpus's candidate graph still fans out to thousands of tasks.)
+    n_edges = edges.count()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(2, min(int(old_parts), n_edges // 1_000_000 + 2))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        for _ in range(20):
+            neigh = (
+                edges.join(labels, edges.src == labels.doc)
+                .groupBy(F.col("dst").alias("doc2"))
+                .agg(F.min("label").alias("nl"))
+            )
+            l1 = labels.withColumnRenamed("label", "old").join(
+                neigh, F.col("doc") == F.col("doc2"), "left"
+            ).select(
+                "doc",
+                "old",
+                F.least(F.col("old"), F.coalesce("nl", "old")).alias("label"),
+            )
+            # pointer jump: label <- label(label); labels are always node
+            # ids, so the self-join maps every label to its current
+            # representative.  `old` rides along so the convergence test
+            # reads the SAME checkpointed frame — no extra join per round.
+            m = l1.select(
+                F.col("doc").alias("p_doc"), F.col("label").alias("p_label")
+            )
+            l2 = (
+                l1.join(m, l1.label == m.p_doc, "left")
+                .select(
+                    "doc",
+                    "old",
+                    F.coalesce("p_label", "label").alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = l2.filter(F.col("label") != F.col("old")).count()
+            labels = l2.drop("old")
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     w = Window.partitionBy("component")
     return (
         labels.select(F.col("doc").alias("doc_id"), F.col("label").alias("component"))
