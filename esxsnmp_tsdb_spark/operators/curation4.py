@@ -163,13 +163,18 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The label-blocked pair join (the IVF-cell blocker from
     `dedup_embedding_cosine`) runs ONCE; every threshold is a
-    conditional count over the same scored pair stream.  Thresholding on
-    the rounded cosine keeps the cut decision identical cross-engine."""
+    conditional count over the same scored pair stream.  Norms are
+    hoisted per vector (one fold each, same expression order as
+    ``cosine`` so the rounded value is bit-identical) — each pair costs
+    one dot fold, not three.  Thresholding on the rounded cosine keeps
+    the cut decision identical cross-engine."""
+    from esxsnmp_tsdb_spark.functions.vector import dot, norm
+
     e = _t(spark, sf_dir)["embeddings"].select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
+    ).withColumn("nrm", norm(F.col("v")))
     a, b = e.alias("a"), e.alias("b")
     pairs = a.join(
         b,
@@ -178,7 +183,10 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.vec_id").alias("va"),
         F.col("b.vec_id").alias("vb"),
-        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_r"),
+        F.round(
+            dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
+            6,
+        ).alias("cos_r"),
     )
     taus = spark.createDataFrame([(t,) for t in COS_TAUS], "tau double")
     hit = F.col("cos_r") >= F.col("tau")

@@ -171,7 +171,15 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id", "embedding", norm(_dbl(F.col("embedding"))).alias("nrm")
     )
-    assigned = _assign_cells(e).select("vec_id", "embedding", "nrm", "cid")
+    # assignment feeds three consumers (both pair-join sides + the cell
+    # census) — checkpoint it so the N×K centroid scoring runs ONCE, the
+    # in-op stand-in for the ingest-persisted cell table the docstring
+    # promises at scale.
+    assigned = (
+        _assign_cells(e)
+        .select("vec_id", "embedding", "nrm", "cid")
+        .localCheckpoint()
+    )
     a = assigned.alias("a")
     b = assigned.alias("b")
     cos = dot(_dbl(F.col("a.embedding")), _dbl(F.col("b.embedding"))) / (
@@ -607,8 +615,12 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         norm(_dbl(F.col("embedding"))).alias("nrm"),
     )
-    assigned = _assign_cells(e).select(
-        "vec_id", "label", "embedding", "nrm", "cid"
+    # both self-join sides read the checkpointed assignment — one N×K
+    # centroid scoring, not two (the ingest-persisted cell table at scale).
+    assigned = (
+        _assign_cells(e)
+        .select("vec_id", "label", "embedding", "nrm", "cid")
+        .localCheckpoint()
     )
     a = assigned.alias("a")
     b = assigned.alias("b")
