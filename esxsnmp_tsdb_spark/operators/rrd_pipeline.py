@@ -54,21 +54,10 @@ def _obs(spark: SparkSession, sf_dir: str) -> DataFrame:
 MICRO = 1_000_000
 
 
-def ladder_full_pipeline(obs: DataFrame) -> DataFrame:
-    """Library form of the composed ingest pipeline (see module docstring).
-
-    Returns the stored 1 h level: one row per (path, slot) with the delta
-    CF in micro-units plus the fine-level distribution the Aggregate row
-    keeps (min/max of contributing 5 m deltas, fine-bucket and span counts).
-    """
-    from esxsnmp_tsdb_spark.operators.aggregator import _counter
-    from esxsnmp_tsdb_spark.session import fan_out
-
-    # Stage 1 — synthetic Counter32: running sum wrapped at the modulus.
-    cnt = _counter(obs).withColumn("counter", F.col("counter") % SYNTH_WRAP)
-    # Stage 2 — per-span delta, wrap-corrected, heartbeat-invalidated.
-    d = tsdb.deltas(cnt, "counter")
-    spans = d.filter(
+def _valid_spans(d: DataFrame) -> DataFrame:
+    """Stage 2: wrap-corrected, heartbeat-filtered spans from a lagged
+    delta frame carrying (path, tse, delta, dt)."""
+    return d.filter(
         F.col("delta").isNotNull() & (F.col("dt") > 0) & (F.col("dt") <= HEARTBEAT)
     ).select(
         "path",
@@ -77,8 +66,16 @@ def ladder_full_pipeline(obs: DataFrame) -> DataFrame:
         (F.col("tse") - F.col("dt")).alias("t0"),
         tsdb.wrap_correct(F.col("delta"), SYNTH_WRAP).cast("bigint").alias("wd"),
     )
-    # Stage 3 — proportional bin-split into the FINE level (JVM sequence
-    # explode; integer micro-unit allocation, see module docstring).
+
+
+def _fine_partial(spans: DataFrame) -> DataFrame:
+    """Stage 3: proportional bin-split of spans into the FINE level (JVM
+    ``sequence`` explode; integer micro-unit allocation — see module
+    docstring).  Output (path, fbucket, delta_micro, n_spans) is a PURE
+    ADDITIVE PARTIAL: partials from any split of the span set sum to the
+    whole, which is what makes the streaming twin exact."""
+    from esxsnmp_tsdb_spark.session import fan_out
+
     ex = fan_out(spans).withColumn(
         "fbucket",
         F.explode(
@@ -93,7 +90,7 @@ def ladder_full_pipeline(obs: DataFrame) -> DataFrame:
         F.col("t0"), F.col("fbucket")
     )
     alloc = F.expr(f"wd * overlap * {MICRO} div dt")
-    fine = (
+    return (
         ex.withColumn("overlap", overlap.cast("bigint"))
         .withColumn("alloc_micro", alloc)
         .groupBy("path", "fbucket")
@@ -102,8 +99,11 @@ def ladder_full_pipeline(obs: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_spans"),
         )
     )
-    # Stage 4 — stored 1 h level cascaded FROM THE FINE LEVEL, never raw
-    # (update_all_aggregates †): delta CF plus the fine distribution.
+
+
+def _cascade_1h(fine: DataFrame) -> DataFrame:
+    """Stage 4: stored 1 h level cascaded FROM THE FINE LEVEL, never raw
+    (update_all_aggregates †): delta CF plus the fine distribution."""
     return (
         fine.groupBy("path", tsdb.slot_of(F.col("fbucket"), BUCKET).alias("slot"))
         .agg(
@@ -116,9 +116,24 @@ def ladder_full_pipeline(obs: DataFrame) -> DataFrame:
     )
 
 
-@op(
-    "ts_ladder_full_pipeline",
-    oracle=f"""
+def ladder_full_pipeline(obs: DataFrame) -> DataFrame:
+    """Library form of the composed ingest pipeline (see module docstring).
+
+    Returns the stored 1 h level: one row per (path, slot) with the delta
+    CF in micro-units plus the fine-level distribution the Aggregate row
+    keeps (min/max of contributing 5 m deltas, fine-bucket and span counts).
+    """
+    from esxsnmp_tsdb_spark.operators.aggregator import _counter
+
+    # Stage 1 — synthetic Counter32: running sum wrapped at the modulus.
+    cnt = _counter(obs).withColumn("counter", F.col("counter") % SYNTH_WRAP)
+    return _cascade_1h(_fine_partial(_valid_spans(tsdb.deltas(cnt, "counter"))))
+
+
+# Shared by the batch op and its streaming twin: BOTH must converge to
+# this exact recomputation from raw (allocation partials are additive,
+# so micro-batch boundaries cannot change the stored level).
+LADDER_PIPELINE_ORACLE = f"""
 WITH {OBS_CTE}, {CNT_CTE},
 wrapped AS (SELECT path, tse, event_id, counter % {SYNTH_WRAP} AS cw FROM cnt),
 d AS (
@@ -152,8 +167,10 @@ SELECT path, fbucket - fbucket % {BUCKET} AS slot,
        CAST(count(*) AS BIGINT) AS n_fine,
        CAST(sum(n_spans) AS BIGINT) AS n_spans
 FROM fine GROUP BY 1, 2
-""",
-)
+"""
+
+
+@op("ts_ladder_full_pipeline", oracle=LADDER_PIPELINE_ORACLE)
 def ts_ladder_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's whole ingest-time pipeline composed end to end
     (Aggregator.update wrap + heartbeat + slot-boundary allocation →
@@ -226,3 +243,142 @@ def ts_flag_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_visible_valid"),
         )
     )
+
+
+@op("stream_ladder_full_pipeline", oracle=LADDER_PIPELINE_ORACLE)
+def stream_ladder_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed RRD ingest pipeline maintained INCREMENTALLY — the
+    streaming twin of `ts_ladder_full_pipeline`, same oracle: the stored
+    1 h delta level after 3 time-sliced micro-batches must equal the
+    batch recomputation from raw EXACTLY (micro-unit allocations are
+    integers and additive, so batch boundaries cannot change any cell).
+
+    This is the reference persister's actual loop (§3.2 —
+    ``TSDBPollPersister`` → ``update_all_aggregates`` reading the
+    last-processed position from metadata †) in Structured Streaming
+    shape:
+
+    - the source arrives time-ordered (poller semantics); each
+      micro-batch carries one time slice;
+    - per-series carry state (last tse/event_id/counter) is the
+      "last-processed position": snapshotted per epoch
+      (``state/v=<epoch>``), read back at ``epoch-1`` — a retried epoch
+      re-reads the same carry and overwrites its own outputs, so the
+      sink is exactly-once without read-modify-write;
+    - each batch computes its spans (including the one crossing the
+      batch boundary, formed when the later endpoint arrives), allocates
+      them into FINE buckets, and writes the ADDITIVE partial to
+      ``fine/epoch=<id>`` (the `stream_histogram_ladder` recipe: counts
+      add, so partials are epoch-keyed, never read-modify-write);
+    - the stored 1 h level is derived by summing epoch partials and
+      cascading — never by re-reading historical raws.
+
+    Scale: state is one row per live series; each epoch partial is
+    (series × touched fine buckets) rows.  At 100 TB this is the only
+    shape that keeps the ladder current: the day's raws stream through
+    once, and everything downstream is metadata-sized.
+    """
+    import os
+
+    from esxsnmp_tsdb_spark.operators._workdirs import op_dir
+    from esxsnmp_tsdb_spark.operators.streaming_ops3 import _drive
+    from esxsnmp_tsdb_spark.sources import register_views
+
+    out = op_dir("ladder_full_stream")
+    src = os.path.join(out, "src")
+    fine_dir = os.path.join(out, "fine")
+    state_dir = os.path.join(out, "state")
+
+    obs = _obs(spark, sf_dir).select("path", "tse", "value", "event_id")
+    # Stage the source as three consecutive time slices (poller delivery
+    # order; file mod-time + path order make the 1-file-per-trigger
+    # stream consume them in sequence).
+    from esxsnmp_tsdb_spark.operators._shared import T_JAN10, T_JAN20
+
+    cuts = [(None, T_JAN10), (T_JAN10, T_JAN20), (T_JAN20, None)]
+    for i, (lo, hi) in enumerate(cuts):
+        part = obs
+        if lo is not None:
+            part = part.filter(F.col("tse") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("tse") < hi)
+        part.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"part={i}")
+        )
+
+    from pyspark.sql import Window
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        prev_path = os.path.join(state_dir, f"v={epoch_id - 1}")
+        if epoch_id > 0 and os.path.isdir(prev_path):
+            prev = spark.read.parquet(prev_path)
+        else:
+            prev = spark.createDataFrame(
+                [], "path string, p_tse long, p_eid long, p_counter long"
+            )
+        # Stage 1, incremental: counter = carry + in-batch running sum.
+        w = (
+            Window.partitionBy("path")
+            .orderBy("tse", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        b = (
+            batch.withColumn(
+                "inc", F.floor(F.col("value") * 100).cast("bigint")
+            )
+            .withColumn("csum", F.sum("inc").over(w))
+            .join(F.broadcast(prev), "path", "left")
+            .withColumn(
+                "counter", F.coalesce("p_counter", F.lit(0)) + F.col("csum")
+            )
+            .withColumn("cw", F.col("counter") % SYNTH_WRAP)
+        )
+        # Stage 2, incremental: in-batch lag, with the carry sample as
+        # the predecessor of each series' first batch row.
+        lw = Window.partitionBy("path").orderBy("tse", "event_id")
+        prev_cw = F.coalesce(
+            F.lag("cw").over(lw), F.col("p_counter") % SYNTH_WRAP
+        )
+        prev_tse = F.coalesce(F.lag("tse").over(lw), F.col("p_tse"))
+        d = b.select(
+            "path",
+            "tse",
+            (F.col("cw") - prev_cw).alias("delta"),
+            (F.col("tse") - prev_tse).cast("bigint").alias("dt"),
+        )
+        # Stages 3+: additive fine partial, epoch-keyed (idempotent).
+        _fine_partial(_valid_spans(d)).write.mode("overwrite").parquet(
+            os.path.join(fine_dir, f"epoch={epoch_id}")
+        )
+        # New carry = latest sample per path across batch ∪ old carry.
+        last_in_batch = b.groupBy("path").agg(
+            F.max(F.struct("tse", "event_id", "counter")).alias("m")
+        ).select(
+            "path",
+            F.col("m.tse").alias("p_tse"),
+            F.col("m.event_id").alias("p_eid"),
+            F.col("m.counter").alias("p_counter"),
+        )
+        carried = prev.join(last_in_batch, "path", "left_anti")
+        last_in_batch.unionByName(carried).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v={epoch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "path string, tse long, value double, event_id long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/part=*")
+    )
+    _drive(stream, fold, os.path.join(out, "ckpt"))
+
+    fine = (
+        spark.read.parquet(fine_dir)
+        .groupBy("path", "fbucket")
+        .agg(
+            F.sum("delta_micro").alias("delta_micro"),
+            F.sum("n_spans").alias("n_spans"),
+        )
+    )
+    return _cascade_1h(fine)

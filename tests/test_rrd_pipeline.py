@@ -109,3 +109,25 @@ def test_visibility_census_identities(spark):
     ).collect()[0]
     assert 0 < tot.h < tot.t
     assert 0 < tot.vv < tot.v
+
+
+def test_stream_pipeline_equals_batch_and_replay_idempotent(spark):
+    """The streaming twin's stored level == the batch op's, cell for
+    cell (exact integers); and re-delivering an epoch's fold changes
+    nothing (epoch-keyed partials overwrite themselves)."""
+    from esxsnmp_tsdb_spark.operators import rrd_pipeline as rp
+
+    got = rp.stream_ladder_full_pipeline(spark, SF_SMOKE)
+    want = rp.ts_ladder_full_pipeline(spark, SF_SMOKE)
+    cols = ("path", "slot", "delta_micro", "fine_min_micro",
+            "fine_max_micro", "n_fine", "n_spans")
+    g = {tuple(r[c] for c in cols) for r in got.collect()}
+    w = {tuple(r[c] for c in cols) for r in want.collect()}
+    assert g == w
+
+    # replay: drive the whole op a second time over the same session —
+    # fresh staging + checkpoint must converge to the same stored level
+    # (the epoch-keyed partials make any re-delivery self-overwriting)
+    again = rp.stream_ladder_full_pipeline(spark, SF_SMOKE)
+    g2 = {tuple(r[c] for c in cols) for r in again.collect()}
+    assert g2 == w
