@@ -43,12 +43,17 @@ def _t(spark: SparkSession, sf_dir: str):
     "minhash_band_sensitivity",
     oracle=f"""
 WITH {NEAR_CTE}, {SHINGLE_SQL},
-bands AS (SELECT unnest(generate_series(0, {SWEEP_BANDS - 1})) AS band),
+hashed AS (
+  SELECT doc_id, md5(shingle) AS h1, md5('x:' || shingle) AS h2
+  FROM shingled
+),
+sigs0 AS (
+  SELECT doc_id,
+         {", ".join(f"min(CAST('0x' || substr(h{b // 4 + 1}, {8 * (b % 4) + 1}, 8) AS BIGINT)) AS s{b}" for b in range(SWEEP_BANDS))}
+  FROM hashed GROUP BY doc_id
+),
 sigs AS (
-  SELECT s.doc_id, b.band,
-         min(md5(b.band || ':' || s.shingle)) AS sig
-  FROM shingled s CROSS JOIN bands b
-  GROUP BY s.doc_id, b.band
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, s{b} AS sig FROM sigs0" for b in range(SWEEP_BANDS))}
 ),
 agree AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, min(a.band) AS min_band
@@ -85,19 +90,33 @@ def minhash_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup over the single `agree` table — adding configurations costs
     nothing.  The signature table feeds both sides of the agree
     self-join, so it is localCheckpoint-ed: ONE shingle+md5+min pass,
-    not two lineage replays (plan-asserted in tests/test_plans.py)."""
+    not two lineage replays (plan-asserted in tests/test_plans.py).
+
+    The 8 permutations are the four disjoint 32-bit slices of TWO md5s
+    per shingle (two hash evaluations instead of eight); bands 0-3 slice
+    ``md5(shingle)`` exactly like ``dedup._minhash_sigs``, so the
+    n_bands=4 sweep row counts the very candidate set
+    ``dedup_near_minhash`` emits."""
     docs2 = _docs_with_near_copies(_t(spark, sf_dir)["documents"])
     sh = _shingled(docs2)
-    bands = spark.range(SWEEP_BANDS).select(F.col("id").cast("int").alias("band"))
+    hashed = sh.select(
+        "doc_id",
+        F.md5("shingle").alias("h1"),
+        F.md5(F.concat(F.lit("x:"), F.col("shingle"))).alias("h2"),
+    )
+    band_min = [
+        F.min(
+            F.conv(
+                F.substring(f"h{b // 4 + 1}", 8 * (b % 4) + 1, 8), 16, 10
+            ).cast("bigint")
+        ).alias(f"s{b}")
+        for b in range(SWEEP_BANDS)
+    ]
+    stack_args = ", ".join(f"{b}, s{b}" for b in range(SWEEP_BANDS))
     sigs = (
-        sh.crossJoin(F.broadcast(bands))
-        .select(
-            "doc_id",
-            "band",
-            F.md5(F.concat_ws(":", F.col("band"), F.col("shingle"))).alias("bh"),
-        )
-        .groupBy("doc_id", "band")
-        .agg(F.min("bh").alias("sig"))
+        hashed.groupBy("doc_id")
+        .agg(*band_min)
+        .selectExpr("doc_id", f"stack({SWEEP_BANDS}, {stack_args}) AS (band, sig)")
         .localCheckpoint()
     )
     a, b = sigs.alias("a"), sigs.alias("b")

@@ -151,12 +151,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash candidate pairs (doc_a < doc_b), as a reusable SQL CTE chain and
 # the Spark twin below — used by dedup_near_minhash and the clustering op.
 MINHASH_PAIRS_SQL = f"""{NEAR_CTE}, {SHINGLE_SQL},
-bands AS (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band),
+hashed AS (SELECT doc_id, md5(shingle) AS h FROM shingled),
+sigs0 AS (
+  SELECT doc_id,
+         {", ".join(f"min(CAST('0x' || substr(h, {8 * b + 1}, 8) AS BIGINT)) AS s{b}" for b in range(N_BANDS))}
+  FROM hashed GROUP BY doc_id
+),
 sigs AS (
-  SELECT s.doc_id, b.band,
-         min(md5(b.band || ':' || s.shingle)) AS sig
-  FROM shingled s CROSS JOIN bands b
-  GROUP BY s.doc_id, b.band
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, s{b} AS sig FROM sigs0" for b in range(N_BANDS))}
 ),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -171,20 +173,32 @@ def _minhash_sigs(
     """Per-(doc, band) MinHash signatures — Spark twin of the `sigs` CTE.
 
     Pass a pre-built (ideally checkpointed) ``sh`` shingle table to share
-    ONE shingle pass across the signature stage and other consumers."""
+    ONE shingle pass across the signature stage and other consumers.
+
+    One md5 per shingle, sliced into {N_BANDS} disjoint 32-bit windows,
+    plays the {N_BANDS} independent permutations — {N_BANDS}× fewer hash
+    evaluations than hashing (band, shingle) pairs, and the pre-shuffle
+    row count stays |shingles| instead of |shingles|×{N_BANDS} (the per-
+    band minima ride ONE partial aggregation as {N_BANDS} agg columns).
+    The signature narrows from a 32-char string to a bigint, shrinking
+    both the shuffle and the band-bucket join keys."""
     if sh is None:
         docs2 = _docs_with_near_copies(_t(spark, sf_dir)["documents"])
         sh = _shingled(docs2)
-    bands = spark.range(N_BANDS).select(F.col("id").cast("int").alias("band"))
+    hashed = sh.select("doc_id", F.md5("shingle").alias("h"))
+    band_min = [
+        F.min(
+            F.conv(F.substring("h", 8 * b + 1, 8), 16, 10).cast("bigint")
+        ).alias(f"s{b}")
+        for b in range(N_BANDS)
+    ]
+    stack_args = ", ".join(f"{b}, s{b}" for b in range(N_BANDS))
     return (
-        sh.crossJoin(F.broadcast(bands))
-        .select(
-            "doc_id",
-            "band",
-            F.md5(F.concat_ws(":", F.col("band"), F.col("shingle"))).alias("bh"),
+        hashed.groupBy("doc_id")
+        .agg(*band_min)
+        .selectExpr(
+            "doc_id", f"stack({N_BANDS}, {stack_args}) AS (band, sig)"
         )
-        .groupBy("doc_id", "band")
-        .agg(F.min("bh").alias("sig"))
     )
 
 
@@ -221,9 +235,10 @@ SELECT doc_a, doc_b FROM pairs
 )
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs via shingle → MinHash → band → bucket-join
-    (one deterministic min-hash per band; md5 plays the permutation).
+    (one deterministic min-hash per band; disjoint 32-bit slices of one
+    md5 play the independent permutations).
 
-    Scale shape: signatures are tiny (doc_id, band, 32-byte sig); the only
+    Scale shape: signatures are tiny (doc_id, band, bigint sig); the only
     join is an equi-join on (band, sig) — LSH's whole point is that the
     candidate set, not the corpus square, is what gets compared."""
     return _minhash_pairs(spark, sf_dir)
@@ -552,7 +567,7 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     engineer runs before trusting a dedup threshold at corpus scale.
 
     Everything is blocked by the candidate pairs (estimate AND exact):
-    the corpus square never materializes, signatures are 32-byte strings,
+    the corpus square never materializes, signatures are 8-byte bigints,
     and the exact intersection is the shingle equi-join restricted to
     candidates — the same shapes the dedup ops already proved at scale.
     Both ratios are small-denominator rationals rounded on both sides.
