@@ -141,7 +141,10 @@ class TSDBSet(_Node):
         return node
 
     def _get(self, path: str) -> "_Node":
-        fs = os.path.join(self.fs_path, *path.split("/"))
+        parts = path.split("/")
+        if any(p in ("", ".", "..") or os.sep in p for p in parts):
+            raise KeyError(f"invalid node path {path!r}")
+        fs = os.path.join(self.fs_path, *parts)
         kind = _read_metadata(fs).get("NODE") if os.path.isfile(
             os.path.join(fs, METADATA_FILE)
         ) else None
@@ -186,19 +189,29 @@ class TSDBVar(_Node):
         self.insert_batch([(tse, value, flags)])
 
     def insert_batch(self, rows) -> None:
-        """Append one ingest batch; the per-var LAST_SEQ counter makes
-        slot overwrite (last insert wins, † TSDBVar.insert) replay
-        deterministically regardless of file listing order."""
-        seq = int(self.metadata["LAST_SEQ"]) + 1
+        """Append one ingest batch; every row gets its own LAST_SEQ
+        counter value (position within the batch included), so slot
+        overwrite (last insert wins, † TSDBVar.insert) replays
+        deterministically regardless of file listing order — including
+        two same-slot rows inside one batch."""
+        norm = [
+            (int(r[0]), None if r[1] is None else float(r[1]),
+             int(r[2]) if len(r) > 2 else ROW_VALID)
+            for r in rows
+        ]
+        if not norm:
+            return
+        seq0 = int(self.metadata["LAST_SEQ"])
         df = self.spark.createDataFrame(
-            [(int(t), int(fl), None if v is None else float(v), seq)
-             for (t, v, fl) in ((r[0], r[1], r[2] if len(r) > 2 else ROW_VALID)
-                                for r in rows)],
-            "tse long, flags int, value double, ingest_seq long",
+            [(t, fl, v, seq0 + 1 + i) for i, (t, v, fl) in enumerate(norm)],
+            _ROW_SCHEMA,
         )
         df.coalesce(1).write.mode("append").parquet(self._data)
-        self.metadata["LAST_SEQ"] = str(seq)
-        self.metadata["LAST_UPDATE"] = str(max(int(r[0]) for r in rows))
+        self.metadata["LAST_SEQ"] = str(seq0 + len(norm))
+        prev_update = int(self.metadata.get("LAST_UPDATE", "0"))
+        self.metadata["LAST_UPDATE"] = str(
+            max(prev_update, max(t for (t, _v, _fl) in norm))
+        )
         self.save_metadata()
 
     def _rows(self) -> DataFrame:
@@ -227,6 +240,10 @@ class TSDBVar(_Node):
         value NULL †) unless a ``flags`` mask filters them out."""
         step = self.step
         lo, hi = begin - begin % step, (end - 1) - (end - 1) % step
+        if hi < lo:  # empty range: no slot starts inside [begin, end)
+            return self.spark.createDataFrame(
+                [], "tse long, flags int, value double, slot long"
+            )
         present = self._lww(
             self._rows().filter((F.col("tse") >= lo) & (F.col("tse") < end))
         )

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from esxsnmp_tsdb_spark.functions.vector import cosine
+from esxsnmp_tsdb_spark.functions.vector import dot, norm
 from esxsnmp_tsdb_spark.operators.dedup import (
     NEAR_CTE,
     SHINGLE_SQL,
@@ -187,8 +187,6 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``cosine`` so the rounded value is bit-identical) — each pair costs
     one dot fold, not three.  Thresholding on the rounded cosine keeps
     the cut decision identical cross-engine."""
-    from esxsnmp_tsdb_spark.functions.vector import dot, norm
-
     e = _t(spark, sf_dir)["embeddings"].select(
         "vec_id",
         "label",

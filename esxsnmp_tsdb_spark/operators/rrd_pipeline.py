@@ -305,6 +305,17 @@ def stream_ladder_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         part.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(src, f"part={i}")
         )
+    # FileStreamSource delivers in mod-time order; sequential writes make
+    # that non-decreasing, but a coarse-timestamp filesystem could tie two
+    # slices and flip them.  The carry pairs each slice's first row with
+    # the previous slice's last, so pin strictly increasing mtimes.
+    import time
+
+    base_t = int(time.time())
+    for i in range(3):
+        pdir = os.path.join(src, f"part={i}")
+        for name in os.listdir(pdir):
+            os.utime(os.path.join(pdir, name), (base_t + 60 * i,) * 2)
 
     from pyspark.sql import Window
 

@@ -71,3 +71,38 @@ def test_node_type_errors(spark, db):
         db.get_set("router1/inOctets")  # a var, not a set
     with pytest.raises(FileExistsError):
         TSDB.create(spark, db.fs_path)
+
+
+def test_get_rejects_traversal(spark, db):
+    for bad in ("..", "../x", "router1/..", "router1//inOctets", "."):
+        with pytest.raises(KeyError):
+            db._get(bad)
+
+
+def test_select_empty_range_yields_no_rows(spark, db):
+    var = db.get_var("router1/inOctets")
+    assert var.select(900, 900).collect() == []
+    assert var.select(900, 650).collect() == []
+    # a 1-second window inside a slot still returns that slot's row
+    assert [r.slot for r in var.select(900, 901).collect()] == [900]
+
+
+def test_within_batch_lww_is_insert_order(spark, db):
+    var = db.get_set("router1").add_var("octets2", step=300)
+    # same slot twice in ONE batch: the LAST insert wins even though its
+    # tse is smaller († TSDBVar.insert applied sequentially)
+    var.insert_batch([(320, 2.0), (310, 1.0)])
+    row = var.get(300)
+    assert (row.tse, row.value) == (310, 1.0)
+
+
+def test_insert_batch_empty_and_last_update_monotone(spark, db):
+    var = db.get_set("router1").add_var("octets3", step=300)
+    var.insert(3600, 1.0)
+    assert var.metadata["LAST_UPDATE"] == "3600"
+    seq = var.metadata["LAST_SEQ"]
+    var.insert_batch([])  # no-op, no metadata churn
+    assert var.metadata["LAST_SEQ"] == seq
+    var.insert(300, 9.0)  # backfill must not rewind LAST_UPDATE
+    assert var.metadata["LAST_UPDATE"] == "3600"
+    assert var.get(300).value == 9.0
