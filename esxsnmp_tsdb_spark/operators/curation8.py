@@ -93,7 +93,10 @@ def _assign_cells(e: DataFrame) -> DataFrame:
     smaller cid).  Input must carry (vec_id, embedding, nrm) plus any
     extra columns to keep; output adds ``cid`` and ``best_cos`` (the
     winning raw cosine).  Centroids broadcast; norms are hoisted so the
-    k-way scoring pays one dot fold per (row, centroid).  Keeping this
+    k-way scoring pays one dot fold per (row, centroid).  The argmax is
+    a ``max_by`` aggregation, not a row_number window: partial (map-
+    side) aggregation folds the N×K scored rows down to N BEFORE the
+    exchange, so only one row per vector ever shuffles.  Keeping this
     in one place is what keeps the three consumers on the SAME cell
     geometry — forked copies could silently diverge."""
     cent = e.filter(F.col("vec_id") % CELL_SEED_MOD == 0).select(
@@ -106,12 +109,12 @@ def _assign_cells(e: DataFrame) -> DataFrame:
         dot(_dbl(F.col("embedding")), _dbl(F.col("cv")))
         / (F.col("nrm") * F.col("cnrm")),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cid")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "cv", "cnrm")
-        .withColumnRenamed("c_cos", "best_cos")
+    carry = [F.first(c).alias(c) for c in e.columns if c != "vec_id"]
+    argmax_key = F.struct(F.col("c_cos"), (-F.col("cid")).alias("neg_cid"))
+    return scored.groupBy("vec_id").agg(
+        *carry,
+        F.max_by("cid", argmax_key).alias("cid"),
+        F.max("c_cos").alias("best_cos"),
     )
 
 
@@ -159,50 +162,59 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     The cluster is the IVF coarse quantizer (every-{CELL_SEED_MOD}th
     vector seeds a centroid, assignment = argmax cosine, ties to the
     smaller cid) — at 100 TB the assignment happens at ingest and the
-    table is partitioned by cell, making the prune an intra-partition
-    equi-join: the corpus-wide pairwise square never materializes,
-    exactly the property that makes SemDeDup tractable at scale.
-    Centroids broadcast (catalog-sized); norms are hoisted per vector
-    so each pair costs one dot fold.  Runs on the planted near-copy
-    corpus (`EMB_NEAR_CTE`) so the prune has real signal — the raw
-    fixture's most-similar pair is only cosine ≈ 0.48."""
+    table is partitioned by cell, so the prune shuffles once on cid and
+    the corpus-wide pairwise square never materializes: exactly the
+    property that makes SemDeDup tractable at scale.  Centroids
+    broadcast (catalog-sized).
+
+    The in-cell square itself runs as ONE Arrow-batched
+    ``applyInPandas`` per cell — a normalized-matrix BLAS matmul, the
+    same kernel a FAISS-style SemDeDup job runs per IVF list — instead
+    of a pair join whose per-pair dot rides Spark's interpreted
+    higher-order fold.  Cells are quantizer-bounded (~{CELL_SEED_MOD}
+    vectors here), so the |cell|² Gram matrix is small by construction;
+    census (n_vecs) and prune (n_dropped) fall out of the same pass, so
+    the assignment stage has exactly one consumer and needs no
+    checkpoint.  Runs on the planted near-copy corpus (`EMB_NEAR_CTE`)
+    so the prune has real signal — the raw fixture's most-similar pair
+    is only cosine ≈ 0.48, far from τ={SEM_TAU}, which also keeps the
+    float64 BLAS sum order irrelevant to the threshold decision."""
+    import numpy as np
+    import pandas as pd
+
     e = _emb_with_near_copies(
         _t(spark, sf_dir)["embeddings"]
     ).select(
         "vec_id", "embedding", norm(_dbl(F.col("embedding"))).alias("nrm")
     )
-    # assignment feeds three consumers (both pair-join sides + the cell
-    # census) — checkpoint it so the N×K centroid scoring runs ONCE, the
-    # in-op stand-in for the ingest-persisted cell table the docstring
-    # promises at scale.
-    assigned = (
-        _assign_cells(e)
-        .select("vec_id", "embedding", "nrm", "cid")
-        .localCheckpoint()
-    )
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    cos = dot(_dbl(F.col("a.embedding")), _dbl(F.col("b.embedding"))) / (
-        F.col("a.nrm") * F.col("b.nrm")
-    )
-    victims = (
-        a.join(
-            b,
-            (F.col("a.cid") == F.col("b.cid"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    assigned = _assign_cells(e).select("vec_id", "embedding", "nrm", "cid")
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        n = len(pdf)
+        vn = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        vn /= pdf["nrm"].to_numpy(dtype=np.float64)[:, None]
+        gram = vn @ vn.T
+        iu, ju = np.triu_indices(n, 1)  # (i, j) with vec_id_i < vec_id_j
+        victim = np.zeros(n, dtype=bool)
+        victim[ju[gram[iu, ju] >= SEM_TAU]] = True
+        return pd.DataFrame(
+            {
+                "cid": pdf["cid"].iloc[:1],
+                "n_vecs": [n],
+                "n_dropped": [int(victim.sum())],
+            }
         )
-        .filter(cos >= SEM_TAU)
-        .select(F.col("a.cid").alias("cid"), F.col("b.vec_id").alias("victim"))
-        .distinct()
-    )
-    dropped = victims.groupBy("cid").agg(F.count(F.lit(1)).alias("n_dropped"))
-    cells = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
-    n_dropped = F.coalesce(F.col("n_dropped"), F.lit(0).cast("bigint"))
-    return cells.join(dropped, "cid", "left").select(
-        "cid",
-        "n_vecs",
-        n_dropped.alias("n_dropped"),
-        (F.col("n_vecs") - n_dropped).alias("n_kept"),
+
+    return (
+        assigned.groupBy("cid")
+        .applyInPandas(prune, "cid bigint, n_vecs bigint, n_dropped bigint")
+        .select(
+            "cid",
+            "n_vecs",
+            "n_dropped",
+            (F.col("n_vecs") - F.col("n_dropped")).alias("n_kept"),
+        )
     )
 
 

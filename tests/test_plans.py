@@ -220,37 +220,23 @@ def test_sla_maintenance_no_per_path_spine(spark):
     assert n_shuffles <= 4, f"expected <=4 hash exchanges, plan has {n_shuffles}"
 
 
-def test_semdedup_pair_join_is_equi_on_cell(spark):
+def test_semdedup_plan_shape(spark):
     """Centroids broadcast against the corpus (BroadcastNestedLoopJoin is
-    the k-way scoring fan-out); the prune pair join must be a REAL
-    equi-join on the cell id (SortMergeJoin/ShuffledHashJoin), never an
-    unblocked pairwise square.  The assignment stage is localCheckpoint-ed
-    (it feeds both pair-join sides), so the two claims live in two plans:
-    the assignment's own plan carries the broadcast fan-out, and the final
-    plan must start from the checkpoint scan."""
-    from pyspark.sql import functions as F
-
-    from esxsnmp_tsdb_spark.functions.vector import norm
-    from esxsnmp_tsdb_spark.operators.curation8 import (
-        _assign_cells,
-        _dbl,
-        _emb_with_near_copies,
-        _t,
-    )
-
+    the k-way scoring fan-out), the argmax assignment partial-aggregates
+    map-side (HashAggregate BEFORE the vec_id exchange, so N rows
+    shuffle, never N×K), and the in-cell prune is ONE Arrow-batched
+    applyInPandas keyed on cid (FlatMapGroupsInPandas) — never an
+    unblocked pairwise square, never row-at-a-time Python."""
     spark.catalog.clearCache()
-    e = _emb_with_near_copies(_t(spark, SF_ORACLE)["embeddings"]).select(
-        "vec_id", "embedding", norm(_dbl(F.col("embedding"))).alias("nrm")
-    )
-    pa = plan_str(_assign_cells(e))
-    assert "BroadcastNestedLoopJoin" in pa  # corpus x broadcast centroids
-    assert "CartesianProduct" not in pa
-
     p = plan_str(Q["dedup_semantic_cells"](spark, SF_ORACLE))
-    assert "Scan ExistingRDD" in p  # pair join reads the checkpoint
-    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+    assert "BroadcastNestedLoopJoin" in p  # corpus x broadcast centroids
+    assert "FlatMapGroupsInPandas" in p  # per-cell BLAS prune
+    assert "BatchEvalPython" not in p  # ... and nothing row-at-a-time
     assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p  # scoring ran pre-checkpoint
+    # the scored fan-out must partial-aggregate before it shuffles: the
+    # N×K rows fold to N map-side, so the vec_id exchange moves one row
+    # per vector
+    assert "partial_max_by" in p, "argmax lost its map-side combine"
 
 
 def test_winnowing_join_on_fingerprint_aggregate(spark):
