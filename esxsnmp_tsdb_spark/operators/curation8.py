@@ -200,7 +200,7 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         victim[ju[gram[iu, ju] >= SEM_TAU]] = True
         return pd.DataFrame(
             {
-                "cid": pdf["cid"].iloc[:1],
+                "cid": [pdf["cid"].iat[0]],
                 "n_vecs": [n],
                 "n_dropped": [int(victim.sum())],
             }

@@ -223,10 +223,11 @@ def test_sla_maintenance_no_per_path_spine(spark):
 def test_semdedup_plan_shape(spark):
     """Centroids broadcast against the corpus (BroadcastNestedLoopJoin is
     the k-way scoring fan-out), the argmax assignment partial-aggregates
-    map-side (HashAggregate BEFORE the vec_id exchange, so N rows
-    shuffle, never N×K), and the in-cell prune is ONE Arrow-batched
-    applyInPandas keyed on cid (FlatMapGroupsInPandas) — never an
-    unblocked pairwise square, never row-at-a-time Python."""
+    map-side (a partial_max_by SortAggregate below the vec_id exchange —
+    sort-based because the carried embedding array is not hash-
+    aggregable — so N rows shuffle, never N×K), and the in-cell prune is
+    ONE Arrow-batched applyInPandas keyed on cid (FlatMapGroupsInPandas)
+    — never an unblocked pairwise square, never row-at-a-time Python."""
     spark.catalog.clearCache()
     p = plan_str(Q["dedup_semantic_cells"](spark, SF_ORACLE))
     assert "BroadcastNestedLoopJoin" in p  # corpus x broadcast centroids
