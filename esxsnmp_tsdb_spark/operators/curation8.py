@@ -85,25 +85,26 @@ def _emb_with_near_copies(e: DataFrame) -> DataFrame:
     return e.select("vec_id", "embedding").unionAll(mutated)
 
 
-def _assign_cells(e: DataFrame) -> DataFrame:
-    """The ONE coarse-quantizer assignment every cell-blocked op here
-    shares (SemDeDup prune, hard-negative mining, OOD screen): seed a
-    centroid from every {CELL_SEED_MOD}th vector OF THE GIVEN corpus,
-    assign each vector to its argmax-cosine centroid (ties to the
-    smaller cid).  Input must carry (vec_id, embedding, nrm) plus any
-    extra columns to keep; output adds ``cid`` and ``best_cos`` (the
-    winning raw cosine).  Centroids broadcast; norms are hoisted so the
-    k-way scoring pays one dot fold per (row, centroid).  The argmax is
-    a ``max_by`` aggregation, not a row_number window: partial (map-
-    side) aggregation folds the N×K scored rows down to N BEFORE the
-    exchange, so only one row per vector ever shuffles.  Keeping this
-    in one place is what keeps the three consumers on the SAME cell
-    geometry — forked copies could silently diverge."""
-    cent = e.filter(F.col("vec_id") % CELL_SEED_MOD == 0).select(
+def _cell_seeds(e: DataFrame) -> DataFrame:
+    """Coarse centroids seeded from every {CELL_SEED_MOD}th vector of the
+    given corpus — (cid, cv, cnrm), catalog-sized, broadcastable."""
+    return e.filter(F.col("vec_id") % CELL_SEED_MOD == 0).select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("cv"),
         F.col("nrm").alias("cnrm"),
     )
+
+
+def _assign_to(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """Assign every row of ``e`` to its argmax-cosine centroid from
+    ``cent`` (ties to the smaller cid).  Input must carry (vec_id,
+    embedding, nrm) plus any extra columns to keep; output adds ``cid``
+    and ``best_cos`` (the winning raw cosine).  Centroids broadcast;
+    norms are hoisted so the k-way scoring pays one dot fold per
+    (row, centroid).  The argmax is a ``max_by`` aggregation, not a
+    row_number window: partial (map-side) aggregation folds the N×K
+    scored rows down to N BEFORE the exchange, so only one row per
+    vector ever shuffles."""
     scored = e.crossJoin(F.broadcast(cent)).withColumn(
         "c_cos",
         dot(_dbl(F.col("embedding")), _dbl(F.col("cv")))
@@ -116,6 +117,16 @@ def _assign_cells(e: DataFrame) -> DataFrame:
         F.max_by("cid", argmax_key).alias("cid"),
         F.max("c_cos").alias("best_cos"),
     )
+
+
+def _assign_cells(e: DataFrame) -> DataFrame:
+    """The ONE coarse-quantizer assignment every cell-blocked op here
+    shares (SemDeDup prune, hard-negative mining, OOD screen, and the
+    incremental index in dedup2): seeds from the GIVEN corpus, then
+    `_assign_to`.  Keeping this in one place is what keeps every
+    consumer on the SAME cell geometry — forked copies could silently
+    diverge."""
+    return _assign_to(e, _cell_seeds(e))
 
 
 @op(

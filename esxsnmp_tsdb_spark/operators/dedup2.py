@@ -1,0 +1,287 @@
+"""§2.5 dedup, batch 2: INCREMENTAL dedup against ingest-persisted
+indexes — the continuous-ingestion posture the batch dedup family
+promises in its docstrings, made real (mirrors how the ANN family got
+`sim_search_ivf_pq_indexed` / `sim_search_lsh_indexed`).
+
+At 100 TB a corpus is not re-deduped per arriving batch: the standing
+corpus's MinHash signatures (text) and cell-partitioned embeddings
+(semantic) persist at ingest, and an arriving batch is checked AGAINST
+the index at batch-proportional cost — batch shingle/assign pass + one
+equi-join whose corpus side is an index read, never a corpus recompute.
+
+The "arriving batch" is the manufactured near-copy half of the dedup
+fixtures (`dedup.NEAR_CTE` / `curation8.EMB_NEAR_CTE` mutations), so
+every batch row has a true match in the standing corpus and the hit
+tables carry real signal.  Oracles recompute both sides from raw in
+DuckDB — persistence must not change a single pair.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from esxsnmp_tsdb_spark.functions.vector import dot, norm
+from esxsnmp_tsdb_spark.operators._workdirs import op_dir
+from esxsnmp_tsdb_spark.operators.curation8 import (
+    CELL_SEED_MOD,
+    DOT_SQL,
+    SEM_TAU,
+    _assign_to,
+    _cell_seeds,
+    _dbl,
+)
+from esxsnmp_tsdb_spark.operators.dedup import (
+    N_BANDS,
+    _minhash_sigs,
+    _shingled,
+)
+from esxsnmp_tsdb_spark.registry import op
+from esxsnmp_tsdb_spark.sources import register_views
+
+
+def _t(spark: SparkSession, sf_dir: str):
+    return register_views(spark, sf_dir)
+
+
+# --- DuckDB twins, parameterized per side -------------------------------
+
+def _shingle_cte(src: str, out: str, k: int = 3) -> str:
+    """Distinct k-token shingles of CTE ``src`` → CTE ``out``."""
+    return f"""{out} AS (
+  SELECT doc_id, shingle FROM (
+    SELECT DISTINCT doc_id,
+           array_to_string(list_slice(string_split(text, ' '), i, i + {k - 1}), ' ')
+             AS shingle
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(1, len(string_split(text, ' ')) - {k - 1}))
+                   AS i
+          FROM {src})
+  )
+)"""
+
+
+def _sigs_cte(src: str, out: str) -> str:
+    """Per-(doc, band) MinHash signatures of shingle CTE ``src`` → CTE
+    ``out`` — the md5-slice convention of ``dedup._minhash_sigs``."""
+    mins = ", ".join(
+        f"min(CAST('0x' || substr(h, {8 * b + 1}, 8) AS BIGINT)) AS s{b}"
+        for b in range(N_BANDS)
+    )
+    union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, s{b} AS sig FROM {out}0"
+        for b in range(N_BANDS)
+    )
+    return f"""{out}h AS (SELECT doc_id, md5(shingle) AS h FROM {src}),
+{out}0 AS (SELECT doc_id, {mins} FROM {out}h GROUP BY doc_id),
+{out} AS ({union})"""
+
+
+# --- MinHash signature index --------------------------------------------
+
+def build_minhash_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session per corpus) the ingest-persisted MinHash
+    signature index for the STANDING corpus (original documents, no
+    manufactured copies): (doc_id, sig) written PARTITIONED BY band —
+    |docs|×{N_BANDS} bigint rows, the whole shingle+hash corpus pass
+    paid once at ingest.  A band-partitioned layout keeps each probe
+    join reading only the partitions its band keys touch."""
+    root = op_dir(
+        "minhash_index__" + sf_dir.strip("/").replace("/", "_"), fresh=False
+    )
+    marker = os.path.join(root, "_built")
+    sig_dir = os.path.join(root, "sigs")
+    if not os.path.exists(marker):
+        corpus = _t(spark, sf_dir)["documents"].select("doc_id", "text")
+        sigs = _minhash_sigs(spark, sf_dir, sh=_shingled(corpus))
+        sigs.write.mode("overwrite").partitionBy("band").parquet(sig_dir)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return root
+
+
+@op(
+    "dedup_minhash_indexed",
+    oracle=f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+batch AS (
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(
+           list_slice(string_split(text, ' '), 1,
+                      len(string_split(text, ' ')) - 1), ' ') AS text
+  FROM documents
+),
+{_shingle_cte('corpus', 'cor_sh')},
+{_sigs_cte('cor_sh', 'cor_sigs')},
+{_shingle_cte('batch', 'bat_sh')},
+{_sigs_cte('bat_sh', 'bat_sigs')}
+SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS match_id
+FROM bat_sigs b JOIN cor_sigs c ON b.band = c.band AND b.sig = c.sig
+""",
+)
+def dedup_minhash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup hits of an ARRIVING batch against the standing corpus,
+    answered from the ingest-persisted signature index
+    (`build_minhash_index`) — incremental `dedup_near_minhash`.
+
+    Query cost is batch-proportional: one shingle+minhash pass over the
+    batch (the drop-last-token near-copy fixture), then a (band, sig)
+    equi-join whose corpus side is a READ of the persisted index — the
+    corpus text is never re-shingled (plan-asserted: documents.parquet
+    is scanned once, for the batch side only).  At 100 TB the index is
+    |docs|×{N_BANDS} bigint rows next to a corpus-scale shingle pass,
+    and appending the batch's own signatures keeps it current."""
+    root = build_minhash_index(spark, sf_dir)
+    docs = _t(spark, sf_dir)["documents"]
+    toks = F.split(F.col("text"), " ")
+    batch = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)).alias("text"),
+    )
+    bat_sigs = _minhash_sigs(spark, sf_dir, sh=_shingled(batch)).select(
+        F.col("doc_id").alias("new_id"), "band", "sig"
+    )
+    idx = spark.read.parquet(os.path.join(root, "sigs")).select(
+        F.col("doc_id").alias("match_id"), "band", "sig"
+    )
+    return bat_sigs.join(idx, ["band", "sig"]).select("new_id", "match_id").distinct()
+
+
+# --- Semantic cell index ------------------------------------------------
+
+def build_semantic_cell_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session per corpus) the ingest-persisted semantic
+    dedup index for the STANDING corpus (original embeddings): the
+    coarse centroids (catalog-sized, `centroids/`) and every corpus
+    vector with its cell assignment, written PARTITIONED BY cid
+    (`members/`) — the layout `dedup_semantic_cells`' docstring promises
+    at ingest time, shared geometry via `curation8._assign_cells`."""
+    root = op_dir(
+        "semcell_index__" + sf_dir.strip("/").replace("/", "_"), fresh=False
+    )
+    marker = os.path.join(root, "_built")
+    if not os.path.exists(marker):
+        e = _t(spark, sf_dir)["embeddings"].select(
+            "vec_id", "embedding", norm(_dbl(F.col("embedding"))).alias("nrm")
+        )
+        cent = _cell_seeds(e)
+        cent.write.mode("overwrite").parquet(os.path.join(root, "centroids"))
+        _assign_to(e, cent).select(
+            "vec_id", "embedding", "nrm", "cid"
+        ).write.mode("overwrite").partitionBy("cid").parquet(
+            os.path.join(root, "members")
+        )
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return root
+
+
+@op(
+    "dedup_semantic_indexed",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding, len(embedding) AS d FROM embeddings
+),
+c AS (SELECT vec_id AS cid, embedding AS cv, d AS cd FROM e
+      WHERE vec_id % {CELL_SEED_MOD} = 0),
+assigned AS (
+  SELECT vec_id, embedding, d, cid FROM (
+    SELECT e.vec_id, e.embedding, e.d, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {DOT_SQL.format(d='e.d', a='e.embedding', b='c.cv')} /
+                      (sqrt({DOT_SQL.format(d='e.d', a='e.embedding',
+                                            b='e.embedding')}) *
+                       sqrt({DOT_SQL.format(d='c.cd', a='c.cv', b='c.cv')}))
+                      DESC, c.cid) AS rn
+    FROM e CROSS JOIN c
+  ) WHERE rn = 1
+),
+batch AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list_concat(list_slice(embedding, 1, len(embedding) - 1),
+                     [CAST(0.0 AS FLOAT)]) AS embedding,
+         len(embedding) AS d
+  FROM embeddings
+),
+bassigned AS (
+  SELECT vec_id, embedding, d, cid FROM (
+    SELECT b.vec_id, b.embedding, b.d, c.cid,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY {DOT_SQL.format(d='b.d', a='b.embedding', b='c.cv')} /
+                      (sqrt({DOT_SQL.format(d='b.d', a='b.embedding',
+                                            b='b.embedding')}) *
+                       sqrt({DOT_SQL.format(d='c.cd', a='c.cv', b='c.cv')}))
+                      DESC, c.cid) AS rn
+    FROM batch b CROSS JOIN c
+  ) WHERE rn = 1
+)
+SELECT b.vec_id AS new_id, m.vec_id AS dup_of, b.cid AS cid,
+       round({DOT_SQL.format(d='b.d', a='b.embedding', b='m.embedding')} /
+             (sqrt({DOT_SQL.format(d='b.d', a='b.embedding',
+                                   b='b.embedding')}) *
+              sqrt({DOT_SQL.format(d='m.d', a='m.embedding',
+                                   b='m.embedding')})), 6) AS cos
+FROM bassigned b
+JOIN assigned m ON m.cid = b.cid
+WHERE {DOT_SQL.format(d='b.d', a='b.embedding', b='m.embedding')} /
+      (sqrt({DOT_SQL.format(d='b.d', a='b.embedding', b='b.embedding')}) *
+       sqrt({DOT_SQL.format(d='m.d', a='m.embedding', b='m.embedding')}))
+      >= {SEM_TAU}
+""",
+)
+def dedup_semantic_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup hits of an ARRIVING embedding batch against the
+    standing corpus, answered from the ingest-persisted cell index
+    (`build_semantic_cell_index`) — incremental `dedup_semantic_cells`.
+
+    Query cost is batch-proportional: route each batch vector to its
+    cell with ONE broadcast pass over the O(C) persisted centroids
+    (map-side `max_by` argmax), then compare against ONLY that cell's
+    persisted members via a cid equi-join — the corpus-wide pairwise
+    square never materializes, and the corpus assignment pass is never
+    re-run (plan-asserted: embeddings.parquet is scanned once, for the
+    batch side only).  Cosines ride the exact sequential fold, matching
+    the DuckDB oracle digit-for-digit; τ={SEM_TAU} sits far from every
+    natural fixture cosine (≤0.48) and every planted copy (≈0.99), so
+    the threshold is decided with wide margin.  The batch is the
+    zero-last-component near-copy fixture, so every arriving vector has
+    a true match to find."""
+    root = build_semantic_cell_index(spark, sf_dir)
+    e = _t(spark, sf_dir)["embeddings"]
+    batch = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.slice(F.col("embedding"), 1, F.size(F.col("embedding")) - 1),
+            F.array(F.lit(0.0).cast("float")),
+        ).alias("embedding"),
+    ).withColumn("nrm", norm(_dbl(F.col("embedding"))))
+    cent = spark.read.parquet(os.path.join(root, "centroids"))
+    bassigned = _assign_to(batch, cent).select(
+        F.col("vec_id").alias("new_id"),
+        F.col("embedding").alias("bv"),
+        F.col("nrm").alias("bnrm"),
+        "cid",
+    )
+    members = spark.read.parquet(os.path.join(root, "members")).select(
+        F.col("vec_id").alias("dup_of"),
+        F.col("embedding").alias("mv"),
+        F.col("nrm").alias("mnrm"),
+        "cid",
+    )
+    cos = dot(_dbl(F.col("bv")), _dbl(F.col("mv"))) / (
+        F.col("bnrm") * F.col("mnrm")
+    )
+    return (
+        bassigned.join(members, "cid")
+        .filter(cos >= SEM_TAU)
+        .select(
+            "new_id",
+            "dup_of",
+            "cid",
+            F.round(cos, 6).alias("cos"),
+        )
+    )

@@ -171,6 +171,10 @@ _OPERATOR_MODULES = (
     "esxsnmp_tsdb_spark.operators.streaming_ops2",
     "esxsnmp_tsdb_spark.operators.streaming_ops3",
     "esxsnmp_tsdb_spark.operators.rrd_pipeline",
+    # dedup2 stays LAST: its ops are the round's newest additions, and
+    # registration order is the attestation-window tiebreak — new keys
+    # must never displace older unattested debt (VERDICT r4 item 1).
+    "esxsnmp_tsdb_spark.operators.dedup2",
 )
 
 _loaded = False

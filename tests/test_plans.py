@@ -240,6 +240,25 @@ def test_semdedup_plan_shape(spark):
     assert "partial_max_by" in p, "argmax lost its map-side combine"
 
 
+def test_incremental_dedup_reads_index_not_corpus(spark):
+    """The incremental dedup ops' whole point is batch-proportional cost:
+    the corpus side of the probe join must be a read of the persisted
+    index, never a recompute from raw — so the raw table appears exactly
+    once in the plan (the batch side), and the index path appears."""
+    spark.catalog.clearCache()
+    p = plan_str(Q["dedup_minhash_indexed"](spark, SF_ORACLE))
+    assert p.count("documents.parquet") == 1, "corpus re-shingled from raw"
+    assert "minhash_index" in p  # persisted signature scan
+    assert "CartesianProduct" not in p
+
+    spark.catalog.clearCache()
+    p2 = plan_str(Q["dedup_semantic_indexed"](spark, SF_ORACLE))
+    assert p2.count("embeddings.parquet") == 1, "corpus re-assigned from raw"
+    assert "semcell_index" in p2  # persisted centroid + member scans
+    assert "BroadcastNestedLoopJoin" in p2  # batch x broadcast centroids
+    assert "CartesianProduct" not in p2
+
+
 def test_winnowing_join_on_fingerprint_aggregate(spark):
     """Fingerprint selection is a bounded ROWS window; every join keys on
     the fingerprint or doc_id (equi — at sf0.001 AQE broadcasts the small
