@@ -285,3 +285,118 @@ def dedup_semantic_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cos"),
         )
     )
+
+
+# --- Streaming twin: probe AND maintain the signature index -------------
+
+@op(
+    "stream_dedup_indexed",
+    oracle=f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+batch AS (
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(
+           list_slice(string_split(text, ' '), 1,
+                      len(string_split(text, ' ')) - 1), ' ') AS text
+  FROM documents
+),
+{_shingle_cte('corpus', 'cor_sh')},
+{_sigs_cte('cor_sh', 'cor_sigs')},
+{_shingle_cte('batch', 'bat_sh')},
+{_sigs_cte('bat_sh', 'bat_sigs')},
+targets AS (
+  SELECT doc_id, band, sig, -1 AS part FROM cor_sigs
+  UNION ALL
+  SELECT doc_id, band, sig, CAST(doc_id % 3 AS INT) AS part FROM bat_sigs
+)
+SELECT DISTINCT b.doc_id AS new_id, t.doc_id AS match_id
+FROM bat_sigs b
+JOIN targets t ON t.band = b.band AND t.sig = b.sig
+              AND t.part < CAST(b.doc_id % 3 AS INT)
+""",
+)
+def stream_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `dedup_minhash_indexed` that also MAINTAINS the
+    index: each arriving micro-batch is (1) probed against the standing
+    corpus index PLUS every previously appended batch's signatures, and
+    (2) its own signatures are appended, so later batches dedup against
+    earlier ones — the continuous-ingestion loop the batch op's
+    docstring promises ("appending the batch's own signatures keeps it
+    current"), run for real over three staged slices of the near-copy
+    batch (split on doc_id % 3, mtime-pinned for delivery order).
+
+    Replay safety follows the `stream_replay_exactly_once` recipe: both
+    the per-epoch hit table and the per-epoch signature append land in
+    ``.../epoch=<id>`` directories with mode=overwrite, so a re-
+    delivered micro-batch overwrites its own artifacts and changes
+    nothing — probe inputs (corpus index + EARLIER epochs only) are
+    unaffected by a retry of the current epoch.  Batch-twin oracle: the
+    hit set equals the one-shot SQL where a batch row's probe targets
+    are the corpus plus strictly-earlier parts."""
+    import time
+
+    root = build_minhash_index(spark, sf_dir)
+    out = op_dir("stream_dedup_indexed")
+    src = os.path.join(out, "src")
+    hits_dir = os.path.join(out, "hits")
+    appended_dir = os.path.join(out, "appended")
+
+    docs = _t(spark, sf_dir)["documents"]
+    toks = F.split(F.col("text"), " ")
+    batch = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)).alias("text"),
+    )
+    for part in range(3):
+        batch.filter(F.col("doc_id") % 3 == part).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"part={part}"))
+    # delivery order is load-bearing (later batches probe earlier ones'
+    # appended signatures) — pin strictly increasing mtimes
+    base_t = int(time.time())
+    for part in range(3):
+        pdir = os.path.join(src, f"part={part}")
+        for name in os.listdir(pdir):
+            os.utime(os.path.join(pdir, name), (base_t + 60 * part,) * 2)
+
+    corpus_idx = spark.read.parquet(os.path.join(root, "sigs")).select(
+        F.col("doc_id").alias("match_id"), "band", "sig"
+    )
+
+    def probe_and_append(bdf: DataFrame, epoch_id: int) -> None:
+        bsigs = _minhash_sigs(spark, sf_dir, sh=_shingled(bdf)).select(
+            F.col("doc_id").alias("new_id"), "band", "sig"
+        )
+        targets = corpus_idx
+        if os.path.isdir(appended_dir):
+            # strictly-earlier epochs only: a RETRIED epoch must not probe
+            # its own failed attempt's append (self-matches would differ
+            # between first delivery and replay)
+            targets = targets.unionByName(
+                spark.read.parquet(appended_dir)
+                .filter(F.col("epoch") < epoch_id)
+                .select(F.col("doc_id").alias("match_id"), "band", "sig")
+            )
+        hits = (
+            bsigs.join(targets, ["band", "sig"])
+            .select("new_id", "match_id")
+            .distinct()
+        )
+        hits.write.mode("overwrite").parquet(
+            os.path.join(hits_dir, f"epoch={epoch_id}")
+        )
+        bsigs.select(
+            F.col("new_id").alias("doc_id"), "band", "sig"
+        ).write.mode("overwrite").parquet(
+            os.path.join(appended_dir, f"epoch={epoch_id}")
+        )
+
+    from esxsnmp_tsdb_spark.operators.streaming_ops3 import _drive
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/part=*")
+    )
+    _drive(stream, probe_and_append, os.path.join(out, "ckpt"))
+    return spark.read.parquet(hits_dir).select("new_id", "match_id")

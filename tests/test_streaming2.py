@@ -99,3 +99,26 @@ def test_rate_fn_rejects_out_of_order_batch():
     run([a])  # in order: fine
     with pytest.raises(ValueError, match="out-of-order micro-batch"):
         run([a, b])
+
+
+def test_stream_dedup_indexed_supersets_batch_hits(spark):
+    """The streaming probe sees everything the batch op sees (the corpus
+    index) PLUS earlier micro-batches' appended signatures — so its hit
+    set must contain the batch op's corpus hits, and every extra pair
+    must point at a stream doc (id >= 100000), never at the corpus."""
+    from tests.conftest import SF_SMOKE
+
+    from esxsnmp_tsdb_spark import registry
+
+    registry.load_all()
+    QUERIES = registry.QUERIES
+    batch = {
+        (r.new_id, r.match_id)
+        for r in QUERIES["dedup_minhash_indexed"](spark, SF_SMOKE).collect()
+    }
+    stream = {
+        (r.new_id, r.match_id)
+        for r in QUERIES["stream_dedup_indexed"](spark, SF_SMOKE).collect()
+    }
+    assert batch <= stream
+    assert all(m >= 100000 for (_n, m) in stream - batch)
