@@ -60,6 +60,36 @@ _COS_AB = (
     f"sqrt({DOT_SQL.format(d='b.d', a='b.embedding', b='b.embedding')}))"
 )
 
+# argmax-cosine against the centroid CTE `c` (cid, cv, cd) from a row
+# aliased `s` (vec_id, embedding, d) — the DuckDB twin of `_assign_to`'s
+# scoring expression, shared by every assignment CTE below.
+_CENT_COS_S = (
+    f"{DOT_SQL.format(d='s.d', a='s.embedding', b='c.cv')} / "
+    f"(sqrt({DOT_SQL.format(d='s.d', a='s.embedding', b='s.embedding')}) * "
+    f"sqrt({DOT_SQL.format(d='c.cd', a='c.cv', b='c.cv')}))"
+)
+
+
+def assign_cte(src: str, out: str, extra: tuple[str, ...] = ()) -> str:
+    """DuckDB twin of ``_assign_to(<src>, c)`` as CTE ``out``: every row
+    of CTE ``src`` (vec_id, embedding, d, *extra) gets the cid of its
+    argmax-cosine centroid from CTE ``c`` (cid, cv, cd), ties to the
+    smaller cid.  Single-sourced for the same reason `_assign_to` is:
+    forked copies of the cell geometry could silently diverge."""
+    outer = ", ".join(["vec_id", *extra, "embedding", "d", "cid"])
+    inner = ", ".join(
+        ["s.vec_id", *(f"s.{c}" for c in extra), "s.embedding", "s.d", "c.cid"]
+    )
+    return f"""{out} AS (
+  SELECT {outer} FROM (
+    SELECT {inner},
+           row_number() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY {_CENT_COS_S} DESC, c.cid) AS rn
+    FROM {src} s CROSS JOIN c
+  ) WHERE rn = 1
+)"""
+
 # Near-dup embedding corpus: original ∪ zero-the-last-component mutation
 # (cosine ≈ 0.99 to its source) — the fixture's natural pairs top out
 # near cosine 0.48, so the planted copies are what gives the prune real
@@ -136,19 +166,7 @@ WITH {EMB_NEAR_CTE},
 e AS (SELECT vec_id, embedding, len(embedding) AS d FROM emb2),
 c AS (SELECT vec_id AS cid, embedding AS cv, d AS cd FROM e
       WHERE vec_id % {CELL_SEED_MOD} = 0),
-assigned AS (
-  SELECT vec_id, embedding, d, cid FROM (
-    SELECT e.vec_id, e.embedding, e.d, c.cid,
-           row_number() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY {DOT_SQL.format(d='e.d', a='e.embedding', b='c.cv')} /
-                      (sqrt({DOT_SQL.format(d='e.d', a='e.embedding',
-                                            b='e.embedding')}) *
-                       sqrt({DOT_SQL.format(d='c.cd', a='c.cv', b='c.cv')}))
-                      DESC, c.cid) AS rn
-    FROM e CROSS JOIN c
-  ) WHERE rn = 1
-),
+{assign_cte('e', 'assigned')},
 victims AS (
   SELECT DISTINCT a.cid, b.vec_id AS victim
   FROM assigned a JOIN assigned b
@@ -590,19 +608,7 @@ WITH e AS (SELECT vec_id, label, embedding, len(embedding) AS d
            FROM embeddings),
 c AS (SELECT vec_id AS cid, embedding AS cv, d AS cd FROM e
       WHERE vec_id % {CELL_SEED_MOD} = 0),
-assigned AS (
-  SELECT vec_id, label, embedding, d, cid FROM (
-    SELECT e.vec_id, e.label, e.embedding, e.d, c.cid,
-           row_number() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY {DOT_SQL.format(d='e.d', a='e.embedding', b='c.cv')} /
-                      (sqrt({DOT_SQL.format(d='e.d', a='e.embedding',
-                                            b='e.embedding')}) *
-                       sqrt({DOT_SQL.format(d='c.cd', a='c.cv', b='c.cv')}))
-                      DESC, c.cid) AS rn
-    FROM e CROSS JOIN c
-  ) WHERE rn = 1
-),
+{assign_cte('e', 'assigned', extra=('label',))},
 cand AS (
   SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
          round({_COS_AB}, 6) AS cos

@@ -71,13 +71,21 @@ def _docs_with_exact_copies(docs: DataFrame) -> DataFrame:
     )
 
 
-def _docs_with_near_copies(docs: DataFrame) -> DataFrame:
+def _near_batch(docs: DataFrame) -> DataFrame:
+    """The manufactured "arriving batch": drop-last-token near copies
+    (doc_id + 100000) of the given documents — the mutated half of
+    `_docs_with_near_copies`, single-sourced so the batch dedup ops,
+    the incremental index probes (dedup2), and their oracles all mutate
+    the same fixture."""
     toks = F.split(F.col("text"), " ")
-    mutated = docs.select(
+    return docs.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)).alias("text"),
     )
-    return docs.select("doc_id", "text").unionAll(mutated)
+
+
+def _docs_with_near_copies(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", "text").unionAll(_near_batch(docs))
 
 
 def _shingled(docs2: DataFrame, k: int = SHINGLE_K) -> DataFrame:

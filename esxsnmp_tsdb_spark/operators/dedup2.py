@@ -32,10 +32,13 @@ from esxsnmp_tsdb_spark.operators.curation8 import (
     _assign_to,
     _cell_seeds,
     _dbl,
+    assign_cte,
 )
 from esxsnmp_tsdb_spark.operators.dedup import (
     N_BANDS,
+    SHINGLE_K,
     _minhash_sigs,
+    _near_batch,
     _shingled,
 )
 from esxsnmp_tsdb_spark.registry import op
@@ -48,7 +51,7 @@ def _t(spark: SparkSession, sf_dir: str):
 
 # --- DuckDB twins, parameterized per side -------------------------------
 
-def _shingle_cte(src: str, out: str, k: int = 3) -> str:
+def _shingle_cte(src: str, out: str, k: int = SHINGLE_K) -> str:
     """Distinct k-token shingles of CTE ``src`` → CTE ``out``."""
     return f"""{out} AS (
   SELECT doc_id, shingle FROM (
@@ -134,12 +137,7 @@ def dedup_minhash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     |docs|×{N_BANDS} bigint rows next to a corpus-scale shingle pass,
     and appending the batch's own signatures keeps it current."""
     root = build_minhash_index(spark, sf_dir)
-    docs = _t(spark, sf_dir)["documents"]
-    toks = F.split(F.col("text"), " ")
-    batch = docs.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)).alias("text"),
-    )
+    batch = _near_batch(_t(spark, sf_dir)["documents"])
     bat_sigs = _minhash_sigs(spark, sf_dir, sh=_shingled(batch)).select(
         F.col("doc_id").alias("new_id"), "band", "sig"
     )
@@ -166,8 +164,13 @@ def build_semantic_cell_index(spark: SparkSession, sf_dir: str) -> str:
         e = _t(spark, sf_dir)["embeddings"].select(
             "vec_id", "embedding", norm(_dbl(F.col("embedding"))).alias("nrm")
         )
-        cent = _cell_seeds(e)
-        cent.write.mode("overwrite").parquet(os.path.join(root, "centroids"))
+        _cell_seeds(e).write.mode("overwrite").parquet(
+            os.path.join(root, "centroids")
+        )
+        # assign against the just-written centroids so the members job
+        # broadcasts a parquet read instead of re-deriving the seed
+        # lineage (a second corpus scan)
+        cent = spark.read.parquet(os.path.join(root, "centroids"))
         _assign_to(e, cent).select(
             "vec_id", "embedding", "nrm", "cid"
         ).write.mode("overwrite").partitionBy("cid").parquet(
@@ -186,19 +189,7 @@ WITH e AS (
 ),
 c AS (SELECT vec_id AS cid, embedding AS cv, d AS cd FROM e
       WHERE vec_id % {CELL_SEED_MOD} = 0),
-assigned AS (
-  SELECT vec_id, embedding, d, cid FROM (
-    SELECT e.vec_id, e.embedding, e.d, c.cid,
-           row_number() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY {DOT_SQL.format(d='e.d', a='e.embedding', b='c.cv')} /
-                      (sqrt({DOT_SQL.format(d='e.d', a='e.embedding',
-                                            b='e.embedding')}) *
-                       sqrt({DOT_SQL.format(d='c.cd', a='c.cv', b='c.cv')}))
-                      DESC, c.cid) AS rn
-    FROM e CROSS JOIN c
-  ) WHERE rn = 1
-),
+{assign_cte('e', 'assigned')},
 batch AS (
   SELECT vec_id + 100000 AS vec_id,
          list_concat(list_slice(embedding, 1, len(embedding) - 1),
@@ -206,19 +197,7 @@ batch AS (
          len(embedding) AS d
   FROM embeddings
 ),
-bassigned AS (
-  SELECT vec_id, embedding, d, cid FROM (
-    SELECT b.vec_id, b.embedding, b.d, c.cid,
-           row_number() OVER (
-             PARTITION BY b.vec_id
-             ORDER BY {DOT_SQL.format(d='b.d', a='b.embedding', b='c.cv')} /
-                      (sqrt({DOT_SQL.format(d='b.d', a='b.embedding',
-                                            b='b.embedding')}) *
-                       sqrt({DOT_SQL.format(d='c.cd', a='c.cv', b='c.cv')}))
-                      DESC, c.cid) AS rn
-    FROM batch b CROSS JOIN c
-  ) WHERE rn = 1
-)
+{assign_cte('batch', 'bassigned')}
 SELECT b.vec_id AS new_id, m.vec_id AS dup_of, b.cid AS cid,
        round({DOT_SQL.format(d='b.d', a='b.embedding', b='m.embedding')} /
              (sqrt({DOT_SQL.format(d='b.d', a='b.embedding',
@@ -333,7 +312,10 @@ def stream_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     unaffected by a retry of the current epoch.  Batch-twin oracle: the
     hit set equals the one-shot SQL where a batch row's probe targets
     are the corpus plus strictly-earlier parts."""
-    import time
+    from esxsnmp_tsdb_spark.operators.streaming_ops3 import (
+        _drive,
+        _stage_ordered_slices,
+    )
 
     root = build_minhash_index(spark, sf_dir)
     out = op_dir("stream_dedup_indexed")
@@ -341,31 +323,24 @@ def stream_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits_dir = os.path.join(out, "hits")
     appended_dir = os.path.join(out, "appended")
 
-    docs = _t(spark, sf_dir)["documents"]
-    toks = F.split(F.col("text"), " ")
-    batch = docs.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)).alias("text"),
-    )
-    for part in range(3):
-        batch.filter(F.col("doc_id") % 3 == part).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(src, f"part={part}"))
+    batch = _near_batch(_t(spark, sf_dir)["documents"])
     # delivery order is load-bearing (later batches probe earlier ones'
-    # appended signatures) — pin strictly increasing mtimes
-    base_t = int(time.time())
-    for part in range(3):
-        pdir = os.path.join(src, f"part={part}")
-        for name in os.listdir(pdir):
-            os.utime(os.path.join(pdir, name), (base_t + 60 * part,) * 2)
+    # appended signatures) — the shared stager pins increasing mtimes
+    _stage_ordered_slices(
+        [batch.filter(F.col("doc_id") % 3 == part) for part in range(3)], src
+    )
 
     corpus_idx = spark.read.parquet(os.path.join(root, "sigs")).select(
         F.col("doc_id").alias("match_id"), "band", "sig"
     )
 
     def probe_and_append(bdf: DataFrame, epoch_id: int) -> None:
-        bsigs = _minhash_sigs(spark, sf_dir, sh=_shingled(bdf)).select(
-            F.col("doc_id").alias("new_id"), "band", "sig"
+        # two consumers (hits write + index append) — checkpoint so the
+        # shingle+md5+min pass runs once per micro-batch
+        bsigs = (
+            _minhash_sigs(spark, sf_dir, sh=_shingled(bdf))
+            .select(F.col("doc_id").alias("new_id"), "band", "sig")
+            .localCheckpoint()
         )
         targets = corpus_idx
         if os.path.isdir(appended_dir):
@@ -390,8 +365,6 @@ def stream_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.mode("overwrite").parquet(
             os.path.join(appended_dir, f"epoch={epoch_id}")
         )
-
-    from esxsnmp_tsdb_spark.operators.streaming_ops3 import _drive
 
     stream = (
         spark.readStream.schema("doc_id long, text string")

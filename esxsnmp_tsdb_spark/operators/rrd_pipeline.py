@@ -295,27 +295,23 @@ def stream_ladder_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream consume them in sequence).
     from esxsnmp_tsdb_spark.operators._shared import T_JAN10, T_JAN20
 
+    from esxsnmp_tsdb_spark.operators.streaming_ops3 import (
+        _stage_ordered_slices,
+    )
+
     cuts = [(None, T_JAN10), (T_JAN10, T_JAN20), (T_JAN20, None)]
-    for i, (lo, hi) in enumerate(cuts):
+    slices = []
+    for lo, hi in cuts:
         part = obs
         if lo is not None:
             part = part.filter(F.col("tse") >= lo)
         if hi is not None:
             part = part.filter(F.col("tse") < hi)
-        part.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(src, f"part={i}")
-        )
-    # FileStreamSource delivers in mod-time order; sequential writes make
-    # that non-decreasing, but a coarse-timestamp filesystem could tie two
-    # slices and flip them.  The carry pairs each slice's first row with
-    # the previous slice's last, so pin strictly increasing mtimes.
-    import time
-
-    base_t = int(time.time())
-    for i in range(3):
-        pdir = os.path.join(src, f"part={i}")
-        for name in os.listdir(pdir):
-            os.utime(os.path.join(pdir, name), (base_t + 60 * i,) * 2)
+        slices.append(part)
+    # delivery order is load-bearing (the carry pairs each slice's first
+    # row with the previous slice's last) — the shared stager pins
+    # strictly increasing mtimes
+    _stage_ordered_slices(slices, src)
 
     from pyspark.sql import Window
 

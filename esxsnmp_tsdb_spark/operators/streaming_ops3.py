@@ -104,6 +104,28 @@ def _stage_three_parts(base: DataFrame, src: str) -> None:
         )
 
 
+def _stage_ordered_slices(slices, src: str) -> None:
+    """Stage each slice DataFrame as ``src/part=<i>`` with STRICTLY
+    INCREASING mtimes.  FileStreamSource delivers files in mod-time
+    order; sequential writes make that non-decreasing, but a coarse-
+    timestamp filesystem could tie two slices and flip them — fatal
+    whenever later micro-batches depend on earlier ones' outputs (carry
+    state in the RRD pipeline twin, appended index epochs in
+    stream_dedup_indexed).  Pinning the mtimes makes epoch i ≡ slice i
+    deterministic; order-insensitive stagings keep `_stage_three_parts`."""
+    import time
+
+    for i, df in enumerate(slices):
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"part={i}")
+        )
+    base_t = int(time.time())
+    for i in range(len(slices)):
+        pdir = os.path.join(src, f"part={i}")
+        for name in os.listdir(pdir):
+            os.utime(os.path.join(pdir, name), (base_t + 60 * i,) * 2)
+
+
 def _drive(stream: DataFrame, fn, ckpt: str) -> None:
     """Run a foreachBatch query over ``stream`` to completion.
 
