@@ -109,6 +109,12 @@ _PRIORITY_BACKLOG = frozenset(
         'stream_session', 'stream_sliding', 'stream_stateful_rate',
         'stream_static_join', 'stream_stream_join', 'stream_topk_talkers',
         'stream_tumbling', 'stream_watermark_late',
+        # r4-era remainder of the §2.6 streaming contract family, promoted so
+        # ALL twenty §2.6 ops land in the round-5 attestation window together
+        # (VERDICT r4 item 2) instead of splitting across two rounds.
+        'stream_cdc_apply_bucketed', 'stream_distinct_hll',
+        'stream_histogram_ladder', 'stream_ladder_retention',
+        'stream_replay_exactly_once', 'stream_utilization_alert',
     }
 )
 
