@@ -94,25 +94,37 @@ def assign_cte(src: str, out: str, extra: tuple[str, ...] = ()) -> str:
 # (cosine ≈ 0.99 to its source) — the fixture's natural pairs top out
 # near cosine 0.48, so the planted copies are what gives the prune real
 # signal, exactly as `dedup.NEAR_CTE` does for the text dedup family.
-EMB_NEAR_CTE = """emb2 AS (
-  SELECT vec_id, embedding FROM embeddings
-  UNION ALL
-  SELECT vec_id + 100000 AS vec_id,
+# The zero-last-component mutated arm (vec_id + 100000) — SQL twin of
+# `_emb_near_batch`, single-sourced so every oracle that manufactures an
+# "arriving batch" of embeddings (here and in dedup2) mutates the same
+# fixture.
+EMB_NEAR_BATCH_SQL = """SELECT vec_id + 100000 AS vec_id,
          list_concat(list_slice(embedding, 1, len(embedding) - 1),
                      [CAST(0.0 AS FLOAT)]) AS embedding
-  FROM embeddings
+  FROM embeddings"""
+
+EMB_NEAR_CTE = f"""emb2 AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  {EMB_NEAR_BATCH_SQL}
 )"""
 
 
-def _emb_with_near_copies(e: DataFrame) -> DataFrame:
-    mutated = e.select(
+def _emb_near_batch(e: DataFrame) -> DataFrame:
+    """The manufactured "arriving batch": zero-last-component near copies
+    (vec_id + 100000, cosine ≈ 0.99 to their source) of the given
+    embeddings — the mutated half of `_emb_with_near_copies`."""
+    return e.select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.concat(
             F.slice(F.col("embedding"), 1, F.size(F.col("embedding")) - 1),
             F.array(F.lit(0.0).cast("float")),
         ).alias("embedding"),
     )
-    return e.select("vec_id", "embedding").unionAll(mutated)
+
+
+def _emb_with_near_copies(e: DataFrame) -> DataFrame:
+    return e.select("vec_id", "embedding").unionAll(_emb_near_batch(e))
 
 
 def _cell_seeds(e: DataFrame) -> DataFrame:
@@ -222,7 +234,11 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values("vec_id")
         n = len(pdf)
         vn = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        vn /= pdf["nrm"].to_numpy(dtype=np.float64)[:, None]
+        # Zero-norm guard: both engines turn 0/0 into NULL (never ≥ τ,
+        # so never dropped); dividing by 1 gives a zero Gram row — the
+        # same not-dropped outcome — without NaN warnings.
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        vn /= np.where(nrm == 0.0, 1.0, nrm)[:, None]
         gram = vn @ vn.T
         iu, ju = np.triu_indices(n, 1)  # (i, j) with vec_id_i < vec_id_j
         victim = np.zeros(n, dtype=bool)

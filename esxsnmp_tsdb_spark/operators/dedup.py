@@ -53,15 +53,20 @@ DUP_CTE = """docs2 AS (
   SELECT doc_id + 100000 AS doc_id, text FROM documents        -- exact copies
 )"""
 
-# near-dup corpus: original ∪ drop-last-token mutation
-NEAR_CTE = """docs2 AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 100000 AS doc_id,
+# The drop-last-token mutated arm (doc_id + 100000) — SQL twin of
+# `_near_batch`, single-sourced so every oracle that manufactures the
+# "arriving batch" (here and in dedup2) mutates the same fixture.
+NEAR_BATCH_SQL = """SELECT doc_id + 100000 AS doc_id,
          array_to_string(
            list_slice(string_split(text, ' '), 1,
                       len(string_split(text, ' ')) - 1), ' ') AS text
-  FROM documents
+  FROM documents"""
+
+# near-dup corpus: original ∪ drop-last-token mutation
+NEAR_CTE = f"""docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  {NEAR_BATCH_SQL}
 )"""
 
 
@@ -113,9 +118,10 @@ def _shingled(docs2: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     )
 
 
-def shingle_sql(k: int) -> str:
-    """DuckDB twin of ``_shingled(..., k)``."""
-    return f"""shingled AS (
+def shingle_sql(k: int, src: str = "docs2", out: str = "shingled") -> str:
+    """DuckDB twin of ``_shingled(..., k)``: distinct k-token shingles of
+    CTE ``src`` → CTE ``out``."""
+    return f"""{out} AS (
   SELECT doc_id, shingle FROM (
     SELECT DISTINCT doc_id,
            array_to_string(list_slice(string_split(text, ' '), i, i + {k - 1}), ' ')
@@ -123,7 +129,7 @@ def shingle_sql(k: int) -> str:
     FROM (SELECT doc_id, text,
                  unnest(generate_series(1, len(string_split(text, ' ')) - {k - 1}))
                    AS i
-          FROM docs2)
+          FROM {src})
   )
 )"""
 
@@ -156,18 +162,30 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sigs_sql(src: str, out: str) -> str:
+    """DuckDB twin of ``_minhash_sigs``: per-(doc, band) MinHash
+    signatures of shingle CTE ``src`` → CTE ``out``.  THE banding
+    convention (one md5 per shingle sliced into {N_BANDS} disjoint
+    32-bit windows) lives here and in `_minhash_sigs` only — dedup2's
+    index oracles build both their corpus and batch sides from this
+    exact template, so a convention change cannot half-apply."""
+    mins = ", ".join(
+        f"min(CAST('0x' || substr(h, {8 * b + 1}, 8) AS BIGINT)) AS s{b}"
+        for b in range(N_BANDS)
+    )
+    union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, s{b} AS sig FROM {out}0"
+        for b in range(N_BANDS)
+    )
+    return f"""{out}h AS (SELECT doc_id, md5(shingle) AS h FROM {src}),
+{out}0 AS (SELECT doc_id, {mins} FROM {out}h GROUP BY doc_id),
+{out} AS ({union})"""
+
+
 # MinHash candidate pairs (doc_a < doc_b), as a reusable SQL CTE chain and
 # the Spark twin below — used by dedup_near_minhash and the clustering op.
 MINHASH_PAIRS_SQL = f"""{NEAR_CTE}, {SHINGLE_SQL},
-hashed AS (SELECT doc_id, md5(shingle) AS h FROM shingled),
-sigs0 AS (
-  SELECT doc_id,
-         {", ".join(f"min(CAST('0x' || substr(h, {8 * b + 1}, 8) AS BIGINT)) AS s{b}" for b in range(N_BANDS))}
-  FROM hashed GROUP BY doc_id
-),
-sigs AS (
-  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, s{b} AS sig FROM sigs0" for b in range(N_BANDS))}
-),
+{sigs_sql('shingled', 'sigs')},
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig

@@ -28,18 +28,23 @@ from esxsnmp_tsdb_spark.operators._workdirs import op_dir
 from esxsnmp_tsdb_spark.operators.curation8 import (
     CELL_SEED_MOD,
     DOT_SQL,
+    EMB_NEAR_BATCH_SQL,
     SEM_TAU,
     _assign_to,
     _cell_seeds,
     _dbl,
+    _emb_near_batch,
     assign_cte,
 )
 from esxsnmp_tsdb_spark.operators.dedup import (
     N_BANDS,
+    NEAR_BATCH_SQL,
     SHINGLE_K,
     _minhash_sigs,
     _near_batch,
     _shingled,
+    shingle_sql,
+    sigs_sql,
 )
 from esxsnmp_tsdb_spark.registry import op
 from esxsnmp_tsdb_spark.sources import register_views
@@ -49,37 +54,12 @@ def _t(spark: SparkSession, sf_dir: str):
     return register_views(spark, sf_dir)
 
 
-# --- DuckDB twins, parameterized per side -------------------------------
-
-def _shingle_cte(src: str, out: str, k: int = SHINGLE_K) -> str:
-    """Distinct k-token shingles of CTE ``src`` → CTE ``out``."""
-    return f"""{out} AS (
-  SELECT doc_id, shingle FROM (
-    SELECT DISTINCT doc_id,
-           array_to_string(list_slice(string_split(text, ' '), i, i + {k - 1}), ' ')
-             AS shingle
-    FROM (SELECT doc_id, text,
-                 unnest(generate_series(1, len(string_split(text, ' ')) - {k - 1}))
-                   AS i
-          FROM {src})
-  )
+# The manufactured "arriving batch", as a reusable CTE — the SAME
+# drop-last-token mutation as `dedup.NEAR_CTE`'s second arm (SQL twin of
+# `dedup._near_batch`, single-sourced there).
+BATCH_CTE = f"""batch AS (
+  {NEAR_BATCH_SQL}
 )"""
-
-
-def _sigs_cte(src: str, out: str) -> str:
-    """Per-(doc, band) MinHash signatures of shingle CTE ``src`` → CTE
-    ``out`` — the md5-slice convention of ``dedup._minhash_sigs``."""
-    mins = ", ".join(
-        f"min(CAST('0x' || substr(h, {8 * b + 1}, 8) AS BIGINT)) AS s{b}"
-        for b in range(N_BANDS)
-    )
-    union = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, s{b} AS sig FROM {out}0"
-        for b in range(N_BANDS)
-    )
-    return f"""{out}h AS (SELECT doc_id, md5(shingle) AS h FROM {src}),
-{out}0 AS (SELECT doc_id, {mins} FROM {out}h GROUP BY doc_id),
-{out} AS ({union})"""
 
 
 # --- MinHash signature index --------------------------------------------
@@ -109,17 +89,11 @@ def build_minhash_index(spark: SparkSession, sf_dir: str) -> str:
     "dedup_minhash_indexed",
     oracle=f"""
 WITH corpus AS (SELECT doc_id, text FROM documents),
-batch AS (
-  SELECT doc_id + 100000 AS doc_id,
-         array_to_string(
-           list_slice(string_split(text, ' '), 1,
-                      len(string_split(text, ' ')) - 1), ' ') AS text
-  FROM documents
-),
-{_shingle_cte('corpus', 'cor_sh')},
-{_sigs_cte('cor_sh', 'cor_sigs')},
-{_shingle_cte('batch', 'bat_sh')},
-{_sigs_cte('bat_sh', 'bat_sigs')}
+{BATCH_CTE},
+{shingle_sql(SHINGLE_K, 'corpus', 'cor_sh')},
+{sigs_sql('cor_sh', 'cor_sigs')},
+{shingle_sql(SHINGLE_K, 'batch', 'bat_sh')},
+{sigs_sql('bat_sh', 'bat_sigs')}
 SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS match_id
 FROM bat_sigs b JOIN cor_sigs c ON b.band = c.band AND b.sig = c.sig
 """,
@@ -191,11 +165,8 @@ c AS (SELECT vec_id AS cid, embedding AS cv, d AS cd FROM e
       WHERE vec_id % {CELL_SEED_MOD} = 0),
 {assign_cte('e', 'assigned')},
 batch AS (
-  SELECT vec_id + 100000 AS vec_id,
-         list_concat(list_slice(embedding, 1, len(embedding) - 1),
-                     [CAST(0.0 AS FLOAT)]) AS embedding,
-         len(embedding) AS d
-  FROM embeddings
+  SELECT vec_id, embedding, len(embedding) AS d
+  FROM ({EMB_NEAR_BATCH_SQL})
 ),
 {assign_cte('batch', 'bassigned')}
 SELECT b.vec_id AS new_id, m.vec_id AS dup_of, b.cid AS cid,
@@ -231,13 +202,7 @@ def dedup_semantic_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     a true match to find."""
     root = build_semantic_cell_index(spark, sf_dir)
     e = _t(spark, sf_dir)["embeddings"]
-    batch = e.select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.concat(
-            F.slice(F.col("embedding"), 1, F.size(F.col("embedding")) - 1),
-            F.array(F.lit(0.0).cast("float")),
-        ).alias("embedding"),
-    ).withColumn("nrm", norm(_dbl(F.col("embedding"))))
+    batch = _emb_near_batch(e).withColumn("nrm", norm(_dbl(F.col("embedding"))))
     cent = spark.read.parquet(os.path.join(root, "centroids"))
     bassigned = _assign_to(batch, cent).select(
         F.col("vec_id").alias("new_id"),
@@ -272,17 +237,11 @@ def dedup_semantic_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_dedup_indexed",
     oracle=f"""
 WITH corpus AS (SELECT doc_id, text FROM documents),
-batch AS (
-  SELECT doc_id + 100000 AS doc_id,
-         array_to_string(
-           list_slice(string_split(text, ' '), 1,
-                      len(string_split(text, ' ')) - 1), ' ') AS text
-  FROM documents
-),
-{_shingle_cte('corpus', 'cor_sh')},
-{_sigs_cte('cor_sh', 'cor_sigs')},
-{_shingle_cte('batch', 'bat_sh')},
-{_sigs_cte('bat_sh', 'bat_sigs')},
+{BATCH_CTE},
+{shingle_sql(SHINGLE_K, 'corpus', 'cor_sh')},
+{sigs_sql('cor_sh', 'cor_sigs')},
+{shingle_sql(SHINGLE_K, 'batch', 'bat_sh')},
+{sigs_sql('bat_sh', 'bat_sigs')},
 targets AS (
   SELECT doc_id, band, sig, -1 AS part FROM cor_sigs
   UNION ALL
