@@ -44,6 +44,15 @@ METADATA_FILE = "TSDB_METADATA"
 _ROW_SCHEMA = "tse long, flags int, value double, ingest_seq long"
 
 
+def _slot(tse: int, step: int) -> int:
+    """Driver-side twin of ``slot_of``: Spark's ``%`` is truncation-mod
+    (sign follows the dividend), Python's is floor-mod — they differ for
+    negative timestamps, and a façade slot must land exactly where the
+    engine's ``slot_of`` puts the stored row."""
+    rem = tse % step if tse >= 0 else -((-tse) % step)
+    return tse - rem
+
+
 def _read_metadata(path: str) -> dict[str, str]:
     meta: dict[str, str] = {}
     with open(os.path.join(path, METADATA_FILE)) as f:
@@ -89,6 +98,8 @@ class TSDBSet(_Node):
         os.makedirs(fs, exist_ok=True)
         if not os.path.isfile(os.path.join(fs, METADATA_FILE)):
             _write_metadata(fs, {"NODE": "set"})
+        elif _read_metadata(fs).get("NODE") != "set":
+            raise KeyError(f"{name!r} already exists and is a var, not a set")
         return TSDBSet(self.spark, fs, f"{self.path}/{name}".lstrip("/"))
 
     def add_var(
@@ -112,6 +123,11 @@ class TSDBSet(_Node):
                     "VERSION": "1",
                 },
             )
+        elif _read_metadata(fs).get("NODE") != "var":
+            # get-or-create returns the EXISTING var (step/heartbeat args
+            # are then ignored, † TSDBSet.add_var), but a kind mismatch is
+            # always a caller bug — fail here, not on a later .step access
+            raise KeyError(f"{name!r} already exists and is a set, not a var")
         return TSDBVar(self.spark, fs, f"{self.path}/{name}".lstrip("/"))
 
     def _walk(self, kind: str) -> list[str]:
@@ -201,6 +217,10 @@ class TSDBVar(_Node):
         ]
         if not norm:
             return
+        # Re-read LAST_SEQ from disk: two coexisting handles to the same
+        # var must not mint duplicate ingest_seq values (the LWW tiebreak
+        # depends on every batch getting a strictly later counter).
+        self.metadata = _read_metadata(self.fs_path)
         seq0 = int(self.metadata["LAST_SEQ"])
         df = self.spark.createDataFrame(
             [(t, fl, v, seq0 + 1 + i) for i, (t, v, fl) in enumerate(norm)],
@@ -235,20 +255,37 @@ class TSDBVar(_Node):
     def select(
         self, begin: int, end: int, flags: int | None = None
     ) -> DataFrame:
-        """Rows with ``begin <= tse < end`` († TSDBVar.select): one row per
-        slot, never-written slots materialized as invalid rows (flags=0,
+        """One row per slot overlapping ``[begin, end)`` († TSDBVar.select
+        is slot-addressed): each covered slot yields its last-write-wins
+        row, never-written slots materialize as invalid rows (flags=0,
         value NULL †) unless a ``flags`` mask filters them out."""
         step = self.step
-        lo, hi = begin - begin % step, (end - 1) - (end - 1) % step
-        if hi < lo:  # empty range: no slot starts inside [begin, end)
+        if end <= begin:  # empty or inverted window
             return self.spark.createDataFrame(
                 [], "tse long, flags int, value double, slot long"
             )
+        lo, hi = _slot(begin, step), _slot(end - 1, step)
+        # Slot-complete filtering: last-write-wins must see EVERY row of
+        # a covered slot — clipping at `end` would resurrect an
+        # overwritten value (or blank an occupied slot) whenever the
+        # window ends mid-slot and the slot's winning row sits past it.
+        # The exact membership test is on the slot value (under
+        # truncation-mod, slot 0 spans (-step, step), so tse bounds alone
+        # cannot delimit it); the surrounding tse range is a conservative
+        # superset that still pushes down to the parquet scan.
         present = self._lww(
-            self._rows().filter((F.col("tse") >= lo) & (F.col("tse") < end))
-        )
+            self._rows().filter(
+                (F.col("tse") > lo - step) & (F.col("tse") < hi + step)
+            )
+        ).filter((F.col("slot") >= lo) & (F.col("slot") <= hi))
         spine = self.spark.range(1).select(
-            F.explode(F.sequence(F.lit(lo), F.lit(hi), F.lit(step))).alias("slot")
+            F.explode(
+                F.sequence(
+                    F.lit(lo).cast("long"),
+                    F.lit(hi).cast("long"),
+                    F.lit(step).cast("long"),
+                )
+            ).alias("slot")
         )
         out = (
             spine.join(present, "slot", "left")
@@ -265,7 +302,7 @@ class TSDBVar(_Node):
 
     def get(self, tse: int):
         """The row in the slot containing ``tse`` († TSDBVar.get)."""
-        slot = tse - tse % self.step
+        slot = _slot(tse, self.step)
         return self.select(slot, slot + self.step).collect()[0]
 
     def get_last(self):

@@ -280,9 +280,12 @@ def stream_ladder_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
+    from esxsnmp_tsdb_spark.operators._shared import T_JAN10, T_JAN20
     from esxsnmp_tsdb_spark.operators._workdirs import op_dir
-    from esxsnmp_tsdb_spark.operators.streaming_ops3 import _drive
-    from esxsnmp_tsdb_spark.sources import register_views
+    from esxsnmp_tsdb_spark.operators.streaming_ops3 import (
+        _drive,
+        _stage_ordered_slices,
+    )
 
     out = op_dir("ladder_full_stream")
     src = os.path.join(out, "src")
@@ -293,12 +296,6 @@ def stream_ladder_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stage the source as three consecutive time slices (poller delivery
     # order; file mod-time + path order make the 1-file-per-trigger
     # stream consume them in sequence).
-    from esxsnmp_tsdb_spark.operators._shared import T_JAN10, T_JAN20
-
-    from esxsnmp_tsdb_spark.operators.streaming_ops3 import (
-        _stage_ordered_slices,
-    )
-
     cuts = [(None, T_JAN10), (T_JAN10, T_JAN20), (T_JAN20, None)]
     slices = []
     for lo, hi in cuts:
@@ -329,6 +326,9 @@ def stream_ladder_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("tse", "event_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        # Two consumers (fine-partial write + state write) — checkpoint
+        # so the running-sum window and carry join run once per epoch,
+        # not once per write action (the stream_dedup_indexed recipe).
         b = (
             batch.withColumn(
                 "inc", F.floor(F.col("value") * 100).cast("bigint")
@@ -339,6 +339,7 @@ def stream_ladder_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "counter", F.coalesce("p_counter", F.lit(0)) + F.col("csum")
             )
             .withColumn("cw", F.col("counter") % SYNTH_WRAP)
+            .localCheckpoint()
         )
         # Stage 2, incremental: in-batch lag, with the carry sample as
         # the predecessor of each series' first batch row.

@@ -87,6 +87,55 @@ def test_select_empty_range_yields_no_rows(spark, db):
     assert [r.slot for r in var.select(900, 901).collect()] == [900]
 
 
+def test_select_mid_slot_window_sees_slot_winner(spark, db):
+    # the window ends mid-slot, past the stale row but before the LWW
+    # winner: select must still resolve the slot from ALL its rows —
+    # clipping at `end` would resurrect the overwritten (310, 1.0)
+    var = db.get_var("router1/errs")  # holds 310→1.0 then 320→2.0
+    rows = var.select(300, 315).collect()
+    assert [(r.slot, r.tse, r.value) for r in rows] == [(300, 320, 2.0)]
+    # ...and a window that ends before any row still shows the slot as
+    # occupied, not as an invalid placeholder
+    rows = var.select(300, 305).collect()
+    assert [(r.slot, r.value) for r in rows] == [(300, 2.0)]
+
+
+def test_select_non_aligned_empty_and_inverted_windows(spark, db):
+    var = db.get_var("router1/inOctets")
+    assert var.select(100, 100).collect() == []  # empty, non-aligned
+    assert var.select(400, 350).collect() == []  # inverted, non-aligned
+    # empty + non-empty select results union cleanly (same slot type)
+    u = var.select(900, 900).unionByName(var.select(900, 901))
+    assert [r.slot for r in u.collect()] == [900]
+
+
+def test_add_node_kind_mismatch_raises(spark, db):
+    with pytest.raises(KeyError):
+        db.add_var("router1")  # exists as a set
+    with pytest.raises(KeyError):
+        db.get_set("router1").add_set("inOctets")  # exists as a var
+
+
+def test_two_handles_same_var_keep_lww_order(spark, db):
+    db.get_set("router1").add_var("octets4", step=300)
+    v1 = db.get_var("router1/octets4")
+    v2 = db.get_var("router1/octets4")  # coexisting handle, stale cache
+    v1.insert(310, 1.0)
+    v2.insert(320, 2.0)
+    v1.insert(305, 3.0)  # v1's cached LAST_SEQ predates v2's insert
+    row = db.get_var("router1/octets4").get(300)
+    assert (row.tse, row.value) == (305, 3.0)  # chronologically last wins
+
+
+def test_negative_tse_slot_matches_engine_slot_math(spark, db):
+    # Spark's % is truncation-mod: slot_of(-10) = 0, not -300; the
+    # façade's driver-side slot math must agree or get() misses the row
+    var = db.get_set("router1").add_var("octets5", step=300)
+    var.insert(-10, 4.0)
+    row = var.get(-10)
+    assert (row.tse, row.value) == (-10, 4.0)
+
+
 def test_within_batch_lww_is_insert_order(spark, db):
     var = db.get_set("router1").add_var("octets2", step=300)
     # same slot twice in ONE batch: the LAST insert wins even though its
