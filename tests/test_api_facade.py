@@ -145,6 +145,52 @@ def test_within_batch_lww_is_insert_order(spark, db):
     assert (row.tse, row.value) == (310, 1.0)
 
 
+def test_select_matches_dict_model_random_workload(spark, db):
+    """Model check: random inserts through coexisting handles, then
+    select/get over randomly-aligned windows must equal a driver-side
+    dict replay of the slot LWW semantics (insert order wins per slot,
+    windows are slot-addressed)."""
+    import random
+
+    rng = random.Random(1106)
+    step = 300
+
+    def model_slot(tse: int) -> int:
+        rem = tse % step if tse >= 0 else -((-tse) % step)
+        return tse - rem
+
+    grp = db.add_set("modelgrp")
+    for case in range(3):
+        var_path = f"modelgrp/model{case}"
+        grp.add_var(f"model{case}", step=step)
+        handles = [db.get_var(var_path) for _ in range(2)]
+        model: dict[int, tuple[int, float, int]] = {}  # slot -> (tse, v, fl)
+        for _ in range(6):
+            batch = [
+                (
+                    rng.randrange(-600, 3600),
+                    round(rng.uniform(0, 50), 3),
+                    ROW_VALID if rng.random() < 0.8 else 0,
+                )
+                for _ in range(rng.randrange(1, 6))
+            ]
+            rng.choice(handles).insert_batch(batch)
+            for tse, v, fl in batch:
+                model[model_slot(tse)] = (tse, v, fl)
+        begin = rng.randrange(-700, 3700)
+        end = begin + rng.randrange(1, 2500)
+        got = {
+            r.slot: (r.tse, r.value, r.flags)
+            for r in db.get_var(var_path).select(begin, end).collect()
+        }
+        lo, hi = model_slot(begin), model_slot(end - 1)
+        want = {
+            s: model.get(s, (s, None, 0))
+            for s in range(lo, hi + step, step)
+        }
+        assert got == want, f"case {case}: window [{begin}, {end})"
+
+
 def test_insert_batch_empty_and_last_update_monotone(spark, db):
     var = db.get_set("router1").add_var("octets3", step=300)
     var.insert(3600, 1.0)
