@@ -38,10 +38,45 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from esxsnmp_tsdb_spark.functions.tsdb import ROW_VALID, slot_of
+from esxsnmp_tsdb_spark.functions.tsdb import ROW_HIDDEN, ROW_VALID, slot_of
 
 METADATA_FILE = "TSDB_METADATA"
+AGG_DIR = "TSDB_AGGREGATES"
 _ROW_SCHEMA = "tse long, flags int, value double, ingest_seq long"
+_AGG_SCHEMA = (
+    "slot long, flags int, average double, total double, vmin double, "
+    "vmax double, last double, n long"
+)
+
+_AGG_UNITS = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
+
+
+def parse_agg_spec(spec: int | str) -> int:
+    """``"+1h" / "1h" / "+300" / 300`` → step seconds († the reference's
+    aggregate names are pdtime-style suffixed steps: 30s/5m/1h/1d)."""
+    if isinstance(spec, int):
+        step = spec
+    else:
+        s = spec.strip().lstrip("+")
+        if s and s[-1] in _AGG_UNITS:
+            step = int(s[:-1]) * _AGG_UNITS[s[-1]]
+        else:
+            step = int(s)
+    if step <= 0:
+        raise ValueError(f"aggregate step must be positive: {spec!r}")
+    return step
+
+
+def _flag_mask(mask: int):
+    """Column predicate for ``select(flags=mask)``: any requested bit
+    set, and hidden rows excluded unless ROW_HIDDEN is itself requested —
+    so ``mask=ROW_VALID`` is exactly the displayable predicate
+    ``flags & 0b11 == 0b01`` (`ts_flag_visibility`'s bit test †) and
+    ``mask=ROW_VALID | ROW_HIDDEN`` opts hidden rows back in."""
+    keep = F.col("flags").bitwiseAND(F.lit(mask)) != 0
+    if not mask & ROW_HIDDEN:
+        keep = keep & (F.col("flags").bitwiseAND(F.lit(ROW_HIDDEN)) == 0)
+    return keep
 
 
 def _slot(tse: int, step: int) -> int:
@@ -187,11 +222,25 @@ class TSDB(TSDBSet):
 
 
 class TSDBVar(_Node):
-    """One series († TSDBVar): slot-quantized rows, last-write-wins."""
+    """One series († TSDBVar): slot-quantized rows, last-write-wins.
+
+    A var may carry an aggregate ladder († ``TSDBVar.add_aggregate`` /
+    ``update_all_aggregates`` — SURVEY §1.1 ``Aggregate`` row type, §3.2):
+    each aggregate is a child var at ``<var>/TSDB_AGGREGATES/+<spec>``
+    with ``TYPE_ID=Aggregate``, reachable through ``get_var`` with the
+    reference's path shape.  Aggregate rows carry the consolidation
+    columns ``(average, total, vmin, vmax, last, n)`` and are rebuilt by
+    ``update_all_aggregates`` through ``sources/ladder.build_ladder`` —
+    coarse levels cascade from the next finer level, never from raw (†).
+    """
 
     @property
     def step(self) -> int:
         return int(self.metadata["STEP"])
+
+    @property
+    def is_aggregate(self) -> bool:
+        return self.metadata.get("TYPE_ID") == "Aggregate"
 
     @property
     def heartbeat(self) -> int:
@@ -204,12 +253,147 @@ class TSDBVar(_Node):
     def insert(self, tse: int, value: float | None, flags: int = ROW_VALID) -> None:
         self.insert_batch([(tse, value, flags)])
 
+    # -- aggregate ladder ------------------------------------------------
+
+    @staticmethod
+    def _agg_name(spec: int | str) -> str:
+        s = str(spec).strip()
+        return s if s.startswith("+") else "+" + s
+
+    def list_aggregates(self) -> list[str]:
+        """Configured aggregate specs in ladder (finest-first) order."""
+        raw = self.metadata.get("AGGREGATES", "")
+        names = [s for s in raw.split(",") if s]
+        return sorted(names, key=parse_agg_spec)
+
+    def get_aggregate(self, spec: int | str) -> "TSDBVar":
+        """Resolve a configured level by spec or step seconds — '+1d',
+        '1d', and 86400 all name the same stored aggregate."""
+        step = parse_agg_spec(spec)
+        by_step = {parse_agg_spec(n): n for n in self.list_aggregates()}
+        if step not in by_step:
+            raise KeyError(
+                f"var {self.path!r} has no aggregate {self._agg_name(spec)!r}"
+            )
+        name = by_step[step]
+        fs = os.path.join(self.fs_path, AGG_DIR, name)
+        return TSDBVar(self.spark, fs, f"{self.path}/{AGG_DIR}/{name}")
+
+    def add_aggregate(self, spec: int | str) -> "TSDBVar":
+        """Configure a consolidation level († ``TSDBVar.add_aggregate``):
+        records the spec in this var's metadata and creates the child
+        aggregate var.  Idempotent per step.  The full ladder must chain —
+        the finest level a multiple of the var's step, every coarser level
+        a multiple of the previous — because each level is cascaded from
+        the next finer one (`sources/ladder.build_ladder` enforces the
+        same invariant)."""
+        if self.is_aggregate:
+            raise ValueError("aggregates of aggregates are not supported")
+        step = parse_agg_spec(spec)
+        name = self._agg_name(spec)
+        existing = {parse_agg_spec(n): n for n in self.list_aggregates()}
+        if step in existing:
+            return self.get_aggregate(existing[step])
+        chain = sorted(existing) + [step]
+        chain.sort()
+        if chain[0] % self.step != 0:
+            raise ValueError(
+                f"finest aggregate {chain[0]} is not a multiple of var "
+                f"step {self.step}"
+            )
+        for a, b in zip(chain, chain[1:]):
+            if b % a != 0:
+                raise ValueError(
+                    f"aggregate ladder must chain: {b} is not a multiple "
+                    f"of finer level {a}"
+                )
+        fs = os.path.join(self.fs_path, AGG_DIR, name)
+        os.makedirs(fs, exist_ok=True)
+        if not os.path.isfile(os.path.join(fs, METADATA_FILE)):
+            _write_metadata(
+                fs,
+                {
+                    "NODE": "var",
+                    "STEP": str(step),
+                    "HEARTBEAT": str(3 * step),
+                    "TYPE_ID": "Aggregate",
+                    "LAST_SEQ": "0",
+                    "VERSION": "1",
+                },
+            )
+        self.metadata = _read_metadata(self.fs_path)
+        names = [s for s in self.metadata.get("AGGREGATES", "").split(",") if s]
+        if name not in names:
+            names.append(name)
+        self.metadata["AGGREGATES"] = ",".join(
+            sorted(names, key=parse_agg_spec)
+        )
+        self.save_metadata()
+        return self.get_aggregate(name)
+
+    def update_all_aggregates(self) -> None:
+        """Rebuild every configured level from this var's current rows
+        († ``TSDBVar.update_all_aggregates``): the finest level aggregates
+        the last-write-wins valid rows, each coarser level cascades from
+        the previous via `sources/ladder.build_ladder` (weighted mean =
+        sum/count, so cascade ≡ direct — the `ts_agg_cascade` identity).
+        Hidden rows still count: ROW_HIDDEN suppresses display, not
+        maintenance (`ts_flag_visibility` semantics †)."""
+        names = self.list_aggregates()
+        if not names:
+            return
+        from esxsnmp_tsdb_spark.sources.ladder import build_ladder
+
+        steps = tuple(parse_agg_spec(n) for n in names)
+        obs = (
+            self._lww(self._rows())
+            .filter(F.col("flags").bitwiseAND(F.lit(ROW_VALID)) != 0)
+            .select(
+                F.lit(self.path).alias("path"),
+                "tse",
+                "value",
+                # post-LWW a slot holds one row, so tse alone orders the
+                # "last" consolidation; the ladder's tiebreak key is moot
+                F.lit(0).cast("long").alias("event_id"),
+            )
+        )
+        ladder = build_ladder(obs, levels=steps)
+        for name, step in zip(names, steps):
+            agg = self.get_aggregate(name)
+            out = ladder[step].select(
+                F.col("slot").cast("long"),
+                F.lit(ROW_VALID).alias("flags"),
+                F.col("average").cast("double"),
+                F.col("total").cast("double"),
+                F.col("vmin").cast("double"),
+                F.col("vmax").cast("double"),
+                F.col("last").cast("double"),
+                F.col("n").cast("long"),
+            )
+            out.write.mode("overwrite").parquet(agg._data)
+            agg.metadata["LAST_UPDATE"] = self.metadata.get("LAST_UPDATE", "0")
+            agg.save_metadata()
+
     def insert_batch(self, rows) -> None:
         """Append one ingest batch; every row gets its own LAST_SEQ
         counter value (position within the batch included), so slot
         overwrite (last insert wins, † TSDBVar.insert) replays
         deterministically regardless of file listing order — including
-        two same-slot rows inside one batch."""
+        two same-slot rows inside one batch.
+
+        Writer concurrency: the LAST_SEQ read-modify-write (and the data
+        append it numbers) runs under an advisory ``flock`` on the var's
+        metadata file, so concurrent writers in separate processes cannot
+        mint duplicate ingest_seq values and break the LWW replay — the
+        reference's one-persister-per-var rule, enforced instead of
+        assumed.  Each call locks its own freshly opened fd, so the
+        blocking ``flock`` serializes threads within one process as well
+        as separate processes."""
+        if self.is_aggregate:
+            raise ValueError(
+                "aggregate vars are maintained by update_all_aggregates, "
+                "not inserted into"
+            )
         norm = [
             (int(r[0]), None if r[1] is None else float(r[1]),
              int(r[2]) if len(r) > 2 else ROW_VALID)
@@ -217,27 +401,39 @@ class TSDBVar(_Node):
         ]
         if not norm:
             return
-        # Re-read LAST_SEQ from disk: two coexisting handles to the same
-        # var must not mint duplicate ingest_seq values (the LWW tiebreak
-        # depends on every batch getting a strictly later counter).
-        self.metadata = _read_metadata(self.fs_path)
-        seq0 = int(self.metadata["LAST_SEQ"])
-        df = self.spark.createDataFrame(
-            [(t, fl, v, seq0 + 1 + i) for i, (t, v, fl) in enumerate(norm)],
-            _ROW_SCHEMA,
-        )
-        df.coalesce(1).write.mode("append").parquet(self._data)
-        self.metadata["LAST_SEQ"] = str(seq0 + len(norm))
-        prev_update = int(self.metadata.get("LAST_UPDATE", "0"))
-        self.metadata["LAST_UPDATE"] = str(
-            max(prev_update, max(t for (t, _v, _fl) in norm))
-        )
-        self.save_metadata()
+        import fcntl
+
+        with open(os.path.join(self.fs_path, METADATA_FILE)) as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            try:
+                # Re-read LAST_SEQ under the lock: two coexisting handles
+                # to the same var must not mint duplicate ingest_seq
+                # values (the LWW tiebreak depends on every batch getting
+                # a strictly later counter).
+                self.metadata = _read_metadata(self.fs_path)
+                seq0 = int(self.metadata["LAST_SEQ"])
+                df = self.spark.createDataFrame(
+                    [
+                        (t, fl, v, seq0 + 1 + i)
+                        for i, (t, v, fl) in enumerate(norm)
+                    ],
+                    _ROW_SCHEMA,
+                )
+                df.coalesce(1).write.mode("append").parquet(self._data)
+                self.metadata["LAST_SEQ"] = str(seq0 + len(norm))
+                prev_update = int(self.metadata.get("LAST_UPDATE", "0"))
+                self.metadata["LAST_UPDATE"] = str(
+                    max(prev_update, max(t for (t, _v, _fl) in norm))
+                )
+                self.save_metadata()
+            finally:
+                fcntl.flock(lockf, fcntl.LOCK_UN)
 
     def _rows(self) -> DataFrame:
+        schema = _AGG_SCHEMA if self.is_aggregate else _ROW_SCHEMA
         if not os.path.isdir(self._data):
-            return self.spark.createDataFrame([], _ROW_SCHEMA)
-        return self.spark.read.schema(_ROW_SCHEMA).parquet(self._data)
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(self._data)
 
     def _lww(self, df: DataFrame) -> DataFrame:
         """Last-write-wins per slot: later ingest_seq, then later tse."""
@@ -258,7 +454,17 @@ class TSDBVar(_Node):
         """One row per slot overlapping ``[begin, end)`` († TSDBVar.select
         is slot-addressed): each covered slot yields its last-write-wins
         row, never-written slots materialize as invalid rows (flags=0,
-        value NULL †) unless a ``flags`` mask filters them out."""
+        value NULL †) unless a ``flags`` mask filters them out.
+
+        Mask semantics (SURVEY §8 ledger: displayable =
+        ``flags & 0b11 == 0b01`` is the ``TSDBVar.select(flags=…)``
+        predicate, same bit test as `ts_flag_visibility`): a row is kept
+        when any requested bit is set AND, unless ROW_HIDDEN is itself
+        requested, the row is not hidden — ``flags=ROW_VALID`` yields
+        exactly the displayable rows (valid and not hidden);
+        ``flags=ROW_VALID | ROW_HIDDEN`` opts back into hidden rows."""
+        if self.is_aggregate:
+            return self._select_agg(begin, end, flags)
         step = self.step
         if end <= begin:  # empty or inverted window
             return self.spark.createDataFrame(
@@ -297,7 +503,41 @@ class TSDBVar(_Node):
             )
         )
         if flags is not None:
-            out = out.filter(F.col("flags").bitwiseAND(F.lit(flags)) != 0)
+            out = out.filter(_flag_mask(flags))
+        return out.orderBy("slot")
+
+    def _select_agg(self, begin: int, end: int, flags: int | None) -> DataFrame:
+        """Aggregate-var select: one Aggregate row per stored slot in
+        ``[begin, end)`` — consolidation columns, never-materialized slots
+        as invalid rows, same mask semantics as raw select."""
+        step = self.step
+        if end <= begin:
+            return self.spark.createDataFrame([], _AGG_SCHEMA)
+        lo, hi = _slot(begin, step), _slot(end - 1, step)
+        present = self._rows().filter(
+            (F.col("slot") >= lo) & (F.col("slot") <= hi)
+        )
+        spine = self.spark.range(1).select(
+            F.explode(
+                F.sequence(
+                    F.lit(lo).cast("long"),
+                    F.lit(hi).cast("long"),
+                    F.lit(step).cast("long"),
+                )
+            ).alias("slot")
+        )
+        out = spine.join(present, "slot", "left").select(
+            "slot",
+            F.coalesce("flags", F.lit(0)).alias("flags"),
+            "average",
+            "total",
+            "vmin",
+            "vmax",
+            "last",
+            "n",
+        )
+        if flags is not None:
+            out = out.filter(_flag_mask(flags))
         return out.orderBy("slot")
 
     def get(self, tse: int):
@@ -307,13 +547,60 @@ class TSDBVar(_Node):
 
     def get_last(self):
         """Latest valid row († TSDBVar.get_last)."""
-        rows = (
-            self._lww(self._rows())
-            .filter(F.col("flags").bitwiseAND(ROW_VALID) != 0)
-            .orderBy(F.desc("slot"))
-            .limit(1)
-            .collect()
-        )
+        if self.is_aggregate:
+            rows = (
+                self._rows()
+                .filter(F.col("flags").bitwiseAND(ROW_VALID) != 0)
+                .orderBy(F.desc("slot"))
+                .limit(1)
+                .collect()
+            )
+        else:
+            rows = (
+                self._lww(self._rows())
+                .filter(F.col("flags").bitwiseAND(ROW_VALID) != 0)
+                .orderBy(F.desc("slot"))
+                .limit(1)
+                .collect()
+            )
         if not rows:
             raise KeyError(f"var {self.path!r} has no valid rows")
         return rows[0]
+
+    def file_count(self) -> int:
+        """Parquet data files currently backing this var (one per insert
+        batch until :meth:`compact` folds them)."""
+        if not os.path.isdir(self._data):
+            return 0
+        return sum(
+            1 for f in os.listdir(self._data) if f.endswith(".parquet")
+        )
+
+    def compact(self) -> None:
+        """Fold the one-file-per-insert-batch append history into
+        ~target-sized sorted files (`sources/compaction.compact_flat`),
+        under the var's write lock so compaction never races an insert.
+        ``ingest_seq`` rides along, so last-write-wins winners are
+        identical before and after — the façade twin of
+        `storage_compaction_integrity` (operators/storage.py)."""
+        if not os.path.isdir(self._data):
+            return
+        import fcntl
+
+        from esxsnmp_tsdb_spark.sources.compaction import compact_flat
+
+        with open(os.path.join(self.fs_path, METADATA_FILE)) as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            try:
+                if self.is_aggregate:
+                    compact_flat(
+                        self.spark, self._data,
+                        sort_cols=("slot",), schema=_AGG_SCHEMA,
+                    )
+                else:
+                    compact_flat(
+                        self.spark, self._data,
+                        sort_cols=("tse", "ingest_seq"), schema=_ROW_SCHEMA,
+                    )
+            finally:
+                fcntl.flock(lockf, fcntl.LOCK_UN)

@@ -72,6 +72,44 @@ def partition_file_counts(spark: SparkSession, path: str) -> dict[str, int]:
     return out
 
 
+def compact_flat(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+    sort_cols: tuple[str, ...] = ("tse",),
+    schema: str | None = None,
+) -> None:
+    """Compaction for an UNPARTITIONED append directory (the TSDB façade's
+    per-var store: one file per insert batch forever, api.py).  Rewrites
+    the directory into ~target-sized sorted files via a sibling temp dir
+    plus a rename swap, so a crash mid-compaction leaves either the old
+    or the new directory intact — never a half-written mix.  Every column
+    (including ``ingest_seq``) rides along, so last-write-wins replay
+    picks identical winners before and after."""
+    import shutil
+
+    total_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, round(total_bytes / target_file_bytes))
+    reader = spark.read.schema(schema) if schema else spark.read
+    tmp = path.rstrip(os.sep) + "._compact"
+    old = path.rstrip(os.sep) + "._old"
+    (
+        reader.parquet(path)
+        .repartition(n_files)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
 def compact(
     spark: SparkSession,
     path: str,

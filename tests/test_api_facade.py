@@ -9,7 +9,7 @@ import tempfile
 import pytest
 
 from esxsnmp_tsdb_spark.api import TSDB, TSDBVar
-from esxsnmp_tsdb_spark.functions.tsdb import ROW_VALID
+from esxsnmp_tsdb_spark.functions.tsdb import ROW_HIDDEN, ROW_VALID
 
 
 @pytest.fixture(scope="module")
@@ -201,3 +201,157 @@ def test_insert_batch_empty_and_last_update_monotone(spark, db):
     var.insert(300, 9.0)  # backfill must not rewind LAST_UPDATE
     assert var.metadata["LAST_UPDATE"] == "3600"
     assert var.get(300).value == 9.0
+
+
+def test_select_flags_hidden_semantics(spark, db):
+    """SURVEY §8 ledger: displayable = flags & 0b11 == 0b01 is the
+    select(flags=…) predicate — hidden-but-valid rows are excluded by
+    flags=ROW_VALID and opted back in by ROW_VALID | ROW_HIDDEN; the
+    unmasked select's invalid-spine materialization is unchanged."""
+    var = db.get_set("router1").add_var("hiddenv", step=300)
+    var.insert(300, 1.0)                                  # displayable
+    var.insert(600, 2.0, flags=ROW_VALID | ROW_HIDDEN)    # valid-but-hidden
+    var.insert(1200, 3.0)                                 # displayable
+
+    # unmasked: every slot, including the never-written 900 spine row
+    got = {r.slot: r.flags for r in var.select(300, 1500).collect()}
+    assert got == {
+        300: ROW_VALID,
+        600: ROW_VALID | ROW_HIDDEN,
+        900: 0,
+        1200: ROW_VALID,
+    }
+    # displayable mask: hidden excluded, spine invalid rows excluded
+    assert {r.slot for r in var.select(300, 1500, flags=ROW_VALID).collect()} \
+        == {300, 1200}
+    # opting hidden back in
+    assert {
+        r.slot
+        for r in var.select(
+            300, 1500, flags=ROW_VALID | ROW_HIDDEN
+        ).collect()
+    } == {300, 600, 1200}
+
+
+def test_aggregate_ladder_roundtrip(spark, db):
+    """VERDICT r5 item 3: insert raw → update_all_aggregates → the stored
+    1h level equals the ts_agg_cascade computation (weighted mean =
+    sum/count cascaded through the 5m level) for the same window, and the
+    aggregate var is reachable via the reference's
+    get_var('…/TSDB_AGGREGATES/+1h') path shape."""
+    rtr = db.add_set("aggrtr")
+    var = rtr.add_var("octets", step=300)
+    # two full hours of 5-minute samples, plus a hidden-but-valid row and
+    # an invalid row: maintenance counts hidden, skips invalid
+    batch = [(t, float(t % 3600) / 100.0, ROW_VALID) for t in range(0, 7200, 300)]
+    var.insert_batch(batch)
+    var.insert(1500, 99.0, flags=ROW_VALID | ROW_HIDDEN)  # overwrites slot 1500
+    var.insert(1800, 77.0, flags=0)                       # invalid: not counted
+
+    agg1h = var.add_aggregate("+1h")
+    assert var.list_aggregates() == ["+1h"]
+    var.update_all_aggregates()
+
+    # model: LWW per slot, valid rows only (hidden still counts)
+    model = {t: float(t % 3600) / 100.0 for t in range(0, 7200, 300)}
+    model[1500] = 99.0
+    del model[1800]  # invalid overwrite removes the slot from maintenance
+    expect = {}
+    for hour in (0, 3600):
+        vals = [v for t, v in model.items() if hour <= t < hour + 3600]
+        expect[hour] = (
+            sum(vals) / len(vals), sum(vals), min(vals), max(vals), len(vals)
+        )
+
+    got = {
+        r.slot: (r.average, r.total, r.vmin, r.vmax, r.n)
+        for r in agg1h.select(0, 7200).collect()
+    }
+    assert set(got) == set(expect)
+    for hour, (avg, tot, mn, mx, n) in expect.items():
+        g = got[hour]
+        assert abs(g[0] - avg) < 1e-9 and abs(g[1] - tot) < 1e-9
+        assert g[2] == mn and g[3] == mx and g[4] == n
+
+    # reference path shape († get_var("…/TSDB_AGGREGATES/+1h"))
+    v2 = db.get_var("aggrtr/octets/TSDB_AGGREGATES/+1h")
+    assert v2.is_aggregate and v2.step == 3600
+    assert v2.get_last().slot == 3600
+    # never-materialized agg slots come back as invalid spine rows
+    spine = {r.slot: r.flags for r in agg1h.select(0, 10800).collect()}
+    assert spine[7200] == 0 and spine[3600] == ROW_VALID
+
+    # 'last' consolidation: the latest 5m sample of each hour
+    last_by_hour = {h: model[max(t for t in model if h <= t < h + 3600)]
+                    for h in (0, 3600)}
+    got_last = {r.slot: r.last for r in agg1h.select(0, 7200).collect()}
+    assert got_last == last_by_hour
+
+
+def test_aggregate_cascade_matches_direct_after_reupdate(spark, db):
+    """Levels chain (1h from 5m-in-var, 1d from 1h): after new inserts
+    and a re-update, each level equals direct recomputation — the
+    build_ladder conservation invariant through the façade."""
+    var = db.get_var("aggrtr/octets")
+    var.add_aggregate("+1d")
+    assert var.list_aggregates() == ["+1h", "+1d"]
+    var.insert(3900, 1000.0)  # overwrite one slot, then re-update
+    var.update_all_aggregates()
+    rows_1h = {r.slot: r for r in var.get_aggregate("+1h").select(0, 7200).collect()}
+    rows_1d = [r for r in var.get_aggregate(86400).select(0, 86400).collect()
+               if r.flags != 0]
+    assert len(rows_1d) == 1
+    d = rows_1d[0]
+    # 1d total/n are the sums of the 1h level (cascade ≡ direct)
+    assert abs(d.total - sum(r.total for r in rows_1h.values())) < 1e-9
+    assert d.n == sum(r.n for r in rows_1h.values())
+    assert abs(d.average - d.total / d.n) < 1e-9
+    assert rows_1h[3600].vmax == 1000.0
+
+
+def test_aggregate_validation_errors(spark, db):
+    var = db.get_var("aggrtr/octets")
+    with pytest.raises(ValueError):
+        var.add_aggregate(450)  # not a multiple of step 300
+    with pytest.raises(ValueError):
+        var.add_aggregate("+7h")  # 25200 breaks the 3600→86400 chain
+    agg = var.get_aggregate("+1h")
+    with pytest.raises(ValueError):
+        agg.insert(0, 1.0)  # aggregates are maintained, not inserted
+    with pytest.raises(ValueError):
+        agg.add_aggregate("+1d")  # no aggregates of aggregates
+    with pytest.raises(KeyError):
+        var.get_aggregate("+6h")  # never configured
+    # idempotent re-add returns the existing level
+    again = var.add_aggregate(3600)
+    assert again.fs_path == agg.fs_path
+    assert var.list_aggregates() == ["+1h", "+1d"]
+
+
+def test_compact_preserves_rows_and_lww(spark, db):
+    """VERDICT r5 item 4 (façade twin of storage_compaction_integrity):
+    compaction folds the one-file-per-batch history into one file while
+    keeping every select row — including LWW winners across batches —
+    identical."""
+    var = db.get_set("router1").add_var("compactme", step=300)
+    for i in range(6):
+        var.insert_batch([(300 * i + 10, float(i), ROW_VALID),
+                          (300 * i + 20, float(i) + 0.5, ROW_VALID)])
+    var.insert(310, 42.0)  # LWW overwrite of slot 300 from a later batch
+    before = sorted(
+        (r.slot, r.tse, r.value, r.flags)
+        for r in var.select(0, 2100).collect()
+    )
+    assert var.file_count() == 7
+    var.compact()
+    assert var.file_count() == 1
+    after = sorted(
+        (r.slot, r.tse, r.value, r.flags)
+        for r in var.select(0, 2100).collect()
+    )
+    assert after == before
+    assert var.get(300).value == 42.0  # cross-batch LWW winner survives
+    # appends keep working after the rewrite
+    var.insert(2400, 9.0)
+    assert var.get(2400).value == 9.0
+    assert var.file_count() == 2
