@@ -85,7 +85,7 @@ def assign_cte(src: str, out: str, extra: tuple[str, ...] = ()) -> str:
     SELECT {inner},
            row_number() OVER (
              PARTITION BY s.vec_id
-             ORDER BY {_CENT_COS_S} DESC, c.cid) AS rn
+             ORDER BY COALESCE({_CENT_COS_S}, -2.0) DESC, c.cid) AS rn
     FROM {src} s CROSS JOIN c
   ) WHERE rn = 1
 )"""
@@ -148,12 +148,24 @@ def _assign_to(e: DataFrame, cent: DataFrame) -> DataFrame:
     scored rows down to N BEFORE the exchange, so only one row per
     vector ever shuffles."""
     scored = e.crossJoin(F.broadcast(cent)).withColumn(
+        # try_divide: a zero-norm vector must score NULL (handled by the
+        # sentinel below), not raise ANSI DIVIDE_BY_ZERO mid-stage.
         "c_cos",
-        dot(_dbl(F.col("embedding")), _dbl(F.col("cv")))
-        / (F.col("nrm") * F.col("cnrm")),
+        F.try_divide(
+            dot(_dbl(F.col("embedding")), _dbl(F.col("cv"))),
+            F.col("nrm") * F.col("cnrm"),
+        ),
     )
     carry = [F.first(c).alias(c) for c in e.columns if c != "vec_id"]
-    argmax_key = F.struct(F.col("c_cos"), (-F.col("cid")).alias("neg_cid"))
+    # A zero-norm (degenerate) vector scores NULL against every centroid;
+    # max_by would skip NULL keys entirely and leave cid NULL, while the
+    # oracle's row_number argmax still assigns the smallest cid.  Coalesce
+    # to a below-range sentinel in BOTH engines (assign_cte mirrors it) so
+    # degenerate vectors land deterministically in the smallest cell.
+    argmax_key = F.struct(
+        F.coalesce(F.col("c_cos"), F.lit(-2.0)).alias("c_cos"),
+        (-F.col("cid")).alias("neg_cid"),
+    )
     return scored.groupBy("vec_id").agg(
         *carry,
         F.max_by("cid", argmax_key).alias("cid"),

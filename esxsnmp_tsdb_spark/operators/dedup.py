@@ -317,52 +317,48 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc"))
         .localCheckpoint(eager=True)
     )
-    # Size the loop's shuffle width to the candidate graph, not the
-    # session default: the CC input is the near-dup edge set — orders of
-    # magnitude smaller than the corpus — and every extra shuffle
-    # partition is pure per-round scheduling overhead across the
-    # O(log d) iterations.  (~1M edge rows per partition; a 100 TB
-    # corpus's candidate graph still fans out to thousands of tasks.)
-    n_edges = edges.count()
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    loop_parts = max(2, min(int(old_parts), n_edges // 1_000_000 + 2))
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-    try:
-        for _ in range(20):
-            neigh = (
-                edges.join(labels, edges.src == labels.doc)
-                .groupBy(F.col("dst").alias("doc2"))
-                .agg(F.min("label").alias("nl"))
-            )
-            l1 = labels.withColumnRenamed("label", "old").join(
-                neigh, F.col("doc") == F.col("doc2"), "left"
-            ).select(
+    # Loop shuffle width: the CC input is the near-dup edge set — orders
+    # of magnitude smaller than the corpus — so the per-round shuffles
+    # should be narrow.  That sizing is left to AQE's post-shuffle
+    # coalescing (advisoryPartitionSizeInBytes), which adapts each
+    # round's width to the actual edge bytes at runtime; mutating the
+    # session-global spark.sql.shuffle.partitions here would silently
+    # re-plan any concurrently submitted query in the same session
+    # (ADVICE r5).  At 100 TB the candidate graph still fans out to
+    # thousands of tasks — the same mechanism, wider data.
+    for _ in range(20):
+        neigh = (
+            edges.join(labels, edges.src == labels.doc)
+            .groupBy(F.col("dst").alias("doc2"))
+            .agg(F.min("label").alias("nl"))
+        )
+        l1 = labels.withColumnRenamed("label", "old").join(
+            neigh, F.col("doc") == F.col("doc2"), "left"
+        ).select(
+            "doc",
+            "old",
+            F.least(F.col("old"), F.coalesce("nl", "old")).alias("label"),
+        )
+        # pointer jump: label <- label(label); labels are always node
+        # ids, so the self-join maps every label to its current
+        # representative.  `old` rides along so the convergence test
+        # reads the SAME checkpointed frame — no extra join per round.
+        m = l1.select(
+            F.col("doc").alias("p_doc"), F.col("label").alias("p_label")
+        )
+        l2 = (
+            l1.join(m, l1.label == m.p_doc, "left")
+            .select(
                 "doc",
                 "old",
-                F.least(F.col("old"), F.coalesce("nl", "old")).alias("label"),
+                F.coalesce("p_label", "label").alias("label"),
             )
-            # pointer jump: label <- label(label); labels are always node
-            # ids, so the self-join maps every label to its current
-            # representative.  `old` rides along so the convergence test
-            # reads the SAME checkpointed frame — no extra join per round.
-            m = l1.select(
-                F.col("doc").alias("p_doc"), F.col("label").alias("p_label")
-            )
-            l2 = (
-                l1.join(m, l1.label == m.p_doc, "left")
-                .select(
-                    "doc",
-                    "old",
-                    F.coalesce("p_label", "label").alias("label"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            changed = l2.filter(F.col("label") != F.col("old")).count()
-            labels = l2.drop("old")
-            if changed == 0:
-                break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+            .localCheckpoint(eager=True)
+        )
+        changed = l2.filter(F.col("label") != F.col("old")).count()
+        labels = l2.drop("old")
+        if changed == 0:
+            break
     w = Window.partitionBy("component")
     return (
         labels.select(F.col("doc").alias("doc_id"), F.col("label").alias("component"))

@@ -540,3 +540,62 @@ def test_incident_windows_are_disjoint_and_cover(spark):
             assert r.n_incidents >= r.n_paths >= 1
         for a, b in zip(rs, rs[1:]):
             assert b.win_start > a.win_end, (cls, a, b)
+
+
+def test_semdedup_blas_margin_invariant(spark):
+    """ADVICE r5: `dedup_semantic_cells` decides ``cos >= SEM_TAU`` on a
+    float64 BLAS Gram matrix whose summation order differs from the
+    oracle's sequential fold — safe only while every in-cell cosine sits
+    far from the threshold.  Pin that margin as a tested invariant: if a
+    fixture or mutation change ever parks a cosine near τ, this fails
+    before a cross-engine hash mismatch can."""
+    import numpy as np
+
+    from esxsnmp_tsdb_spark.functions.vector import norm
+    from esxsnmp_tsdb_spark.operators.similarity import _dbl
+
+    e = curation8._emb_with_near_copies(
+        register_views(spark, SF_SMOKE)["embeddings"]
+    ).select("vec_id", "embedding", norm(_dbl(F.col("embedding"))).alias("nrm"))
+    assigned = (
+        curation8._assign_cells(e)
+        .select("vec_id", "cid", "embedding", "nrm")
+        .toPandas()
+    )
+    margin = 1.0
+    for _cid, grp in assigned.groupby("cid"):
+        n = len(grp)
+        if n < 2:
+            continue
+        vn = np.stack(grp["embedding"].to_numpy()).astype(np.float64)
+        nrm = grp["nrm"].to_numpy(dtype=np.float64)
+        vn /= np.where(nrm == 0.0, 1.0, nrm)[:, None]
+        gram = vn @ vn.T
+        iu, ju = np.triu_indices(n, 1)
+        margin = min(margin, float(np.abs(gram[iu, ju] - curation8.SEM_TAU).min()))
+    # reordering a float64 sum perturbs ~1e-12; demand 9 orders more
+    assert margin > 1e-3, f"in-cell cosine within {margin} of SEM_TAU"
+
+
+def test_assign_cells_zero_norm_deterministic(spark):
+    """ADVICE r5: a zero-norm embedding scores NULL against every
+    centroid; the argmax must still assign it — deterministically to the
+    smallest cid, matching the oracle's NULLS-last row_number — instead
+    of leaving cid NULL."""
+    from esxsnmp_tsdb_spark.functions.vector import norm
+    from esxsnmp_tsdb_spark.operators.similarity import _dbl
+
+    base = register_views(spark, SF_SMOKE)["embeddings"]
+    dim = len(base.first().embedding)
+    degenerate = spark.range(1).select(
+        F.lit(999_999).alias("vec_id"),
+        F.array_repeat(F.lit(0.0).cast("float"), dim).alias("embedding"),
+    )
+    e = base.select("vec_id", "embedding").unionAll(degenerate).select(
+        "vec_id", "embedding", norm(_dbl(F.col("embedding"))).alias("nrm")
+    )
+    assigned = curation8._assign_to(e, curation8._cell_seeds(e))
+    row = assigned.filter(F.col("vec_id") == 999_999).collect()[0]
+    min_cid = curation8._cell_seeds(e).agg(F.min("cid").alias("m")).collect()[0].m
+    assert row.cid == min_cid
+    assert row.best_cos is None  # the sentinel never leaks into best_cos
