@@ -299,7 +299,8 @@ def time_spine(
 
 
 def bin_split(
-    deltas_df: DataFrame, bucket: int, delta_col: str = "delta"
+    deltas_df: DataFrame, bucket: int, delta_col: str = "delta",
+    redistribute: bool = True,
 ) -> DataFrame:
     """Proportional allocation of a delta across bucket boundaries
     (Aggregator.update slot-boundary logic †): a delta observed over
@@ -309,13 +310,19 @@ def bin_split(
     Input must carry ``delta`` and ``dt`` (see :func:`deltas`).  The
     interval is exploded into its covered buckets with ``sequence`` —
     JVM-side, one row per covered bucket, no Python in the loop.
+
+    ``redistribute=False`` skips the pre-explode fan-out so an input
+    that is already usefully partitioned (the bucketed obs layout) keeps
+    its zero-exchange plan; parallelism is then the input's own.
     """
     from esxsnmp_tsdb_spark.session import fan_out
 
     df = deltas_df.filter(F.col(delta_col).isNotNull() & (F.col("dt") > 0))
     # The explode below multiplies rows ~(gap/bucket)×; redistribute first
     # so the multiplication runs wide (see session.fan_out).
-    df = fan_out(df.withColumn("t0", F.col("tse") - F.col("dt")))
+    df = df.withColumn("t0", F.col("tse") - F.col("dt"))
+    if redistribute:
+        df = fan_out(df)
     df = df.withColumn(
         "bucket",
         F.explode(

@@ -302,9 +302,9 @@ def ts_downsample_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op(
-    "ts_bin_split",
-    oracle=f"""
+# Shared with `ts_bin_split_bucketed` (storage2.py) — same allocation, a
+# different physical layout; single-sourced so the twins cannot drift.
+BIN_SPLIT_ORACLE = f"""
 WITH {OBS_CTE}, {CNT_CTE},
 d AS (
   SELECT path, tse, CAST(counter - lag(counter) OVER w AS DOUBLE) AS delta,
@@ -325,8 +325,10 @@ SELECT path, bucket,
        round(sum(delta * (least(tse, bucket + {BUCKET}) - greatest(t0, bucket))
                  / dt), 6) AS delta_alloc
 FROM exploded GROUP BY 1, 2
-""",
-)
+"""
+
+
+@op("ts_bin_split", oracle=BIN_SPLIT_ORACLE)
 def ts_bin_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Proportional allocation of deltas across bucket boundaries
     (Aggregator.update slot-boundary logic †): a delta over (t0, t1]

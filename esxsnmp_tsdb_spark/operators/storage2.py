@@ -32,6 +32,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from esxsnmp_tsdb_spark.functions import tsdb
+from esxsnmp_tsdb_spark.operators.aggregator import (
+    BIN_SPLIT_ORACLE,
+    BUCKET,
+    _counter,
+)
 from esxsnmp_tsdb_spark.operators._shared import (
     OBS_CTE,
     T_JAN10,
@@ -356,4 +361,32 @@ def storage_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_v2",
         "cents_v2",
         (F.col("day") == SNAP_CHANGED).cast("bigint").alias("changed"),
+    )
+
+
+@op("ts_bin_split_bucketed", oracle=BIN_SPLIT_ORACLE)
+def ts_bin_split_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ts_bin_split`'s proportional boundary allocation (the heaviest
+    §2.2 consolidation shape) demonstrated on the bucketed obs layout
+    (VERDICT r5 item 7b): identical values — same oracle as
+    `ts_bin_split`, `aggregator.BIN_SPLIT_ORACLE` — from a plan with
+    ZERO Exchange (asserted in tests/test_storage2.py):
+
+    * the synthetic-counter and delta windows (partitionBy path) consume
+      the ``bucketBy(hash(path)).sortBy(path, tse)`` file layout;
+    * the explode preserves the bucket partitioning (row-local);
+    * the final (path, bucket) allocation group-by is satisfied by
+      hash(path) alone, path being a subset of the grouping keys.
+
+    ``redistribute=False`` skips bin_split's pre-explode fan-out — the
+    shuffle that restores parallelism on a narrow raw-parquet scan would
+    here destroy the property being demonstrated; parallelism comes from
+    the bucket count (thousands at 100 TB; N_BUCKETS locally)."""
+    cnt = _counter(bucketed_obs_table(spark, sf_dir))
+    d = tsdb.deltas(cnt, "counter").withColumn(
+        "delta", F.col("delta").cast("double")
+    )
+    split = tsdb.bin_split(d, BUCKET, redistribute=False)
+    return split.select(
+        "path", "bucket", F.round("delta_alloc", 6).alias("delta_alloc")
     )

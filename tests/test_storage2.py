@@ -92,3 +92,24 @@ def test_bucketed_obs_consolidation_has_no_exchange(spark):
     assert {(r.path, round(r.s, 6)) for r in got} == {
         (r.path, round(r.s, 6)) for r in want
     }
+
+
+def test_bin_split_bucketed_zero_exchange_and_values_match(spark):
+    """VERDICT r5 item 7b: the proportional bin-split on the bucketed obs
+    layout plans with ZERO Exchange of any kind (windows read the bucket
+    sort, the explode is row-local, hash(path) satisfies the (path,
+    bucket) allocation group-by) — and the values are exactly
+    `ts_bin_split`'s."""
+    from esxsnmp_tsdb_spark.operators.aggregator import ts_bin_split
+    from esxsnmp_tsdb_spark.plans import plan_str
+
+    df = storage2.ts_bin_split_bucketed(spark, SF_SMOKE)
+    p = plan_str(df)
+    assert "Exchange" not in p, p
+
+    want = {
+        (r.path, r.bucket): r.delta_alloc
+        for r in ts_bin_split(spark, SF_SMOKE).collect()
+    }
+    got = {(r.path, r.bucket): r.delta_alloc for r in df.collect()}
+    assert got == want
