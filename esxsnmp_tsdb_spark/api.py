@@ -540,6 +540,40 @@ class TSDBVar(_Node):
             out = out.filter(_flag_mask(flags))
         return out.orderBy("slot")
 
+    def timerange(
+        self, begin: int, end: int, step: int | None = None,
+        cf: str = "average",
+    ) -> DataFrame:
+        """``GET …?begin&end&agg=<step>&cf=<cf>`` through the façade
+        (``esxsnmp/api.py`` † — SURVEY §3.3): ``step=None`` returns the
+        raw slot select; otherwise route to the coarsest stored aggregate
+        level that divides ``step`` (`sources/ladder.pick_level`), slice
+        whole stored slots, and re-consolidate if the request is coarser
+        than stored — exactly `sources/ladder.timerange`, fed from this
+        var's maintained ``TSDB_AGGREGATES`` levels."""
+        if step is None:
+            return self.select(begin, end)
+        from esxsnmp_tsdb_spark.sources.ladder import timerange as _timerange
+
+        names = self.list_aggregates()
+        if not names:
+            raise ValueError(
+                f"var {self.path!r} has no aggregates configured; "
+                "add_aggregate + update_all_aggregates first"
+            )
+        ladder = {}
+        for name in names:
+            agg = self.get_aggregate(name)
+            ladder[agg.step] = (
+                agg._rows()
+                .filter(F.col("flags").bitwiseAND(F.lit(ROW_VALID)) != 0)
+                .select(
+                    F.lit(self.path).alias("path"),
+                    "slot", "average", "total", "vmin", "vmax", "last", "n",
+                )
+            )
+        return _timerange(ladder, begin, end, step, cf)
+
     def get(self, tse: int):
         """The row in the slot containing ``tse`` († TSDBVar.get)."""
         slot = _slot(tse, self.step)

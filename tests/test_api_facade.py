@@ -355,3 +355,40 @@ def test_compact_preserves_rows_and_lww(spark, db):
     var.insert(2400, 9.0)
     assert var.get(2400).value == 9.0
     assert var.file_count() == 2
+
+
+def test_timerange_routes_to_stored_level(spark, db):
+    """§3.3 through the façade: a 2h request re-consolidates the stored
+    1h level (pick_level: 3600 divides 7200, 86400 does not); a 1d
+    request reads the 1d level directly; cf routing picks the right
+    consolidation column."""
+    var = db.get_var("aggrtr/octets")  # maintained by the earlier tests
+
+    rows_1h = {
+        r.slot: r
+        for r in var.get_aggregate("+1h").select(0, 7200).collect()
+        if r.flags != 0
+    }
+    # cf=average at 2h: weighted mean = sum(total)/sum(n) of covered hours
+    got = {r.slot: (r.value, r.n)
+           for r in var.timerange(0, 7200, step=7200, cf="average").collect()}
+    tot = sum(r.total for r in rows_1h.values())
+    n = sum(r.n for r in rows_1h.values())
+    assert set(got) == {0}
+    assert abs(got[0][0] - tot / n) < 1e-9 and got[0][1] == n
+
+    # cf=delta at 2h: plain sum of totals
+    d = var.timerange(0, 7200, step=7200, cf="delta").collect()[0]
+    assert abs(d.value - tot) < 1e-9
+
+    # 1d request reads the stored 1d level (no re-consolidation)
+    day = var.timerange(0, 86400, step=86400, cf="max").collect()[0]
+    assert day.value == max(r.vmax for r in rows_1h.values())
+
+    # no stored level divides a 90-minute request
+    with pytest.raises(ValueError):
+        var.timerange(0, 7200, step=5400).collect()
+
+    # step=None falls through to the raw slot select
+    raw = var.timerange(600, 1200)
+    assert [r.slot for r in raw.collect()] == [600, 900]
