@@ -242,6 +242,33 @@ class TSDBVar(_Node):
     def is_aggregate(self) -> bool:
         return self.metadata.get("TYPE_ID") == "Aggregate"
 
+    def _locked(self):
+        """Advisory write lock for this var's store: an exclusive
+        ``flock`` on the var's own metadata file — or the OWNING var's
+        for an aggregate child, so one lock serializes ``insert_batch``,
+        ``add_aggregate``, ``update_all_aggregates``, and ``compact``
+        across the whole ladder (the reference's one-persister-per-var
+        rule, enforced).  Each call locks a freshly opened fd, so
+        threads in one process serialize like separate processes."""
+        from contextlib import contextmanager
+
+        fs = self.fs_path
+        if self.is_aggregate:
+            fs = os.path.dirname(os.path.dirname(fs))
+
+        @contextmanager
+        def hold():
+            import fcntl
+
+            with open(os.path.join(fs, METADATA_FILE)) as lockf:
+                fcntl.flock(lockf, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(lockf, fcntl.LOCK_UN)
+
+        return hold()
+
     @property
     def heartbeat(self) -> int:
         return int(self.metadata["HEARTBEAT"])
@@ -291,44 +318,50 @@ class TSDBVar(_Node):
             raise ValueError("aggregates of aggregates are not supported")
         step = parse_agg_spec(spec)
         name = self._agg_name(spec)
-        existing = {parse_agg_spec(n): n for n in self.list_aggregates()}
-        if step in existing:
-            return self.get_aggregate(existing[step])
-        chain = sorted(existing) + [step]
-        chain.sort()
-        if chain[0] % self.step != 0:
-            raise ValueError(
-                f"finest aggregate {chain[0]} is not a multiple of var "
-                f"step {self.step}"
-            )
-        for a, b in zip(chain, chain[1:]):
-            if b % a != 0:
+        # The whole read-validate-write runs under the var lock: an
+        # unlocked metadata rewrite here would race insert_batch's
+        # LAST_SEQ bump and could write a stale counter back.
+        with self._locked():
+            self.metadata = _read_metadata(self.fs_path)
+            existing = {parse_agg_spec(n): n for n in self.list_aggregates()}
+            if step in existing:
+                return self.get_aggregate(existing[step])
+            chain = sorted(existing) + [step]
+            chain.sort()
+            if chain[0] % self.step != 0:
                 raise ValueError(
-                    f"aggregate ladder must chain: {b} is not a multiple "
-                    f"of finer level {a}"
+                    f"finest aggregate {chain[0]} is not a multiple of var "
+                    f"step {self.step}"
                 )
-        fs = os.path.join(self.fs_path, AGG_DIR, name)
-        os.makedirs(fs, exist_ok=True)
-        if not os.path.isfile(os.path.join(fs, METADATA_FILE)):
-            _write_metadata(
-                fs,
-                {
-                    "NODE": "var",
-                    "STEP": str(step),
-                    "HEARTBEAT": str(3 * step),
-                    "TYPE_ID": "Aggregate",
-                    "LAST_SEQ": "0",
-                    "VERSION": "1",
-                },
+            for a, b in zip(chain, chain[1:]):
+                if b % a != 0:
+                    raise ValueError(
+                        f"aggregate ladder must chain: {b} is not a multiple "
+                        f"of finer level {a}"
+                    )
+            fs = os.path.join(self.fs_path, AGG_DIR, name)
+            os.makedirs(fs, exist_ok=True)
+            if not os.path.isfile(os.path.join(fs, METADATA_FILE)):
+                _write_metadata(
+                    fs,
+                    {
+                        "NODE": "var",
+                        "STEP": str(step),
+                        "HEARTBEAT": str(3 * step),
+                        "TYPE_ID": "Aggregate",
+                        "LAST_SEQ": "0",
+                        "VERSION": "1",
+                    },
+                )
+            names = [
+                s for s in self.metadata.get("AGGREGATES", "").split(",") if s
+            ]
+            if name not in names:
+                names.append(name)
+            self.metadata["AGGREGATES"] = ",".join(
+                sorted(names, key=parse_agg_spec)
             )
-        self.metadata = _read_metadata(self.fs_path)
-        names = [s for s in self.metadata.get("AGGREGATES", "").split(",") if s]
-        if name not in names:
-            names.append(name)
-        self.metadata["AGGREGATES"] = ",".join(
-            sorted(names, key=parse_agg_spec)
-        )
-        self.save_metadata()
+            self.save_metadata()
         return self.get_aggregate(name)
 
     def update_all_aggregates(self) -> None:
@@ -338,41 +371,52 @@ class TSDBVar(_Node):
         the previous via `sources/ladder.build_ladder` (weighted mean =
         sum/count, so cascade ≡ direct — the `ts_agg_cascade` identity).
         Hidden rows still count: ROW_HIDDEN suppresses display, not
-        maintenance (`ts_flag_visibility` semantics †)."""
-        names = self.list_aggregates()
-        if not names:
-            return
+        maintenance (`ts_flag_visibility` semantics †).
+
+        Runs under the var lock (serialized against inserts, config
+        changes, and ladder compaction).  The LWW-resolved valid rows
+        are localCheckpointed once, so the per-level writes re-run only
+        the cheap cascade aggregations — not the raw scan + LWW window
+        per level."""
         from esxsnmp_tsdb_spark.sources.ladder import build_ladder
 
-        steps = tuple(parse_agg_spec(n) for n in names)
-        obs = (
-            self._lww(self._rows())
-            .filter(F.col("flags").bitwiseAND(F.lit(ROW_VALID)) != 0)
-            .select(
-                F.lit(self.path).alias("path"),
-                "tse",
-                "value",
-                # post-LWW a slot holds one row, so tse alone orders the
-                # "last" consolidation; the ladder's tiebreak key is moot
-                F.lit(0).cast("long").alias("event_id"),
+        with self._locked():
+            self.metadata = _read_metadata(self.fs_path)
+            names = self.list_aggregates()
+            if not names:
+                return
+            steps = tuple(parse_agg_spec(n) for n in names)
+            obs = (
+                self._lww(self._rows())
+                .filter(F.col("flags").bitwiseAND(F.lit(ROW_VALID)) != 0)
+                .select(
+                    F.lit(self.path).alias("path"),
+                    "tse",
+                    "value",
+                    # post-LWW a slot holds one row, so tse alone orders
+                    # the "last" consolidation; the tiebreak key is moot
+                    F.lit(0).cast("long").alias("event_id"),
+                )
+                .localCheckpoint(eager=True)
             )
-        )
-        ladder = build_ladder(obs, levels=steps)
-        for name, step in zip(names, steps):
-            agg = self.get_aggregate(name)
-            out = ladder[step].select(
-                F.col("slot").cast("long"),
-                F.lit(ROW_VALID).alias("flags"),
-                F.col("average").cast("double"),
-                F.col("total").cast("double"),
-                F.col("vmin").cast("double"),
-                F.col("vmax").cast("double"),
-                F.col("last").cast("double"),
-                F.col("n").cast("long"),
-            )
-            out.write.mode("overwrite").parquet(agg._data)
-            agg.metadata["LAST_UPDATE"] = self.metadata.get("LAST_UPDATE", "0")
-            agg.save_metadata()
+            ladder = build_ladder(obs, levels=steps)
+            for name, step in zip(names, steps):
+                agg = self.get_aggregate(name)
+                out = ladder[step].select(
+                    F.col("slot").cast("long"),
+                    F.lit(ROW_VALID).alias("flags"),
+                    F.col("average").cast("double"),
+                    F.col("total").cast("double"),
+                    F.col("vmin").cast("double"),
+                    F.col("vmax").cast("double"),
+                    F.col("last").cast("double"),
+                    F.col("n").cast("long"),
+                )
+                out.write.mode("overwrite").parquet(agg._data)
+                agg.metadata["LAST_UPDATE"] = self.metadata.get(
+                    "LAST_UPDATE", "0"
+                )
+                agg.save_metadata()
 
     def insert_batch(self, rows) -> None:
         """Append one ingest batch; every row gets its own LAST_SEQ
@@ -401,38 +445,39 @@ class TSDBVar(_Node):
         ]
         if not norm:
             return
-        import fcntl
-
-        with open(os.path.join(self.fs_path, METADATA_FILE)) as lockf:
-            fcntl.flock(lockf, fcntl.LOCK_EX)
-            try:
-                # Re-read LAST_SEQ under the lock: two coexisting handles
-                # to the same var must not mint duplicate ingest_seq
-                # values (the LWW tiebreak depends on every batch getting
-                # a strictly later counter).
-                self.metadata = _read_metadata(self.fs_path)
-                seq0 = int(self.metadata["LAST_SEQ"])
-                df = self.spark.createDataFrame(
-                    [
-                        (t, fl, v, seq0 + 1 + i)
-                        for i, (t, v, fl) in enumerate(norm)
-                    ],
-                    _ROW_SCHEMA,
-                )
-                df.coalesce(1).write.mode("append").parquet(self._data)
-                self.metadata["LAST_SEQ"] = str(seq0 + len(norm))
-                prev_update = int(self.metadata.get("LAST_UPDATE", "0"))
-                self.metadata["LAST_UPDATE"] = str(
-                    max(prev_update, max(t for (t, _v, _fl) in norm))
-                )
-                self.save_metadata()
-            finally:
-                fcntl.flock(lockf, fcntl.LOCK_UN)
+        with self._locked():
+            # Re-read LAST_SEQ under the lock: two coexisting handles
+            # to the same var must not mint duplicate ingest_seq
+            # values (the LWW tiebreak depends on every batch getting
+            # a strictly later counter).
+            self.metadata = _read_metadata(self.fs_path)
+            seq0 = int(self.metadata["LAST_SEQ"])
+            df = self.spark.createDataFrame(
+                [
+                    (t, fl, v, seq0 + 1 + i)
+                    for i, (t, v, fl) in enumerate(norm)
+                ],
+                _ROW_SCHEMA,
+            )
+            df.coalesce(1).write.mode("append").parquet(self._data)
+            self.metadata["LAST_SEQ"] = str(seq0 + len(norm))
+            prev_update = int(self.metadata.get("LAST_UPDATE", "0"))
+            self.metadata["LAST_UPDATE"] = str(
+                max(prev_update, max(t for (t, _v, _fl) in norm))
+            )
+            self.save_metadata()
 
     def _rows(self) -> DataFrame:
         schema = _AGG_SCHEMA if self.is_aggregate else _ROW_SCHEMA
         if not os.path.isdir(self._data):
-            return self.spark.createDataFrame([], schema)
+            old = self._data + "._old"
+            if os.path.isdir(old):
+                # compaction died between its two renames: the complete
+                # pre-compaction directory is still here — heal, don't
+                # silently read the var as empty
+                os.rename(old, self._data)
+            else:
+                return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(self._data)
 
     def _lww(self, df: DataFrame) -> DataFrame:
@@ -548,22 +593,28 @@ class TSDBVar(_Node):
         (``esxsnmp/api.py`` † — SURVEY §3.3): ``step=None`` returns the
         raw slot select; otherwise route to the coarsest stored aggregate
         level that divides ``step`` (`sources/ladder.pick_level`), slice
-        whole stored slots, and re-consolidate if the request is coarser
+        whole covered slots, and re-consolidate if the request is coarser
         than stored — exactly `sources/ladder.timerange`, fed from this
-        var's maintained ``TSDB_AGGREGATES`` levels."""
+        var's maintained ``TSDB_AGGREGATES`` levels.
+
+        The var's own rows always participate as the ladder's raw level
+        (each LWW slot is a 1-sample consolidation), so a request at or
+        below the finest stored aggregate — including ``step ==
+        self.step`` — is served from raw instead of failing.  Configured
+        levels whose data was never built (``add_aggregate`` without a
+        later ``update_all_aggregates``) are excluded from routing rather
+        than silently answering empty.  ``begin``/``end`` are aligned
+        outward to whole requested-step buckets, the same slot-overlap
+        convention ``select`` uses."""
         if step is None:
             return self.select(begin, end)
         from esxsnmp_tsdb_spark.sources.ladder import timerange as _timerange
 
-        names = self.list_aggregates()
-        if not names:
-            raise ValueError(
-                f"var {self.path!r} has no aggregates configured; "
-                "add_aggregate + update_all_aggregates first"
-            )
         ladder = {}
-        for name in names:
+        for name in self.list_aggregates():
             agg = self.get_aggregate(name)
+            if not os.path.isdir(agg._data):
+                continue  # configured but never built — don't route to it
             ladder[agg.step] = (
                 agg._rows()
                 .filter(F.col("flags").bitwiseAND(F.lit(ROW_VALID)) != 0)
@@ -572,7 +623,29 @@ class TSDBVar(_Node):
                     "slot", "average", "total", "vmin", "vmax", "last", "n",
                 )
             )
-        return _timerange(ladder, begin, end, step, cf)
+        # Raw level: every LWW valid row is a 1-sample consolidation at
+        # the var's own step.
+        v = F.col("value")
+        ladder[self.step] = (
+            self._lww(self._rows())
+            .filter(F.col("flags").bitwiseAND(F.lit(ROW_VALID)) != 0)
+            .select(
+                F.lit(self.path).alias("path"),
+                "slot",
+                v.alias("average"),
+                v.alias("total"),
+                v.alias("vmin"),
+                v.alias("vmax"),
+                v.alias("last"),
+                F.lit(1).cast("long").alias("n"),
+            )
+        )
+        if end <= begin:
+            lo, hi_excl = begin, begin  # empty request stays empty
+        else:
+            lo = _slot(begin, step)
+            hi_excl = _slot(end - 1, step) + step
+        return _timerange(ladder, lo, hi_excl, step, cf)
 
     def get(self, tse: int):
         """The row in the slot containing ``tse`` († TSDBVar.get)."""
@@ -617,24 +690,22 @@ class TSDBVar(_Node):
         ``ingest_seq`` rides along, so last-write-wins winners are
         identical before and after — the façade twin of
         `storage_compaction_integrity` (operators/storage.py)."""
-        if not os.path.isdir(self._data):
+        if not os.path.isdir(self._data) and not os.path.isdir(
+            self._data + "._old"
+        ):
             return
-        import fcntl
-
         from esxsnmp_tsdb_spark.sources.compaction import compact_flat
 
-        with open(os.path.join(self.fs_path, METADATA_FILE)) as lockf:
-            fcntl.flock(lockf, fcntl.LOCK_EX)
-            try:
-                if self.is_aggregate:
-                    compact_flat(
-                        self.spark, self._data,
-                        sort_cols=("slot",), schema=_AGG_SCHEMA,
-                    )
-                else:
-                    compact_flat(
-                        self.spark, self._data,
-                        sort_cols=("tse", "ingest_seq"), schema=_ROW_SCHEMA,
-                    )
-            finally:
-                fcntl.flock(lockf, fcntl.LOCK_UN)
+        # For an aggregate child the lock is the OWNING var's, so
+        # compaction never races update_all_aggregates' overwrite.
+        with self._locked():
+            if self.is_aggregate:
+                compact_flat(
+                    self.spark, self._data,
+                    sort_cols=("slot",), schema=_AGG_SCHEMA,
+                )
+            else:
+                compact_flat(
+                    self.spark, self._data,
+                    sort_cols=("tse", "ingest_seq"), schema=_ROW_SCHEMA,
+                )

@@ -83,10 +83,26 @@ def compact_flat(
     per-var store: one file per insert batch forever, api.py).  Rewrites
     the directory into ~target-sized sorted files via a sibling temp dir
     plus a rename swap, so a crash mid-compaction leaves either the old
-    or the new directory intact — never a half-written mix.  Every column
-    (including ``ingest_seq``) rides along, so last-write-wins replay
-    picks identical winners before and after."""
+    or the new directory recoverable — never a half-written mix.  Every
+    column (including ``ingest_seq``) rides along, so last-write-wins
+    replay picks identical winners before and after.
+
+    Crash recovery runs on entry: a swap interrupted between the two
+    renames is rolled back (``._old`` restored to ``path``), and stale
+    ``._compact`` / ``._old`` leftovers from an interrupted earlier run
+    are removed so the next compaction cannot fail on an existing
+    target."""
     import shutil
+
+    tmp = path.rstrip(os.sep) + "._compact"
+    old = path.rstrip(os.sep) + "._old"
+    # Recover from a previous interrupted run, in crash-order:
+    if not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)  # died between the two renames — roll back
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)  # died before the swap — incomplete rewrite
+    if os.path.isdir(old):
+        shutil.rmtree(old)  # died before cleanup — swap already complete
 
     total_bytes = sum(
         os.path.getsize(os.path.join(root, f))
@@ -96,8 +112,6 @@ def compact_flat(
     )
     n_files = max(1, round(total_bytes / target_file_bytes))
     reader = spark.read.schema(schema) if schema else spark.read
-    tmp = path.rstrip(os.sep) + "._compact"
-    old = path.rstrip(os.sep) + "._old"
     (
         reader.parquet(path)
         .repartition(n_files)

@@ -385,10 +385,77 @@ def test_timerange_routes_to_stored_level(spark, db):
     day = var.timerange(0, 86400, step=86400, cf="max").collect()[0]
     assert day.value == max(r.vmax for r in rows_1h.values())
 
-    # no stored level divides a 90-minute request
+    # no level (raw included) divides a 450 s request
     with pytest.raises(ValueError):
-        var.timerange(0, 7200, step=5400).collect()
+        var.timerange(0, 7200, step=450).collect()
 
     # step=None falls through to the raw slot select
     raw = var.timerange(600, 1200)
     assert [r.slot for r in raw.collect()] == [600, 900]
+
+    # step == the var's own step: served from raw (each LWW slot a
+    # 1-sample consolidation), occupied slots match select
+    fine = {r.slot: (r.value, r.n)
+            for r in var.timerange(0, 3600, step=300).collect()}
+    sel = {r.slot: r.value for r in var.select(0, 3600).collect()
+           if r.flags != 0}
+    assert {s: v for s, (v, _n) in fine.items()} == sel
+    assert all(n == 1 for _v, n in fine.values())
+
+    # a 90-minute request re-consolidates from raw (no stored divisor)
+    mid = {r.slot: r.n for r in var.timerange(0, 7200, step=5400).collect()}
+    assert set(mid) == {0, 5400}
+
+    # unaligned begin still serves the whole covered first bucket
+    assert {r.slot for r in var.timerange(601, 7200, step=3600).collect()} \
+        == {0, 3600}
+
+
+def test_timerange_skips_unbuilt_level(spark, db):
+    """A configured-but-never-built aggregate must not swallow the query:
+    routing excludes it and serves from the levels that exist."""
+    var = db.get_set("aggrtr").add_var("unbuilt", step=300)
+    var.insert_batch([(t, 1.0) for t in range(0, 3600, 300)])
+    var.add_aggregate("+1h")  # no update_all_aggregates
+    got = var.timerange(0, 3600, step=3600, cf="delta").collect()
+    assert len(got) == 1 and got[0].value == 12.0 and got[0].n == 12
+
+
+def test_compact_recovers_interrupted_swap(spark, db):
+    """Crash-window recovery: if compaction died between its two renames
+    (data dir gone, ._old intact), reads heal the swap instead of seeing
+    an empty var, and a stale ._compact leftover never blocks the next
+    compaction."""
+    import os
+    import shutil
+
+    var = db.get_set("router1").add_var("crashy", step=300)
+    for i in range(3):
+        var.insert(300 * i, float(i))
+    before = sorted(
+        (r.slot, r.value) for r in var.select(0, 900).collect()
+        if r.flags != 0
+    )
+    data = var._data
+    # simulate: died between rename(path, old) and rename(tmp, path),
+    # with an incomplete ._compact also on disk
+    os.rename(data, data + "._old")
+    os.makedirs(data + "._compact")
+    with open(os.path.join(data + "._compact", "part-junk.parquet"), "w") as f:
+        f.write("not parquet")
+    # read path heals the swap
+    after = sorted(
+        (r.slot, r.value) for r in var.select(0, 900).collect()
+        if r.flags != 0
+    )
+    assert after == before
+    # and compaction runs clean despite the stale temp dir
+    var.compact()
+    assert var.file_count() >= 1
+    assert not os.path.isdir(data + "._compact")
+    assert not os.path.isdir(data + "._old")
+    final = sorted(
+        (r.slot, r.value) for r in var.select(0, 900).collect()
+        if r.flags != 0
+    )
+    assert final == before
