@@ -359,6 +359,10 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("bit"),
     )
+    # The signature table feeds FIVE consumers (both sides of the band
+    # self-join, both sides of the Hamming join, and the bucket census);
+    # localCheckpoint it so the per-character explode chain runs once,
+    # not once per consumer (the minhash_jaccard_estimate recipe).
     sig = (
         bits.withColumn("band_idx", F.expr(f"b div {PHASH_BAND_BITS}"))
         .withColumn(
@@ -370,6 +374,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "band_idx")
         .agg(F.sum("k").cast("bigint").alias("key"))
+        .localCheckpoint()
     )
     a = sig.alias("a")
     b = sig.alias("b")
