@@ -518,15 +518,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     is how this survives 100 TB — the all-pairs square never materializes.
     Norms are hoisted per vector (one fold each) so each pair costs one
     dot fold, not three — bit-identical, 3× less interpreted work.
+    (No per-block BLAS here: the output carries round(cos, 6) as a VALUE,
+    where matmul summation order could flip the last digit against the
+    oracle's sequential fold — the float-exactness rule.)
     """
     from esxsnmp_tsdb_spark.functions.vector import dot, norm
 
+    # both sides of the self-join read this — checkpoint so the scan and
+    # the per-vector norm fold run once
     e = _t(spark, sf_dir)["embeddings"].select(
         "vec_id",
         "label",
         "embedding",
         norm(F.transform("embedding", lambda x: x.cast("double"))).alias("nrm"),
-    )
+    ).localCheckpoint()
     a = e.alias("a")
     b = e.alias("b")
     cos = dot(
