@@ -378,9 +378,11 @@ class TSDBVar(_Node):
         are localCheckpointed once, so the per-level writes re-run only
         the cheap cascade aggregations — not the raw scan + LWW window
         per level."""
+        from esxsnmp_tsdb_spark.sources.compaction import recover_swap
         from esxsnmp_tsdb_spark.sources.ladder import build_ladder
 
         with self._locked():
+            recover_swap(self._data)  # lock held: heal directly
             self.metadata = _read_metadata(self.fs_path)
             names = self.list_aggregates()
             if not names:
@@ -402,6 +404,7 @@ class TSDBVar(_Node):
             ladder = build_ladder(obs, levels=steps)
             for name, step in zip(names, steps):
                 agg = self.get_aggregate(name)
+                recover_swap(agg._data)  # clear stale swap debris too
                 out = ladder[step].select(
                     F.col("slot").cast("long"),
                     F.lit(ROW_VALID).alias("flags"),
@@ -445,7 +448,13 @@ class TSDBVar(_Node):
         ]
         if not norm:
             return
+        from esxsnmp_tsdb_spark.sources.compaction import recover_swap
+
         with self._locked():
+            # A parquet append would silently recreate a data dir whose
+            # compaction died mid-swap, hiding the ._old history until
+            # the next recovery deletes it — heal before writing.
+            recover_swap(self._data)
             # Re-read LAST_SEQ under the lock: two coexisting handles
             # to the same var must not mint duplicate ingest_seq
             # values (the LWW tiebreak depends on every batch getting
@@ -467,17 +476,37 @@ class TSDBVar(_Node):
             )
             self.save_metadata()
 
+    def _heal(self) -> None:
+        """If a compaction swap died mid-flight (data dir gone, ``._old``
+        intact), roll it back — under the var lock, so an in-flight
+        compaction is waited out rather than raced, and concurrent
+        readers serialize instead of racing the same rename.  No-op in
+        the common case (one isdir check).  Never call while already
+        holding the lock; locked paths call ``recover_swap`` directly."""
+        if not os.path.isdir(self._data) and os.path.isdir(
+            self._data + "._old"
+        ):
+            from esxsnmp_tsdb_spark.sources.compaction import recover_swap
+
+            with self._locked():
+                recover_swap(self._data)
+
+    def _data_files(self) -> list[str]:
+        """Committed parquet files currently backing this var (heals an
+        interrupted compaction swap first; an existing dir with no
+        committed part-files — e.g. a killed overwrite — reports [])."""
+        self._heal()
+        if not os.path.isdir(self._data):
+            return []
+        return [
+            f for f in os.listdir(self._data) if f.endswith(".parquet")
+        ]
+
     def _rows(self) -> DataFrame:
         schema = _AGG_SCHEMA if self.is_aggregate else _ROW_SCHEMA
+        self._heal()
         if not os.path.isdir(self._data):
-            old = self._data + "._old"
-            if os.path.isdir(old):
-                # compaction died between its two renames: the complete
-                # pre-compaction directory is still here — heal, don't
-                # silently read the var as empty
-                os.rename(old, self._data)
-            else:
-                return self.spark.createDataFrame([], schema)
+            return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(self._data)
 
     def _lww(self, df: DataFrame) -> DataFrame:
@@ -608,12 +637,20 @@ class TSDBVar(_Node):
         convention ``select`` uses."""
         if step is None:
             return self.select(begin, end)
+        if end <= begin:  # empty request stays empty, like select's
+            return self.spark.createDataFrame(
+                [], "path string, slot long, value double, n long"
+            )
         from esxsnmp_tsdb_spark.sources.ladder import timerange as _timerange
 
         ladder = {}
         for name in self.list_aggregates():
             agg = self.get_aggregate(name)
-            if not os.path.isdir(agg._data):
+            # committed part-files, not bare isdir: a killed overwrite
+            # leaves an existing-but-empty dir, and a crashed compaction
+            # leaves the data in ._old (healed by _data_files) — neither
+            # should route as "built" / "never built" wrongly
+            if not agg._data_files():
                 continue  # configured but never built — don't route to it
             ladder[agg.step] = (
                 agg._rows()
@@ -640,11 +677,8 @@ class TSDBVar(_Node):
                 F.lit(1).cast("long").alias("n"),
             )
         )
-        if end <= begin:
-            lo, hi_excl = begin, begin  # empty request stays empty
-        else:
-            lo = _slot(begin, step)
-            hi_excl = _slot(end - 1, step) + step
+        lo = _slot(begin, step)
+        hi_excl = _slot(end - 1, step) + step
         return _timerange(ladder, lo, hi_excl, step, cf)
 
     def get(self, tse: int):
@@ -676,12 +710,10 @@ class TSDBVar(_Node):
 
     def file_count(self) -> int:
         """Parquet data files currently backing this var (one per insert
-        batch until :meth:`compact` folds them)."""
-        if not os.path.isdir(self._data):
-            return 0
-        return sum(
-            1 for f in os.listdir(self._data) if f.endswith(".parquet")
-        )
+        batch until :meth:`compact` folds them).  Heals an interrupted
+        compaction swap first, so it never reports 0 for a var whose
+        history sits in ``._old``."""
+        return len(self._data_files())
 
     def compact(self) -> None:
         """Fold the one-file-per-insert-batch append history into

@@ -72,6 +72,26 @@ def partition_file_counts(spark: SparkSession, path: str) -> dict[str, int]:
     return out
 
 
+def recover_swap(path: str) -> None:
+    """Recover ``path`` from an interrupted :func:`compact_flat`, in
+    crash-order: roll back a swap that died between its two renames
+    (``._old`` restored to ``path``), then drop stale ``._compact`` /
+    ``._old`` leftovers.  MUST be called holding the store's write lock —
+    an unlocked heal cannot tell a crashed compaction from one that is
+    mid-swap right now, and would rename the live compactor's backup out
+    from under it."""
+    import shutil
+
+    tmp = path.rstrip(os.sep) + "._compact"
+    old = path.rstrip(os.sep) + "._old"
+    if not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)  # died between the two renames — roll back
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)  # died before the swap — incomplete rewrite
+    if os.path.isdir(old):
+        shutil.rmtree(old)  # died before cleanup — swap already complete
+
+
 def compact_flat(
     spark: SparkSession,
     path: str,
@@ -87,22 +107,16 @@ def compact_flat(
     column (including ``ingest_seq``) rides along, so last-write-wins
     replay picks identical winners before and after.
 
-    Crash recovery runs on entry: a swap interrupted between the two
-    renames is rolled back (``._old`` restored to ``path``), and stale
-    ``._compact`` / ``._old`` leftovers from an interrupted earlier run
-    are removed so the next compaction cannot fail on an existing
-    target."""
+    Crash recovery runs on entry via :func:`recover_swap`; callers that
+    read or append the directory must call it (under the same store
+    lock) before touching a path whose compaction may have died, or a
+    parquet append can silently recreate the directory and orphan the
+    ``._old`` history."""
     import shutil
 
     tmp = path.rstrip(os.sep) + "._compact"
     old = path.rstrip(os.sep) + "._old"
-    # Recover from a previous interrupted run, in crash-order:
-    if not os.path.isdir(path) and os.path.isdir(old):
-        os.rename(old, path)  # died between the two renames — roll back
-    if os.path.isdir(tmp):
-        shutil.rmtree(tmp)  # died before the swap — incomplete rewrite
-    if os.path.isdir(old):
-        shutil.rmtree(old)  # died before cleanup — swap already complete
+    recover_swap(path)
 
     total_bytes = sum(
         os.path.getsize(os.path.join(root, f))

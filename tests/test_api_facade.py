@@ -459,3 +459,43 @@ def test_compact_recovers_interrupted_swap(spark, db):
         if r.flags != 0
     )
     assert final == before
+
+
+def test_insert_after_interrupted_swap_keeps_history(spark, db):
+    """The review's nastiest scenario: compaction dies mid-swap, then an
+    INSERT arrives before any read.  The locked heal inside insert_batch
+    must restore the ._old history before the parquet append recreates
+    the dir — otherwise history is hidden now and deleted by the next
+    compaction's recovery."""
+    import os
+
+    var = db.get_set("router1").add_var("crashy2", step=300)
+    for i in range(3):
+        var.insert(300 * i, float(i))
+    os.rename(var._data, var._data + "._old")  # simulated mid-swap crash
+    var.insert(900, 99.0)  # first touch is a WRITE, not a read
+    got = {r.slot: r.value for r in var.select(0, 1200).collect()
+           if r.flags != 0}
+    assert got == {0: 0.0, 300: 1.0, 600: 2.0, 900: 99.0}
+    var.compact()  # and compaction still can't eat anything
+    got2 = {r.slot: r.value for r in var.select(0, 1200).collect()
+            if r.flags != 0}
+    assert got2 == got
+
+
+def test_timerange_empty_window_and_corrupt_level(spark, db):
+    """Empty/inverted windows return empty (never ValueError from level
+    routing), and a level directory left empty by a killed overwrite is
+    treated as unbuilt rather than served as silently-empty."""
+    import os
+
+    var = db.get_set("aggrtr").add_var("corrupt", step=300)
+    var.insert_batch([(t, 2.0) for t in range(0, 3600, 300)])
+    agg = var.add_aggregate("+1h")
+    # simulate a killed overwrite: dir exists, no committed part-files
+    os.makedirs(agg._data, exist_ok=True)
+    got = var.timerange(0, 3600, step=3600, cf="delta").collect()
+    assert len(got) == 1 and got[0].value == 24.0  # served from raw
+    # empty and inverted windows short-circuit before pick_level
+    assert var.timerange(100, 100, step=450).collect() == []
+    assert var.timerange(500, 400, step=450).collect() == []
