@@ -637,11 +637,19 @@ class TSDBVar(_Node):
         convention ``select`` uses."""
         if step is None:
             return self.select(begin, end)
+        from esxsnmp_tsdb_spark.sources.ladder import (
+            TIMERANGE_CFS,
+            timerange as _timerange,
+        )
+
+        # Validate cf even when the window is empty: a bad cf is a
+        # caller bug and must not depend on the window being non-empty.
+        if cf not in TIMERANGE_CFS:
+            raise ValueError(f"unknown consolidation function {cf!r}")
         if end <= begin:  # empty request stays empty, like select's
             return self.spark.createDataFrame(
                 [], "path string, slot long, value double, n long"
             )
-        from esxsnmp_tsdb_spark.sources.ladder import timerange as _timerange
 
         ladder = {}
         for name in self.list_aggregates():

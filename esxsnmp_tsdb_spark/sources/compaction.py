@@ -118,12 +118,19 @@ def compact_flat(
     old = path.rstrip(os.sep) + "._old"
     recover_swap(path)
 
-    total_bytes = sum(
-        os.path.getsize(os.path.join(root, f))
+    part_files = [
+        os.path.join(root, f)
         for root, _, files in os.walk(path)
         for f in files
         if f.endswith(".parquet")
-    )
+    ]
+    if not part_files:
+        # Nothing committed to fold.  Rewriting would materialize a
+        # committed 0-row part file, flipping readers' "unbuilt" (no
+        # part-files) signal to "built but empty" — e.g. timerange
+        # would route to a silently-empty aggregate level.
+        return
+    total_bytes = sum(os.path.getsize(f) for f in part_files)
     n_files = max(1, round(total_bytes / target_file_bytes))
     reader = spark.read.schema(schema) if schema else spark.read
     (

@@ -28,6 +28,9 @@ DEFAULT_LEVELS = (300, 3600, 86400)
 # Consolidation-function column produced per level.
 CF_COLS = ("average", "total", "vmin", "vmax", "last", "n")
 
+# Consolidation functions a timerange request may name (`cf=` query arg).
+TIMERANGE_CFS = ("average", "delta", "min", "max", "last")
+
 
 def _base_level(obs: DataFrame, step: int) -> DataFrame:
     return (
@@ -123,7 +126,7 @@ def timerange(
     should align begin/end to ``step`` (a slot straddling ``end`` reflects
     its full contents, not a partial re-read of raw data).
     """
-    if cf not in ("average", "delta", "min", "max", "last"):
+    if cf not in TIMERANGE_CFS:
         raise ValueError(f"unknown consolidation function {cf!r}")
     stored = pick_level(tuple(sorted(ladder)), step)
     df = ladder[stored].filter((F.col("slot") >= begin) & (F.col("slot") < end))

@@ -469,7 +469,7 @@ def test_insert_after_interrupted_swap_keeps_history(spark, db):
     compaction's recovery."""
     import os
 
-    var = db.get_set("router1").add_var("crashy2", step=300)
+    var = db.add_set("router1").add_var("crashy2", step=300)
     for i in range(3):
         var.insert(300 * i, float(i))
     os.rename(var._data, var._data + "._old")  # simulated mid-swap crash
@@ -489,13 +489,23 @@ def test_timerange_empty_window_and_corrupt_level(spark, db):
     treated as unbuilt rather than served as silently-empty."""
     import os
 
-    var = db.get_set("aggrtr").add_var("corrupt", step=300)
+    var = db.add_set("aggrtr").add_var("corrupt", step=300)
     var.insert_batch([(t, 2.0) for t in range(0, 3600, 300)])
     agg = var.add_aggregate("+1h")
     # simulate a killed overwrite: dir exists, no committed part-files
     os.makedirs(agg._data, exist_ok=True)
     got = var.timerange(0, 3600, step=3600, cf="delta").collect()
     assert len(got) == 1 and got[0].value == 24.0  # served from raw
+    # compacting the empty level must NOT commit a 0-row part file —
+    # that would flip the level from "unbuilt" to "built but empty" and
+    # re-route timerange to it
+    agg.compact()
+    assert agg.file_count() == 0
+    got2 = var.timerange(0, 3600, step=3600, cf="delta").collect()
+    assert len(got2) == 1 and got2[0].value == 24.0  # still from raw
     # empty and inverted windows short-circuit before pick_level
     assert var.timerange(100, 100, step=450).collect() == []
     assert var.timerange(500, 400, step=450).collect() == []
+    # ...but a bad cf is a caller bug regardless of the window
+    with pytest.raises(ValueError, match="consolidation"):
+        var.timerange(100, 100, step=450, cf="avg")
