@@ -509,3 +509,53 @@ def test_timerange_empty_window_and_corrupt_level(spark, db):
     # ...but a bad cf is a caller bug regardless of the window
     with pytest.raises(ValueError, match="consolidation"):
         var.timerange(100, 100, step=450, cf="avg")
+
+
+def test_compaction_crash_state_machine(spark, db):
+    """Every crash point of compact_flat's write -> rename -> rename ->
+    cleanup sequence heals to identical LWW winners, from any entry
+    point.  The mid-swap state (between the two renames) is exercised
+    above; this pins the other two: tmp-only (died before the swap) and
+    pre-cleanup (swap done, backup not yet removed) — the latter must
+    KEEP the live dir, not roll back."""
+    import os
+    import shutil
+
+    base = db.add_set("crashsm")
+    expect = {0: 0.0, 300: 1.0, 600: 2.0}
+
+    def fresh(name):
+        var = base.add_var(name, step=300)
+        for i in range(3):
+            var.insert(300 * i, float(i))
+        return var
+
+    def winners(var):
+        return {r.slot: r.value for r in var.select(0, 1200).collect()
+                if r.flags != 0}
+
+    # Died before the swap: a complete ._compact copy beside the live
+    # dir.  Heal drops the temp and keeps the live dir.
+    v1 = fresh("s1")
+    shutil.copytree(v1._data, v1._data + "._compact")
+    assert winners(v1) == expect
+    v1.compact()
+    assert winners(v1) == expect
+    assert not os.path.isdir(v1._data + "._compact")
+
+    # Died after the swap, before removing the backup: live dir is the
+    # compacted result, ._old the pre-compaction history.  The mutator
+    # entry point heals under its lock, keeps the live dir, drops the
+    # backup — and must NOT roll back to ._old.
+    v3 = fresh("s3")
+    shutil.copytree(v3._data, v3._data + "._old")
+    v3.insert(900, 9.0)
+    assert not os.path.isdir(v3._data + "._old")
+    assert winners(v3) == {**expect, 900: 9.0}
+
+    # recover_swap is idempotent: double-heal on a clean dir is a no-op.
+    from esxsnmp_tsdb_spark.sources.compaction import recover_swap
+
+    recover_swap(v3._data)
+    recover_swap(v3._data)
+    assert winners(v3) == {**expect, 900: 9.0}
