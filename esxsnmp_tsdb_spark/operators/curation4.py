@@ -47,7 +47,7 @@ hashed AS (
   SELECT doc_id, md5(shingle) AS h1, md5('x:' || shingle) AS h2
   FROM shingled
 ),
-sigs0 AS (
+sigs0 AS MATERIALIZED (
   SELECT doc_id,
          {", ".join(f"min(CAST('0x' || substr(h{b // 4 + 1}, {8 * (b % 4) + 1}, 8) AS BIGINT)) AS s{b}" for b in range(SWEEP_BANDS))}
   FROM hashed GROUP BY doc_id

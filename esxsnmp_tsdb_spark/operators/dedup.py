@@ -118,10 +118,16 @@ def _shingled(docs2: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     )
 
 
-def shingle_sql(k: int, src: str = "docs2", out: str = "shingled") -> str:
+def shingle_sql(
+    k: int, src: str = "docs2", out: str = "shingled", materialized: bool = False
+) -> str:
     """DuckDB twin of ``_shingled(..., k)``: distinct k-token shingles of
-    CTE ``src`` → CTE ``out``."""
-    return f"""{out} AS (
+    CTE ``src`` → CTE ``out``.  ``materialized`` pins DuckDB's
+    ``AS MATERIALIZED`` so an oracle that reads ``out`` several times
+    (the composed pipeline does, four ways) shingles once, not per
+    reference — the SQL twin of the Spark side's localCheckpoint."""
+    mat = " MATERIALIZED" if materialized else ""
+    return f"""{out} AS{mat} (
   SELECT doc_id, shingle FROM (
     SELECT DISTINCT doc_id,
            array_to_string(list_slice(string_split(text, ' '), i, i + {k - 1}), ' ')
@@ -134,7 +140,7 @@ def shingle_sql(k: int, src: str = "docs2", out: str = "shingled") -> str:
 )"""
 
 
-SHINGLE_SQL = shingle_sql(SHINGLE_K)
+SHINGLE_SQL = shingle_sql(SHINGLE_K, materialized=True)
 
 
 @op(
@@ -162,7 +168,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sigs_sql(src: str, out: str) -> str:
+def sigs_sql(src: str, out: str, materialized: bool = False) -> str:
     """DuckDB twin of ``_minhash_sigs``: per-(doc, band) MinHash
     signatures of shingle CTE ``src`` → CTE ``out``.  THE banding
     convention (one md5 per shingle sliced into {N_BANDS} disjoint
@@ -177,15 +183,16 @@ def sigs_sql(src: str, out: str) -> str:
         f"SELECT doc_id, {b} AS band, s{b} AS sig FROM {out}0"
         for b in range(N_BANDS)
     )
+    mat = " MATERIALIZED" if materialized else ""
     return f"""{out}h AS (SELECT doc_id, md5(shingle) AS h FROM {src}),
-{out}0 AS (SELECT doc_id, {mins} FROM {out}h GROUP BY doc_id),
+{out}0 AS{mat} (SELECT doc_id, {mins} FROM {out}h GROUP BY doc_id),
 {out} AS ({union})"""
 
 
 # MinHash candidate pairs (doc_a < doc_b), as a reusable SQL CTE chain and
 # the Spark twin below — used by dedup_near_minhash and the clustering op.
 MINHASH_PAIRS_SQL = f"""{NEAR_CTE}, {SHINGLE_SQL},
-{sigs_sql('shingled', 'sigs')},
+{sigs_sql('shingled', 'sigs', materialized=True)},
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
@@ -433,7 +440,7 @@ JACCARD_K = 6  # w-shingling width for the exact-Jaccard stage
 @op(
     "dedup_ngram_jaccard",
     oracle=f"""
-WITH {NEAR_CTE}, {shingle_sql(6)},
+WITH {NEAR_CTE}, {shingle_sql(6, materialized=True)},
 sizes AS (SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared

@@ -90,10 +90,10 @@ def build_minhash_index(spark: SparkSession, sf_dir: str) -> str:
     oracle=f"""
 WITH corpus AS (SELECT doc_id, text FROM documents),
 {BATCH_CTE},
-{shingle_sql(SHINGLE_K, 'corpus', 'cor_sh')},
-{sigs_sql('cor_sh', 'cor_sigs')},
-{shingle_sql(SHINGLE_K, 'batch', 'bat_sh')},
-{sigs_sql('bat_sh', 'bat_sigs')}
+{shingle_sql(SHINGLE_K, 'corpus', 'cor_sh', materialized=True)},
+{sigs_sql('cor_sh', 'cor_sigs', materialized=True)},
+{shingle_sql(SHINGLE_K, 'batch', 'bat_sh', materialized=True)},
+{sigs_sql('bat_sh', 'bat_sigs', materialized=True)}
 SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS match_id
 FROM bat_sigs b JOIN cor_sigs c ON b.band = c.band AND b.sig = c.sig
 """,
@@ -238,10 +238,10 @@ def dedup_semantic_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH corpus AS (SELECT doc_id, text FROM documents),
 {BATCH_CTE},
-{shingle_sql(SHINGLE_K, 'corpus', 'cor_sh')},
-{sigs_sql('cor_sh', 'cor_sigs')},
-{shingle_sql(SHINGLE_K, 'batch', 'bat_sh')},
-{sigs_sql('bat_sh', 'bat_sigs')},
+{shingle_sql(SHINGLE_K, 'corpus', 'cor_sh', materialized=True)},
+{sigs_sql('cor_sh', 'cor_sigs', materialized=True)},
+{shingle_sql(SHINGLE_K, 'batch', 'bat_sh', materialized=True)},
+{sigs_sql('bat_sh', 'bat_sigs', materialized=True)},
 targets AS (
   SELECT doc_id, band, sig, -1 AS part FROM cor_sigs
   UNION ALL

@@ -176,10 +176,13 @@ _OPERATOR_MODULES = (
     "esxsnmp_tsdb_spark.operators.streaming_ops2",
     "esxsnmp_tsdb_spark.operators.streaming_ops3",
     "esxsnmp_tsdb_spark.operators.rrd_pipeline",
-    # dedup2 stays LAST: its ops are the round's newest additions, and
-    # registration order is the attestation-window tiebreak — new keys
-    # must never displace older unattested debt (VERDICT r4 item 1).
+    # Newest modules stay LAST: registration order is the
+    # attestation-window tiebreak — new keys must never displace older
+    # unattested debt (VERDICT r4 item 1).  dedup2 = round 5;
+    # training_mix = round 6 (with storage2's ts_bin_split_bucketed it
+    # fills the round-6 50-key window exactly: 48 debt + 2 round-6 ops).
     "esxsnmp_tsdb_spark.operators.dedup2",
+    "esxsnmp_tsdb_spark.operators.training_mix",
 )
 
 _loaded = False

@@ -599,3 +599,94 @@ def test_assign_cells_zero_norm_deterministic(spark):
     min_cid = curation8._cell_seeds(e).agg(F.min("cid").alias("m")).collect()[0].m
     assert row.cid == min_cid
     assert row.best_cos is None  # the sentinel never leaks into best_cos
+
+
+def test_pretraining_mix_funnel_and_ppm(spark):
+    """pipeline_pretraining_mix invariants the oracle hash can't state:
+    the funnel is monotone per language (each stage only removes docs),
+    every stage keeps something at smoke scale, the per-lang token budget
+    is respected, and mix_ppm is exactly the half-up ppm of each lang's
+    sampled tokens over the total."""
+    from esxsnmp_tsdb_spark.operators import training_mix as tm
+
+    rows = tm.pipeline_pretraining_mix(spark, SF_SMOKE).collect()
+    assert sorted(r.lang for r in rows) == sorted(tm.MIX_LANGS)
+    total = sum(r.tokens_sampled for r in rows)
+    assert total > 0
+    for r in rows:
+        assert (
+            r.docs_quality
+            >= r.docs_exact
+            >= r.docs_near
+            >= r.docs_clean
+            >= r.docs_sampled
+            > 0
+        ), r
+        assert 0 < r.tokens_sampled <= tm.MIX_BUDGET_TOKENS, r
+        # half-up integer ppm, recomputed exactly
+        assert r.mix_ppm == (2 * r.tokens_sampled * 1_000_000 + total) // (
+            2 * total
+        ), r
+    # half-up quantization keeps the shares within ±1 ppm per lang of 1e6
+    assert abs(sum(r.mix_ppm for r in rows) - 1_000_000) <= len(rows)
+
+
+def test_pretraining_mix_dedup_stage_accounting(spark):
+    """Stage-removal accounting against independently recomputed fixture
+    counts.
+
+    Exact stage: every original passing the quality gate forms an
+    identical-text pair with its +100000 copy, and exactly one member of
+    each pair is removed — so per lang the stage removes AT LEAST
+    orig_q docs (mutant texts colliding with other docs can only remove
+    more).
+
+    Near stage: every quality-surviving long (≥10-token) mutant is a
+    guaranteed verified duplicate of its original (subset shingle sets:
+    J = |B|/|A| = (n-6)/(n-5) ≥ 0.8 ⟺ n ≥ 10, and the original — the
+    smallest id of its text group — always survives the exact stage), so
+    it is removed by the exact stage (text collision) or the near stage.
+    Exact-stage collisions beyond the orig_q pairs are observable as
+    extra = (docs_quality - orig_q) - docs_exact, giving the bound
+    docs_exact - docs_near ≥ mut10_q - extra per lang."""
+    from esxsnmp_tsdb_spark.operators import training_mix as tm
+
+    rows = {
+        r.lang: r for r in tm.pipeline_pretraining_mix(spark, SF_SMOKE).collect()
+    }
+    quality_gate = (
+        (F.length("text") >= tm.MIX_MIN_CHARS)
+        & (
+            tm.MIX_CLEAN_DEN * F.length(F.regexp_replace("text", "[^a-z ]", ""))
+            >= tm.MIX_CLEAN_NUM * F.length("text")
+        )
+        & F.col("lang").isin(*tm.MIX_LANGS)
+    )
+    docs = register_views(spark, SF_SMOKE)["documents"]
+    orig_q = {
+        r.lang: r.n
+        for r in docs.filter(quality_gate)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    mut10_q = {
+        r.lang: r.n
+        for r in tm._mix_corpus(docs)
+        .filter(
+            (F.col("doc_id") >= 200000)
+            & quality_gate
+            # dense-shingle threshold: 5*(n-6) >= 4*(n-5) <=> n >= 10
+            & (F.size(F.split("text", " ")) >= 10)
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for lang, r in rows.items():
+        exact_removed = r.docs_quality - r.docs_exact
+        assert exact_removed >= orig_q[lang], lang
+        extra = exact_removed - orig_q[lang]
+        near_removed = r.docs_exact - r.docs_near
+        assert near_removed >= mut10_q.get(lang, 0) - extra, lang
+        assert near_removed > 0, lang  # the stage demonstrably fires
