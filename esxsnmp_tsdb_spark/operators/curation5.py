@@ -157,6 +157,35 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
 
 TOKEN_BUDGET = 800  # tokens kept per source by sample_token_budget
 
+# THE token-budget prefix convention — hash order, running-token window,
+# cum ≤ budget keeps — single-sourced here (both dialects) for
+# sample_token_budget and the composed pipeline (training_mix), so a
+# change to the ordering or keep rule cannot half-apply.
+BUDGET_HASH_SQL = "md5(CAST(doc_id AS VARCHAR))[1:16]"
+
+
+def budget_cum_sql(partition: str) -> str:
+    """DuckDB running token sum in (h, doc_id) order within ``partition``
+    — expects columns ``tok`` and ``h`` (from BUDGET_HASH_SQL)."""
+    return (
+        f"""sum(tok) OVER (PARTITION BY {partition} ORDER BY h, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+    )
+
+
+def budget_hash_col():
+    """Spark twin of BUDGET_HASH_SQL."""
+    return F.expr("substring(md5(CAST(doc_id AS STRING)), 1, 16)")
+
+
+def budget_cum_window(partition: str):
+    """Spark twin of ``budget_cum_sql``'s window."""
+    return (
+        Window.partitionBy(partition)
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
 
 @op(
     "sample_token_budget",
@@ -164,13 +193,12 @@ TOKEN_BUDGET = 800  # tokens kept per source by sample_token_budget
 WITH toks AS (
   SELECT source, doc_id,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
-         {{hash}} AS h
+         {BUDGET_HASH_SQL} AS h
   FROM documents
 ),
 ordered AS (
   SELECT source, tok,
-         sum(tok) OVER (PARTITION BY source ORDER BY h, doc_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         {budget_cum_sql('source')}
            AS cum
   FROM toks
 )
@@ -183,7 +211,7 @@ SELECT source,
        round(sum(CASE WHEN cum <= {TOKEN_BUDGET} THEN tok ELSE 0 END)
              / {TOKEN_BUDGET}.0, 6) AS budget_used
 FROM ordered GROUP BY source
-""".format(hash="md5(CAST(doc_id AS VARCHAR))[1:16]"),
+""",
 )
 def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sampling — the pretraining-mix primitive
@@ -203,14 +231,11 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "doc_id",
         F.size(F.split("text", " ")).cast("bigint").alias("tok"),
-        F.expr("substring(md5(CAST(doc_id AS STRING)), 1, 16)").alias("h"),
+        budget_hash_col().alias("h"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered = toks.withColumn(
+        "cum", F.sum("tok").over(budget_cum_window("source"))
     )
-    ordered = toks.withColumn("cum", F.sum("tok").over(w))
     kept = F.col("cum") <= TOKEN_BUDGET
     return ordered.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_total"),

@@ -56,10 +56,14 @@ DUP_CTE = """docs2 AS (
 # The drop-last-token mutated arm (doc_id + 100000) — SQL twin of
 # `_near_batch`, single-sourced so every oracle that manufactures the
 # "arriving batch" (here and in dedup2) mutates the same fixture.
+# coalesce: for a 1-token doc DuckDB's array_to_string over the empty
+# slice yields NULL while Spark's concat_ws yields '' — pin the twin to
+# '' explicitly so the representations agree even where no later filter
+# happens to mask the difference.
 NEAR_BATCH_SQL = """SELECT doc_id + 100000 AS doc_id,
-         array_to_string(
+         coalesce(array_to_string(
            list_slice(string_split(text, ' '), 1,
-                      len(string_split(text, ' ')) - 1), ' ') AS text
+                      len(string_split(text, ' ')) - 1), ' '), '') AS text
   FROM documents"""
 
 # near-dup corpus: original ∪ drop-last-token mutation
@@ -189,15 +193,23 @@ def sigs_sql(src: str, out: str, materialized: bool = False) -> str:
 {out} AS ({union})"""
 
 
+def pairs_sql(sigs: str, out: str = "pairs") -> str:
+    """THE LSH candidate-pair convention (DISTINCT (band, sig) equi-join,
+    doc_a < doc_b) — single-sourced here and in `_pairs_from_sigs` only,
+    for MINHASH_PAIRS_SQL and the composed pipeline's oracle, so a change
+    to the candidate rule cannot half-apply."""
+    return f"""{out} AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM {sigs} a JOIN {sigs} b ON a.band = b.band AND a.sig = b.sig
+                         AND a.doc_id < b.doc_id
+)"""
+
+
 # MinHash candidate pairs (doc_a < doc_b), as a reusable SQL CTE chain and
 # the Spark twin below — used by dedup_near_minhash and the clustering op.
 MINHASH_PAIRS_SQL = f"""{NEAR_CTE}, {SHINGLE_SQL},
 {sigs_sql('shingled', 'sigs', materialized=True)},
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
-                         AND a.doc_id < b.doc_id
-)"""
+{pairs_sql('sigs')}"""
 
 
 def _minhash_sigs(

@@ -37,8 +37,13 @@ Design points, in pipeline order:
   dedup_connected_components.
 - Decontamination: held-out eval docs (doc_id % EVAL_MOD == 0 among
   near-dedup survivors) are excluded from training, and any training doc
-  sharing a 6-shingle with the eval slice is dropped (decontaminate_ngram
-  reports this overlap; here the pipeline acts on it).
+  sharing a 6-shingle with the eval slice is dropped.  This ACTS on the
+  pipeline's own 6-gram overlap (the shared JACCARD_K shingle pass) —
+  deliberately wider-grained than decontaminate_ngram's 3-gram REPORT
+  (DECON_K=3 flags much more: on short synthetic text 3-gram overlap
+  marks ~98% of the corpus contaminated, which is a report, not a
+  deletion rule).  The two ops share the eval-slice convention
+  (EVAL_MOD), not the shingle width.
 - Token budget: per-language hash-ordered prefix (md5(doc_id) order)
   until the cumulative whitespace-token count reaches
   MIX_BUDGET_TOKENS — mix recipes are specified in tokens, not docs
@@ -64,12 +69,19 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from esxsnmp_tsdb_spark.operators.curation import EVAL_MOD
+from esxsnmp_tsdb_spark.operators.curation5 import (
+    BUDGET_HASH_SQL,
+    budget_cum_sql,
+    budget_cum_window,
+    budget_hash_col,
+)
 from esxsnmp_tsdb_spark.operators.dedup import (
     JACCARD_K,
     _minhash_sigs,
     _pairs_from_sigs,
     _shingled,
     _t,
+    pairs_sql,
     shingle_sql,
     sigs_sql,
 )
@@ -90,9 +102,9 @@ WITH corpus AS (
   SELECT doc_id + 100000 AS doc_id, lang, text FROM documents
   UNION ALL
   SELECT doc_id + 200000 AS doc_id, lang,
-         array_to_string(list_slice(string_split(text, ' '), 1,
-                                    len(string_split(text, ' ')) - 1), ' ')
-           AS text
+         coalesce(array_to_string(list_slice(string_split(text, ' '), 1,
+                                    len(string_split(text, ' ')) - 1), ' '),
+                  '') AS text
   FROM documents
 ),
 quality AS MATERIALIZED (
@@ -112,11 +124,7 @@ exact_kept AS MATERIALIZED (
 ),
 {shingle_sql(JACCARD_K, src="exact_kept", out="shingled", materialized=True)},
 {sigs_sql('shingled', 'sigs', materialized=True)},
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
-                         AND a.doc_id < b.doc_id
-),
+{pairs_sql('sigs')},
 sizes AS MATERIALIZED (
   SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id
 ),
@@ -157,13 +165,12 @@ clean AS MATERIALIZED (
 toks AS (
   SELECT doc_id, lang,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
-         md5(CAST(doc_id AS VARCHAR))[1:16] AS h
+         {BUDGET_HASH_SQL} AS h
   FROM clean
 ),
 cum AS (
   SELECT lang, tok,
-         sum(tok) OVER (PARTITION BY lang ORDER BY h, doc_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         {budget_cum_sql('lang')}
            AS c
   FROM toks
 ),
@@ -290,12 +297,17 @@ def pipeline_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
+    # No broadcast hints here: the eval slice is ~1/EVAL_MOD of the whole
+    # post-dedup corpus by construction — not a small fixed benchmark like
+    # decontaminate_ngram's — so its shingle set grows with the corpus and
+    # must stay eligible for a shuffle join (forcing broadcast would OOM
+    # at the scale the module docstring designs for).
     evals = near_kept.filter(F.col("doc_id") % EVAL_MOD == 0).select("doc_id")
-    eval_sh = sh.join(F.broadcast(evals), "doc_id").select("shingle").distinct()
+    eval_sh = sh.join(evals, "doc_id").select("shingle").distinct()
     contaminated = (
         sh.join(near_kept.select("doc_id"), "doc_id")
         .filter(F.col("doc_id") % EVAL_MOD != 0)
-        .join(F.broadcast(eval_sh), "shingle")
+        .join(eval_sh, "shingle")
         .select("doc_id")
         .distinct()
     )
@@ -304,19 +316,9 @@ def pipeline_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(contaminated, "doc_id", "left_anti")
     ).localCheckpoint()
 
-    toks = clean.select(
-        "lang",
-        "doc_id",
-        "tok",
-        F.expr("substring(md5(CAST(doc_id AS STRING)), 1, 16)").alias("h"),
-    )
-    wcum = (
-        Window.partitionBy("lang")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    toks = clean.select("lang", "doc_id", "tok", budget_hash_col().alias("h"))
     sampled = (
-        toks.withColumn("c", F.sum("tok").over(wcum))
+        toks.withColumn("c", F.sum("tok").over(budget_cum_window("lang")))
         .filter(F.col("c") <= MIX_BUDGET_TOKENS)
         .select("lang", "tok")
     )
