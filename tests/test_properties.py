@@ -260,3 +260,56 @@ def test_cdc_substitution_is_local(spark, toks, data):
     n_chunks = sum(sig0.values())
     matched = sum(min(sig0[s], sig1[s]) for s in sig0)
     assert matched >= n_chunks - 2, (n_chunks, matched, toks, pos, repl)
+
+
+@given(
+    toks=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=50),  # token count
+            st.sampled_from(["a", "b"]),  # partition key
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    budget=st.integers(min_value=1, max_value=200),
+)
+@PROP
+def test_budget_prefix_matches_reference(spark, toks, budget):
+    """The token-budget prefix convention (curation5.budget_hash_col /
+    budget_cum_window, shared by sample_token_budget and
+    pipeline_pretraining_mix): for ANY doc-length multiset and budget,
+    the kept set must equal a sequential walk of each partition in
+    (md5-hash, doc_id) order keeping docs while the running token total
+    stays within budget — i.e. the distributed window is exactly the
+    deterministic greedy prefix, independent of input order and
+    partitioning."""
+    import hashlib
+
+    from esxsnmp_tsdb_spark.operators.curation5 import (
+        budget_cum_window,
+        budget_hash_col,
+    )
+
+    rows = [(i, part, tok) for i, (tok, part) in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, part string, tok long")
+    out = (
+        df.select("doc_id", "part", "tok", budget_hash_col().alias("h"))
+        .withColumn("cum", F.sum("tok").over(budget_cum_window("part")))
+        .filter(F.col("cum") <= budget)
+    )
+    got = sorted(r.doc_id for r in out.collect())
+
+    # reference: per-partition greedy prefix in (md5-prefix, doc_id) order
+    expect = []
+    for part in {p for _, p, _ in rows}:
+        members = sorted(
+            ((hashlib.md5(str(i).encode()).hexdigest()[:16], i, tok)
+             for i, p, tok in rows if p == part),
+        )
+        running = 0
+        for _, i, tok in members:
+            running += tok
+            if running > budget:
+                break
+            expect.append(i)
+    assert got == sorted(expect)
