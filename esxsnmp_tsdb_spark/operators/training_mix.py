@@ -54,8 +54,8 @@ Design points, in pipeline order:
 Scale: the only joins are (band, sig) equi-joins, shingle equi-joins
 bounded by the candidate set, and 4-row lang-key manifest joins
 (broadcast).  Stage tables are localCheckpoint-ed exactly where they
-fan out to multiple consumers (quality/exact survivors, the shingle
-table, near survivors, the 4-row per-lang sample aggregate); at 100 TB
+fan out to multiple consumers (the exact survivors, the shingle table,
+the near/clean survivors, the 4-row per-lang sample aggregate); at 100 TB
 those checkpoints become persisted inter-stage tables, and the funnel
 counts read them instead of re-deriving lineage.  The manifest's
 total-token normalizer is a 1-row broadcast (BroadcastNestedLoopJoin,
