@@ -5,6 +5,7 @@ from esxsnmp_tsdb_spark.plans.explain import (
     plan_str,
     plan_violations,
     pushed_filters,
+    raw_single_partition_sites,
     read_schema,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "plan_str",
     "plan_violations",
     "pushed_filters",
+    "raw_single_partition_sites",
     "read_schema",
 ]

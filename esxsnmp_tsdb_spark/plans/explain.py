@@ -56,11 +56,35 @@ GLOBAL_WINDOW_RE = re.compile(
     r"Window [^\n]*\n(?:[^\n]*\n){0,2}?[^\n]*Exchange SinglePartition"
 )
 
+# Every Exchange SinglePartition with the line that FEEDS it (simple
+# mode prints a node's child on the next line).  A single-partition
+# exchange is scale-safe only when that producer is an aggregate —
+# one pre-combined row per upstream partition (the global-scalar
+# count/sum/percentile pattern); fed by a scan/join/project/sort it is a
+# full-table funnel through one task.  Shared by tests/test_plan_audit.py
+# (invariant 4) and plan_violations (the bench.py per-query gate).
+SP_EXCHANGE_RE = re.compile(r"Exchange SinglePartition[^\n]*\n[^\n]*")
+SP_FED_BY_AGG_RE = re.compile(
+    r"Exchange SinglePartition[^\n]*\n[^\n]*?"
+    r"(HashAggregate|ObjectHashAggregate|SortAggregate)\("
+)
+
+
+def raw_single_partition_sites(plan: str) -> list[str]:
+    """Exchange-SinglePartition sites NOT fed by an aggregate (the
+    producer line, for the error message); empty = clean."""
+    return [
+        s.splitlines()[-1].strip()
+        for s in SP_EXCHANGE_RE.findall(plan)
+        if not SP_FED_BY_AGG_RE.match(s)
+    ]
+
 
 def plan_violations(df: DataFrame) -> list[str]:
     """Scale anti-patterns present in the plan (empty list = clean):
-    row-at-a-time Python UDFs, unbroadcast cartesian products, and
-    single-partition windows."""
+    row-at-a-time Python UDFs, unbroadcast cartesian products,
+    single-partition windows, and single-partition exchanges carrying
+    anything other than pre-combined aggregate rows."""
     p = plan_str(df, "simple")
     out = []
     if "BatchEvalPython" in p:
@@ -69,6 +93,9 @@ def plan_violations(df: DataFrame) -> list[str]:
         out.append("CartesianProduct")
     if GLOBAL_WINDOW_RE.search(p):
         out.append("single-partition Window")
+    raw = raw_single_partition_sites(p)
+    if raw:
+        out.append(f"raw single-partition exchange ({raw[0][:60]})")
     return out
 
 

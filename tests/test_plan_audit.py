@@ -1,6 +1,6 @@
 """Registry-wide physical-plan audit (SURVEY.md §4).
 
-Three invariants that decide whether ANY plan survives a 100× scale-up,
+Four invariants that decide whether ANY plan survives a 100× scale-up,
 checked for every registered batch op, not just the hand-picked set in
 test_plans.py:
 
@@ -16,6 +16,11 @@ test_plans.py:
    non-foldable constant partition key (functions/topk.py:
    bounded_running) so the single logical partition is explicit in code
    and the exchange stays a hash exchange.
+4. Every ``Exchange SinglePartition`` anywhere in the plan must be fed
+   by an aggregate node (Hash/ObjectHash/SortAggregate) — the single
+   task then receives one pre-combined row per upstream partition (the
+   global-scalar pattern), never raw rows.  Strictly stronger than 3;
+   shared with bench.py via plans.raw_single_partition_sites.
 
 Streaming ops and write ops execute eagerly on call, so they are skipped
 here (their semantics are covered by the oracle/rows checks; streaming
@@ -27,7 +32,11 @@ from __future__ import annotations
 import pytest
 
 from esxsnmp_tsdb_spark import registry
-from esxsnmp_tsdb_spark.plans import GLOBAL_WINDOW_RE, plan_str
+from esxsnmp_tsdb_spark.plans import (
+    GLOBAL_WINDOW_RE,
+    plan_str,
+    raw_single_partition_sites,
+)
 from tests.conftest import SF_ORACLE
 
 registry.load_all()
@@ -79,3 +88,23 @@ def test_no_single_partition_window(simple_plans):
         k for k, p in simple_plans.items() if GLOBAL_WINDOW_RE.search(p)
     ]
     assert not offenders, f"global (single-partition) window in: {offenders}"
+
+
+# Invariant 4 (strictly stronger than 3): EVERY Exchange SinglePartition
+# in EVERY batch plan must be fed by an aggregate node — i.e. the single
+# task only ever receives one pre-combined row per upstream partition
+# (the global-scalar pattern: count/sum/percentile over partials), never
+# raw rows.  A SinglePartition exchange whose producer is a scan, join,
+# project, or sort is a full-table funnel through one task — the plan
+# shape that dies first at 100×.  The producer regexes are single-sourced
+# in plans/explain.py (raw_single_partition_sites), which bench.py's
+# per-query hygiene gate enforces too.
+def test_single_partition_exchanges_carry_only_aggregates(simple_plans):
+    offenders = {
+        k: bad
+        for k, p in simple_plans.items()
+        if (bad := [s[:80] for s in raw_single_partition_sites(p)])
+    }
+    assert not offenders, (
+        f"Exchange SinglePartition fed by a non-aggregate in: {offenders}"
+    )
