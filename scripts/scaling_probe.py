@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Measured scale-up probe: does the engine's wall time grow linearly
+with the data, with an unchanged shuffle count?
+
+Local mode cannot demonstrate a 1000-executor cluster, but it CAN
+falsify the scaling claim cheaply: replicate the `events` fixture N×
+along the SERIES axis (user_id/event_type make the obs path, so offset
+user_id per replica — the 100 TB growth axis is more interfaces, not a
+longer window), keep every other fixture identical, and time the
+obs-path operators warm at 1× and N×.  A plan that funnels through one
+task, re-shuffles per consumer, or grows its exchange count shows
+super-linear time here; a partition-parallel plan shows ~N× on the
+explode/shuffle-heavy ops and less on ops dominated by fixed per-job
+overhead.
+
+    python scripts/scaling_probe.py            # N=10, default ops
+    python scripts/scaling_probe.py --factor 4 --ops ts_rate,ts_downsample_avg
+
+Prints one JSON line: per-op {1x, Nx, ratio} plus the exchange counts
+read from each plan (must be equal at both scales).
+
+The event_id offset per replica is a multiple of 10 so the derived
+flags distribution (event_id % 10) is preserved exactly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from esxsnmp_tsdb_spark import registry
+from esxsnmp_tsdb_spark.operators._workdirs import op_dir
+from esxsnmp_tsdb_spark.plans import plan_str
+from esxsnmp_tsdb_spark.session import get_session
+from esxsnmp_tsdb_spark.sources.catalog import TABLES
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_OPS = (
+    "ts_range_scan",
+    "ts_slot_dedup",
+    "ts_rate",
+    "ts_downsample_avg",
+    "ts_agg_cascade",
+    "ts_bin_split",
+)
+
+
+def build_scaled_dir(spark, factor: int) -> str:
+    """events replicated ``factor``× along the series axis; every other
+    table symlinked from BASE_SF."""
+    d = op_dir("scaling_probe", fresh=True)
+    ev = spark.read.parquet(f"{BASE_SF}/events.parquet")
+    from pyspark.sql import functions as F
+
+    bounds = ev.agg(
+        F.max("user_id").alias("mu"), F.max("event_id").alias("me")
+    ).collect()[0]
+    u_off = int(bounds.mu) + 1
+    e_off = (int(bounds.me) // 10 + 1) * 10  # multiple of 10: flags preserved
+    replicas = [
+        ev.select(
+            (F.col("event_id") + k * e_off).alias("event_id"),
+            "ts",
+            (F.col("user_id") + k * u_off).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for k in range(factor)
+    ]
+    scaled = replicas[0]
+    for r in replicas[1:]:
+        scaled = scaled.unionAll(r)
+    scaled.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    for t in TABLES:
+        if t == "events":
+            continue
+        os.symlink(f"{BASE_SF}/{t}.parquet", f"{d}/{t}.parquet")
+    return d
+
+
+def time_op(spark, key: str, sf_dir: str, passes: int = 3) -> float:
+    fn = registry.QUERIES[key]
+    best = float("inf")
+    for _ in range(passes):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--ops", default=",".join(DEFAULT_OPS))
+    args = ap.parse_args()
+    ops = [o for o in args.ops.split(",") if o]
+
+    registry.load_all()
+    spark = get_session()
+    scaled = build_scaled_dir(spark, args.factor)
+
+    out = {"factor": args.factor, "base_sf": BASE_SF, "ops": {}}
+    for key in ops:
+        ex1 = plan_str(
+            registry.QUERIES[key](spark, BASE_SF), "simple"
+        ).count("Exchange")
+        exn = plan_str(
+            registry.QUERIES[key](spark, scaled), "simple"
+        ).count("Exchange")
+        t1 = time_op(spark, key, BASE_SF)
+        tn = time_op(spark, key, scaled)
+        out["ops"][key] = {
+            "t_1x": t1,
+            f"t_{args.factor}x": tn,
+            "ratio": round(tn / t1, 2) if t1 else None,
+            "exchanges_1x": ex1,
+            f"exchanges_{args.factor}x": exn,
+        }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
