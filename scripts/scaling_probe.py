@@ -48,6 +48,13 @@ DEFAULT_OPS = (
     "ts_agg_cascade",
     "ts_bin_split",
 )
+DEFAULT_DOC_OPS = (
+    "dedup_exact",
+    "dedup_near_minhash",
+    "text_tokenize_stats",
+    "quality_filter_funnel",
+    "pipeline_pretraining_mix",
+)
 
 
 def build_scaled_dir(spark, factor: int) -> str:
@@ -84,6 +91,49 @@ def build_scaled_dir(spark, factor: int) -> str:
     return d
 
 
+def build_scaled_docs_dir(spark, factor: int) -> str:
+    """documents replicated ``factor``× along the corpus axis.  Replica
+    texts get a distinct ``r<k>`` prefix token so shingle/hash volume
+    grows linearly (the non-duplicate 100 TB corpus shape) instead of
+    manufacturing factor-sized duplicate groups whose pair counts would
+    grow quadratically by construction.  doc_id offsets are multiples of
+    970 (= 97·10): the EVAL_MOD eval-slice membership and every mod-10
+    derived property are preserved per replica, and the ids stay below
+    the +100000 range the dedup ops use for manufactured copies."""
+    d = op_dir("scaling_probe_docs", fresh=True)
+    docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    off = 9700  # max sf0.1 doc_id is 4999; 9·9700+4999 < 100000
+    replicas = [
+        docs.select(
+            (F.col("doc_id") + k * off).alias("doc_id"),
+            (
+                F.col("text")
+                if k == 0
+                else F.concat(F.lit(f"r{k} "), F.col("text"))
+            ).alias("text"),
+            "lang",
+            "source",
+            (
+                F.col("n_chars")
+                if k == 0
+                else (F.col("n_chars") + len(f"r{k} ")).alias("n_chars")
+            ),
+        )
+        for k in range(factor)
+    ]
+    scaled = replicas[0]
+    for r in replicas[1:]:
+        scaled = scaled.unionAll(r)
+    scaled.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    for t in TABLES:
+        if t == "documents":
+            continue
+        os.symlink(f"{BASE_SF}/{t}.parquet", f"{d}/{t}.parquet")
+    return d
+
+
 def time_op(spark, key: str, sf_dir: str, passes: int = 3) -> float:
     fn = registry.QUERIES[key]
     best = float("inf")
@@ -97,15 +147,23 @@ def time_op(spark, key: str, sf_dir: str, passes: int = 3) -> float:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
-    ap.add_argument("--ops", default=",".join(DEFAULT_OPS))
+    ap.add_argument("--table", choices=("events", "documents"), default="events")
+    ap.add_argument("--ops", default=None)
     args = ap.parse_args()
-    ops = [o for o in args.ops.split(",") if o]
+    defaults = DEFAULT_OPS if args.table == "events" else DEFAULT_DOC_OPS
+    ops = [o for o in (args.ops or ",".join(defaults)).split(",") if o]
 
     registry.load_all()
     spark = get_session()
-    scaled = build_scaled_dir(spark, args.factor)
+    build = build_scaled_dir if args.table == "events" else build_scaled_docs_dir
+    scaled = build(spark, args.factor)
 
-    out = {"factor": args.factor, "base_sf": BASE_SF, "ops": {}}
+    out = {
+        "factor": args.factor,
+        "table": args.table,
+        "base_sf": BASE_SF,
+        "ops": {},
+    }
     for key in ops:
         ex1 = plan_str(
             registry.QUERIES[key](spark, BASE_SF), "simple"
