@@ -57,20 +57,37 @@ DEFAULT_DOC_OPS = (
 )
 
 
+def _write_scaled(spark, table: str, factor: int, replica_fn, workdir: str) -> str:
+    """Shared scaffolding: union ``factor`` replicas of ``table`` (replica
+    k built by ``replica_fn(base_df, k)``), write to a scratch dir, and
+    symlink every other fixture from BASE_SF."""
+    d = op_dir(workdir, fresh=True)
+    base = spark.read.parquet(f"{BASE_SF}/{table}.parquet")
+    scaled = replica_fn(base, 0)
+    for k in range(1, factor):
+        scaled = scaled.unionAll(replica_fn(base, k))
+    scaled.write.mode("overwrite").parquet(f"{d}/{table}.parquet")
+    for t in TABLES:
+        if t == table:
+            continue
+        os.symlink(f"{BASE_SF}/{t}.parquet", f"{d}/{t}.parquet")
+    return d
+
+
 def build_scaled_dir(spark, factor: int) -> str:
     """events replicated ``factor``× along the series axis; every other
     table symlinked from BASE_SF."""
-    d = op_dir("scaling_probe", fresh=True)
-    ev = spark.read.parquet(f"{BASE_SF}/events.parquet")
     from pyspark.sql import functions as F
 
+    ev = spark.read.parquet(f"{BASE_SF}/events.parquet")
     bounds = ev.agg(
         F.max("user_id").alias("mu"), F.max("event_id").alias("me")
     ).collect()[0]
     u_off = int(bounds.mu) + 1
     e_off = (int(bounds.me) // 10 + 1) * 10  # multiple of 10: flags preserved
-    replicas = [
-        ev.select(
+
+    def replica(base, k):
+        return base.select(
             (F.col("event_id") + k * e_off).alias("event_id"),
             "ts",
             (F.col("user_id") + k * u_off).alias("user_id"),
@@ -78,17 +95,8 @@ def build_scaled_dir(spark, factor: int) -> str:
             "value",
             "props",
         )
-        for k in range(factor)
-    ]
-    scaled = replicas[0]
-    for r in replicas[1:]:
-        scaled = scaled.unionAll(r)
-    scaled.write.mode("overwrite").parquet(f"{d}/events.parquet")
-    for t in TABLES:
-        if t == "events":
-            continue
-        os.symlink(f"{BASE_SF}/{t}.parquet", f"{d}/{t}.parquet")
-    return d
+
+    return _write_scaled(spark, "events", factor, replica, "scaling_probe")
 
 
 def build_scaled_docs_dir(spark, factor: int) -> str:
@@ -96,17 +104,27 @@ def build_scaled_docs_dir(spark, factor: int) -> str:
     texts get a distinct ``r<k>`` prefix token so shingle/hash volume
     grows linearly (the non-duplicate 100 TB corpus shape) instead of
     manufacturing factor-sized duplicate groups whose pair counts would
-    grow quadratically by construction.  doc_id offsets are multiples of
-    970 (= 97·10): the EVAL_MOD eval-slice membership and every mod-10
-    derived property are preserved per replica, and the ids stay below
-    the +100000 range the dedup ops use for manufactured copies."""
-    d = op_dir("scaling_probe_docs", fresh=True)
-    docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    grow quadratically by construction.  The doc_id offset is derived
+    from the fixture as a multiple of 970 (= 97·10) so the EVAL_MOD
+    eval-slice membership and every mod-10 derived property are
+    preserved per replica; the whole scaled id range must stay below the
+    +100000 manufactured-copy arm the dedup ops add, or replica ids
+    would collide with copy ids and pair counts would explode
+    quadratically — asserted, not assumed."""
     from pyspark.sql import functions as F
 
-    off = 9700  # max sf0.1 doc_id is 4999; 9·9700+4999 < 100000
-    replicas = [
-        docs.select(
+    docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    max_id = int(docs.agg(F.max("doc_id").alias("m")).collect()[0].m)
+    off = (max_id // 970 + 1) * 970
+    if (factor - 1) * off + max_id >= 100_000:
+        raise SystemExit(
+            f"--factor {factor} on max doc_id {max_id} would push replica "
+            f"ids into the +100000 manufactured-copy range; use a smaller "
+            f"factor or fixture"
+        )
+
+    def replica(base, k):
+        return base.select(
             (F.col("doc_id") + k * off).alias("doc_id"),
             (
                 F.col("text")
@@ -121,17 +139,8 @@ def build_scaled_docs_dir(spark, factor: int) -> str:
                 else (F.col("n_chars") + len(f"r{k} ")).alias("n_chars")
             ),
         )
-        for k in range(factor)
-    ]
-    scaled = replicas[0]
-    for r in replicas[1:]:
-        scaled = scaled.unionAll(r)
-    scaled.write.mode("overwrite").parquet(f"{d}/documents.parquet")
-    for t in TABLES:
-        if t == "documents":
-            continue
-        os.symlink(f"{BASE_SF}/{t}.parquet", f"{d}/{t}.parquet")
-    return d
+
+    return _write_scaled(spark, "documents", factor, replica, "scaling_probe_docs")
 
 
 def time_op(spark, key: str, sf_dir: str, passes: int = 3) -> float:
