@@ -55,6 +55,13 @@ HEADLINE = [
     "minhash_jaccard_estimate",    # §2.5 sketch-accuracy eval
     "dedup_cluster_size_stats",    # §2.5 CC + size rollup
     "dedup_threshold_sweep",       # §2.5 cosine threshold sweep
+    # Round 6: the composed pretraining recipe — the flagship multi-stage
+    # chain (quality → exact → verified-near dedup → decontaminate →
+    # budget → manifest) rides the same guarded min-of-N discipline, so
+    # a reuse regression in its shared shingle/signature checkpoints
+    # shows up per-round.  Safe to add: the guard seeds per-query
+    # history, so a headline-set change no longer resets it.
+    "pipeline_pretraining_mix",    # §2.5 composed pipeline
 ]
 
 
