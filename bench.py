@@ -69,6 +69,21 @@ def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def read_steal_s() -> float | None:
+    """Host-wide CPU steal (seconds since boot) from /proc/stat — the
+    mechanical form of the host-noise evidence BASELINE.md carries in
+    prose (VERDICT r6 item 7): a bench record with high steal delta is a
+    noisy-host record, and a future reader can verify that from the
+    artifact instead of trusting the narrative."""
+    try:
+        with open("/proc/stat") as fh:
+            fields = fh.readline().split()
+        # cpu user nice system idle iowait irq softirq steal ...
+        return int(fields[8]) / os.sysconf("SC_CLK_TCK")
+    except (OSError, IndexError, ValueError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -140,6 +155,7 @@ def main() -> None:
     covered = [k for k in bench_set if k in hist_q]
     best_hist = round(sum(hist_q[k] for k in covered), 3) if covered else None
 
+    steal_t0 = read_steal_s()
     per_query: dict[str, float] = {}
     timed_pass(per_query)
     passes = 1
@@ -170,6 +186,12 @@ def main() -> None:
                 )
             spark.sparkContext._jvm.System.gc()
 
+    steal_t1 = read_steal_s()
+    steal_cpu_s = (
+        round(steal_t1 - steal_t0, 3)
+        if steal_t0 is not None and steal_t1 is not None
+        else None
+    )
     total = round(sum(per_query.values()), 3)
     line = json.dumps(
         {
@@ -182,6 +204,9 @@ def main() -> None:
             "passes": passes,
             "best_historical": best_hist,
             "guard_covered": len(covered),
+            # Host CPU steal during the timed region (seconds, whole
+            # host): the noise context for this record's numbers.
+            "steal_cpu_s": steal_cpu_s,
         }
     )
     print(line)

@@ -333,12 +333,22 @@ def ts_bin_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Proportional allocation of deltas across bucket boundaries
     (Aggregator.update slot-boundary logic †): a delta over (t0, t1]
     spanning multiple buckets contributes time-weighted shares to each.
+
+    Fan-out is keyed by ``path`` BELOW both windows: the one exchange in
+    the plan carries raw obs rows, runs AQE-coalesce-exempt at full
+    parallelism, and its HashPartitioning(path) satisfies the counter
+    window, the delta window AND the final groupBy(path, bucket) — the
+    ~50×-exploded allocation rows are aggregated in-stage and never
+    reshuffled (exchanges 3 → 1; the round-robin shape shuffled the
+    post-explode volume, the dominant cost at 10× series).
     """
-    cnt = _counter(_obs(spark, sf_dir))
+    from esxsnmp_tsdb_spark.session import fan_out
+
+    cnt = _counter(fan_out(_obs(spark, sf_dir), "path"))
     d = tsdb.deltas(cnt, "counter").withColumn(
         "delta", F.col("delta").cast("double")
     )
-    split = tsdb.bin_split(d, BUCKET)
+    split = tsdb.bin_split(d, BUCKET, redistribute=False)
     return split.select(
         "path", "bucket", F.round("delta_alloc", 6).alias("delta_alloc")
     )

@@ -68,15 +68,21 @@ def _valid_spans(d: DataFrame) -> DataFrame:
     )
 
 
-def _fine_partial(spans: DataFrame) -> DataFrame:
+def _fine_partial(spans: DataFrame, redistribute: bool = True) -> DataFrame:
     """Stage 3: proportional bin-split of spans into the FINE level (JVM
     ``sequence`` explode; integer micro-unit allocation — see module
     docstring).  Output (path, fbucket, delta_micro, n_spans) is a PURE
     ADDITIVE PARTIAL: partials from any split of the span set sum to the
-    whole, which is what makes the streaming twin exact."""
+    whole, which is what makes the streaming twin exact.
+
+    ``redistribute=False`` assumes the caller already co-partitioned by
+    ``path`` below its windows (keyed fan_out) so the groupBy here runs
+    in-stage on the exploded rows; the default round-robin fan-out is for
+    callers (the streaming micro-batch persister) whose input arrives
+    un-partitioned."""
     from esxsnmp_tsdb_spark.session import fan_out
 
-    ex = fan_out(spans).withColumn(
+    ex = (fan_out(spans) if redistribute else spans).withColumn(
         "fbucket",
         F.explode(
             F.sequence(
@@ -124,10 +130,19 @@ def ladder_full_pipeline(obs: DataFrame) -> DataFrame:
     keeps (min/max of contributing 5 m deltas, fine-bucket and span counts).
     """
     from esxsnmp_tsdb_spark.operators.aggregator import _counter
+    from esxsnmp_tsdb_spark.session import fan_out
 
     # Stage 1 — synthetic Counter32: running sum wrapped at the modulus.
-    cnt = _counter(obs).withColumn("counter", F.col("counter") % SYNTH_WRAP)
-    return _cascade_1h(_fine_partial(_valid_spans(tsdb.deltas(cnt, "counter"))))
+    # Keyed fan-out below the windows (see ts_bin_split): ONE exchange of
+    # raw obs rows, AQE-coalesce-exempt, whose HashPartitioning(path)
+    # carries through both windows, the FINE explode-aggregate and the 1 h
+    # cascade — the exploded allocation rows are never reshuffled.
+    cnt = _counter(fan_out(obs, "path")).withColumn(
+        "counter", F.col("counter") % SYNTH_WRAP
+    )
+    return _cascade_1h(
+        _fine_partial(_valid_spans(tsdb.deltas(cnt, "counter")), redistribute=False)
+    )
 
 
 # Shared by the batch op and its streaming twin: BOTH must converge to

@@ -150,7 +150,7 @@ _REATTEST_QUEUE = (
     # connected-components loop-conf change (dedup.py:292) + its consumer
     'dedup_connected_components', 'dedup_cluster_size_stats',
     # modified in round 7 (append as the round touches ops)
-    'ts_bin_split',
+    'ts_bin_split', 'ts_ladder_full_pipeline', 'stream_ladder_full_pipeline',
 )
 
 _REATTEST_RANK = {k: i for i, k in enumerate(_REATTEST_QUEUE)}

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 # Runtime-settable confs applied to ANY session the engine touches.
 RUNTIME_CONF: dict[str, str] = {
@@ -59,7 +59,7 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def fan_out(df):
+def fan_out(df, *cols):
     """Spread a narrow input across the session's parallelism before a
     CPU-bound, row-multiplying stage (hash explosion, vector folds, Pandas
     UDFs).  Locally a small file scans as ~1 task and AQE coalesces small
@@ -67,9 +67,30 @@ def fan_out(df):
     repartition (which AQE respects) restores parallelism.  On a cluster
     the same call is a cheap balanced redistribution of a small
     intermediate — never the big fact table.
+
+    With ``cols``, fan out BY KEY instead of round-robin: the exchange is
+    still AQE-coalesce-exempt (REPARTITION_BY_NUM origin) but its
+    HashPartitioning(cols) survives downstream, so a later window or
+    groupBy whose keys start with ``cols`` needs NO further exchange —
+    the multiplied rows are aggregated in-stage and never reshuffled.
+    Place the keyed call BELOW any window on the same key: an exchange
+    the planner inserts for the window would sit under this one and get
+    this call pruned as redundant, re-exposing the plan to AQE coalesce.
+    Round-robin balances better under key skew; keyed avoids shuffling
+    the post-multiplication volume.  Pick per call site.
     """
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return df.repartition(n)
+    return df.repartition(n, *[F.col(c) if isinstance(c, str) else c for c in cols])
+
+
+def cluster_profile(**kwargs):
+    """The 100 TB deployment conf — see :mod:`esxsnmp_tsdb_spark.cluster`
+    for the per-value justification, the bucketed obs-table DDL and the
+    ladder-store layout.  RUNTIME_CONF above is the local[32] projection
+    of the same posture."""
+    from esxsnmp_tsdb_spark.cluster import cluster_profile as _profile
+
+    return _profile(**kwargs)
 
 
 def get_session(app_name: str = "esxsnmp_tsdb_spark") -> SparkSession:

@@ -47,28 +47,43 @@ DEFAULT_OPS = (
     "ts_downsample_avg",
     "ts_agg_cascade",
     "ts_bin_split",
+    "range_interval_join",  # r7: the events-side range self-join
 )
 DEFAULT_DOC_OPS = (
     "dedup_exact",
     "dedup_near_minhash",
+    "dedup_minhash_indexed",  # r7: the persisted band-index probe path
     "text_tokenize_stats",
     "quality_filter_funnel",
     "pipeline_pretraining_mix",
 )
+# r7 (VERDICT r6 item 3): the join-heavy relational family, scaled along
+# the orders/lineitem axis (orders AND lineitem replicated together so
+# l_orderkey keeps its referent).  tpch_q1 is the scan-agg control.
+DEFAULT_TPCH_OPS = ("tpch_q1", "tpch_q5", "tpch_q18")
+# r7: the indexed-similarity family on the embeddings axis; brute-force
+# sim_search_topk is the linear control.
+DEFAULT_EMB_OPS = (
+    "sim_search_topk",
+    "sim_search_ivf_pq_indexed",
+    "dedup_semantic_indexed",
+)
 
 
-def _write_scaled(spark, table: str, factor: int, replica_fn, workdir: str) -> str:
-    """Shared scaffolding: union ``factor`` replicas of ``table`` (replica
-    k built by ``replica_fn(base_df, k)``), write to a scratch dir, and
-    symlink every other fixture from BASE_SF."""
+def _write_scaled(spark, tables: dict, factor: int, workdir: str) -> str:
+    """Shared scaffolding: for each ``table -> replica_fn`` union
+    ``factor`` replicas (replica k built by ``replica_fn(base_df, k)``),
+    write to a scratch dir, and symlink every other fixture from
+    BASE_SF."""
     d = op_dir(workdir, fresh=True)
-    base = spark.read.parquet(f"{BASE_SF}/{table}.parquet")
-    scaled = replica_fn(base, 0)
-    for k in range(1, factor):
-        scaled = scaled.unionAll(replica_fn(base, k))
-    scaled.write.mode("overwrite").parquet(f"{d}/{table}.parquet")
+    for table, replica_fn in tables.items():
+        base = spark.read.parquet(f"{BASE_SF}/{table}.parquet")
+        scaled = replica_fn(base, 0)
+        for k in range(1, factor):
+            scaled = scaled.unionAll(replica_fn(base, k))
+        scaled.write.mode("overwrite").parquet(f"{d}/{table}.parquet")
     for t in TABLES:
-        if t == table:
+        if t in tables:
             continue
         os.symlink(f"{BASE_SF}/{t}.parquet", f"{d}/{t}.parquet")
     return d
@@ -96,7 +111,7 @@ def build_scaled_dir(spark, factor: int) -> str:
             "props",
         )
 
-    return _write_scaled(spark, "events", factor, replica, "scaling_probe")
+    return _write_scaled(spark, {"events": replica}, factor, "scaling_probe")
 
 
 def build_scaled_docs_dir(spark, factor: int) -> str:
@@ -140,7 +155,85 @@ def build_scaled_docs_dir(spark, factor: int) -> str:
             ),
         )
 
-    return _write_scaled(spark, "documents", factor, replica, "scaling_probe_docs")
+    return _write_scaled(spark, {"documents": replica}, factor, "scaling_probe_docs")
+
+
+def build_scaled_tpch_dir(spark, factor: int) -> str:
+    """orders AND lineitem replicated ``factor``× along the orders axis
+    (more orders per customer — the TPC-H fact-growth shape; dimensions
+    stay fixed).  Both tables get the SAME orderkey offset so every
+    replica lineitem still joins its replica order.  The offset is a
+    multiple of 630 = lcm(7, 45, 30), the moduli behind the derived
+    shipmode/commitdate/receiptdate columns (tpch2.LINEITEM_EXT_CTE), so
+    filter selectivities are preserved exactly per replica and the
+    linearity claim is about the engine, not drifting predicates."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{BASE_SF}/orders.parquet")
+    max_ok = int(orders.agg(F.max("o_orderkey").alias("m")).collect()[0].m)
+    off = (max_ok // 630 + 1) * 630
+
+    def orders_replica(base, k):
+        return base.select(
+            (F.col("o_orderkey") + k * off).alias("o_orderkey"),
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+
+    def lineitem_replica(base, k):
+        return base.select(
+            (F.col("l_orderkey") + k * off).alias("l_orderkey"),
+            *[c for c in base.columns if c != "l_orderkey"],
+        )
+
+    return _write_scaled(
+        spark,
+        {"orders": orders_replica, "lineitem": lineitem_replica},
+        factor,
+        "scaling_probe_tpch",
+    )
+
+
+def build_scaled_emb_dir(spark, factor: int) -> str:
+    """embeddings replicated ``factor``× along the corpus axis.  Replica
+    vectors are ROTATED by k positions (norm-preserving, direction-
+    changing) so replicas spread across IVF cells / LSH buckets instead
+    of piling degenerate mass into the 1× cells — the realistic
+    more-documents shape.  The vec_id offset is a multiple of
+    4850 = lcm(25, 50, 97): the centroid-seed rules (vec_id % 25 / % 50
+    == 0, similarity2/curation8) and the query-batch rule (% 97 == 3,
+    similarity.BATCH_Q_MOD) then hold with identical density per
+    replica — the cell count grows with the corpus exactly as a
+    re-trained IVF would."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
+    row = emb.select(
+        F.max("vec_id").alias("m"), F.max(F.size("embedding")).alias("dim")
+    ).collect()[0]
+    off = (int(row.m) // 4850 + 1) * 4850
+    dim = int(row.dim)
+
+    def replica(base, k):
+        rot = k % dim
+        vec = (
+            F.col("embedding")
+            if rot == 0
+            else F.concat(
+                F.slice("embedding", rot + 1, dim - rot),
+                F.slice("embedding", 1, rot),
+            )
+        )
+        return base.select(
+            (F.col("vec_id") + k * off).alias("vec_id"),
+            vec.alias("embedding"),
+            "label",
+        )
+
+    return _write_scaled(spark, {"embeddings": replica}, factor, "scaling_probe_emb")
 
 
 def time_op(spark, key: str, sf_dir: str, passes: int = 3) -> float:
@@ -153,24 +246,37 @@ def time_op(spark, key: str, sf_dir: str, passes: int = 3) -> float:
     return round(best, 3)
 
 
+AXES = {
+    "events": (build_scaled_dir, DEFAULT_OPS),
+    "documents": (build_scaled_docs_dir, DEFAULT_DOC_OPS),
+    "lineitem": (build_scaled_tpch_dir, DEFAULT_TPCH_OPS),
+    "embeddings": (build_scaled_emb_dir, DEFAULT_EMB_OPS),
+}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
-    ap.add_argument("--table", choices=("events", "documents"), default="events")
+    ap.add_argument("--table", choices=tuple(AXES), default="events")
     ap.add_argument("--ops", default=None)
     args = ap.parse_args()
-    defaults = DEFAULT_OPS if args.table == "events" else DEFAULT_DOC_OPS
+    build, defaults = AXES[args.table]
     ops = [o for o in (args.ops or ",".join(defaults)).split(",") if o]
 
     registry.load_all()
     spark = get_session()
-    build = build_scaled_dir if args.table == "events" else build_scaled_docs_dir
     scaled = build(spark, args.factor)
 
     out = {
         "factor": args.factor,
         "table": args.table,
         "base_sf": BASE_SF,
+        # ADVICE r6: time_op's min-of-3 is UNGUARDED (no steal guard, by
+        # design — the probe is cheap and re-runnable); on a noisy host a
+        # ratio can read super-linear spuriously.  The exchange-count
+        # equality is the noise-immune signal; treat a bad ratio as a
+        # prompt to re-measure under bench.py's guarded discipline.
+        "timing_note": "ratios unguarded min-of-3; exchange counts are the noise-immune signal",
         "ops": {},
     }
     for key in ops:

@@ -1,0 +1,60 @@
+"""The 100 TB cluster profile is real conf, not prose: every key must be
+settable on a live session (no typos, no removed knobs), the values must
+parse, and the sizing math must track the cluster shape parameter."""
+
+import pytest
+
+from esxsnmp_tsdb_spark import cluster, session
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return session.get_session()
+
+
+def test_profile_keys_apply_and_round_trip(spark):
+    profile = cluster.cluster_profile()
+    saved = {}
+    applied = []
+    try:
+        for k, v in profile.items():
+            try:
+                saved[k] = spark.conf.get(k, None)
+                spark.conf.set(k, v)
+            except Exception:
+                continue  # static conf on a live session — allowed
+            applied.append(k)
+            assert spark.conf.get(k) == v, k
+        # The plan-shaping knobs MUST be runtime-settable (tune() relies
+        # on it when the driver owns the session).
+        for k in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        ):
+            assert k in applied, f"{k} must be runtime-settable"
+    finally:
+        for k in applied:
+            if saved.get(k) is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, saved[k])
+
+
+def test_profile_scales_with_cluster_shape():
+    small = cluster.cluster_profile(total_cores=800)
+    big = cluster.cluster_profile(total_cores=8000)
+    assert int(small["spark.sql.shuffle.partitions"]) == 2000
+    assert int(big["spark.sql.shuffle.partitions"]) == 20000
+
+
+def test_ddl_and_layout_name_the_contract_columns():
+    for col in ("path", "tse", "flags", "day"):
+        assert col in cluster.OBS_TABLE_DDL
+    assert "CLUSTERED BY (path)" in cluster.OBS_TABLE_DDL
+    assert "PARTITIONED BY (day)" in cluster.OBS_TABLE_DDL
+    assert cluster.LADDER_STORE_LAYOUT["cascade"].startswith("level[i]")
+
+
+def test_session_reexport_matches():
+    assert session.cluster_profile() == cluster.cluster_profile()
