@@ -130,30 +130,125 @@ _ATTESTED = frozenset(
 _PRIORITY_BACKLOG = frozenset()
 
 
-# RE-attestation queue (round 7, VERDICT r6 "Next round" #2): ops whose
-# implementations changed AFTER the round in which the driver hashed them —
-# the r5 minhash banding re-hash and its consumers, the r5/r6 SemDeDup BLAS
-# path, the r6 connected-components conf change — plus any op modified in
-# the current round.  These sort first WITHIN the attested group so the
-# driver's 50-key CORRECTNESS window re-hashes drifted code before spending
-# slots on untouched ops.  The remaining window slots fall through to the
-# lowest registration indexes, i.e. the oldest r1 keys whose shared helpers
-# (timeseries.py / aggregator.py) were refactored since — exactly the other
-# half of the drift set.  Unattested keys (if any are ever added) still
-# outrank everything here.
+# RE-attestation queue: ops whose implementations changed in the CURRENT
+# round, after any earlier driver hash.  These sort first WITHIN the
+# attested group so the driver's 50-key CORRECTNESS window re-hashes
+# drifted code before spending slots on untouched ops.  Remaining window
+# slots fall through to the STALEST attestations (lowest ``_HASH_ROUND``,
+# then registration index) — the flywheel that rotates every op back under
+# the driver's hash every few rounds.  Unattested keys (if any are ever
+# added) still outrank everything here.  Append keys as the round touches
+# them; the queue is cleared each round after ``update_attested.py --write``
+# folds the fresh hashes into ``_HASH_ROUND``.
 _REATTEST_QUEUE = (
-    # minhash banding re-hash consumers (dedup.py:274,452,577; curation4.py)
-    'dedup_near_minhash', 'dedup_ngram_jaccard', 'minhash_jaccard_estimate',
-    'minhash_band_sensitivity', 'dedup_threshold_sweep',
-    # SemDeDup BLAS family (curation8.py)
-    'dedup_semantic_cells', 'mine_hard_negatives', 'doc_semantic_outliers',
-    # connected-components loop-conf change (dedup.py:292) + its consumer
-    'dedup_connected_components', 'dedup_cluster_size_stats',
-    # modified in round 7 (append as the round touches ops)
+    # modified in round 8 (append as the round touches ops)
     'ts_bin_split', 'ts_ladder_full_pipeline', 'stream_ladder_full_pipeline',
 )
 
 _REATTEST_RANK = {k: i for i, k in enumerate(_REATTEST_QUEUE)}
+
+
+# round -> keys whose LATEST driver hash is from that round, regenerated by
+# ``scripts/update_attested.py --write`` from the CORRECTNESS_r*.json files.
+# Drives the fallthrough order above: without it, the window would re-hash
+# the same oldest-registered cohort every round (the r7 window and an
+# unchanged r8 window would have been identical 37 keys).
+_HASH_ROUND: dict[int, tuple[str, ...]] = {
+    1: (
+        'anti_join', 'approx_distinct', 'asof_join', 'broadcast_join',
+        'cross_join_topk', 'distinct_agg', 'grouping_sets', 'hash_aggregate',
+        'hash_join_inner', 'outer_join_full', 'outer_join_left', 'percentiles',
+        'projection_filter', 'range_interval_join', 'rollup_cube', 'scan_parquet',
+        'semi_join', 'set_except', 'set_intersect', 'set_union',
+        'sort_limit_topk', 'sort_merge_join', 'window_lag_lead', 'window_rank',
+        'window_running',
+    ),
+    2: (
+        'approx_percentiles', 'array_agg_sorted', 'asof_join_nearest', 'customer_rfm',
+        'dedup_embedding_cosine', 'dedup_exact', 'dedup_simhash', 'market_basket_pairs',
+        'pivot_unpivot', 'salted_aggregate', 'scalar_array_funcs', 'scalar_bitwise_funcs',
+        'scalar_date_funcs', 'scalar_json_funcs', 'scalar_math_funcs', 'scalar_string_funcs',
+        'subquery_scalar', 'tpch_q1', 'tpch_q10', 'tpch_q11',
+        'tpch_q12', 'tpch_q13', 'tpch_q14', 'tpch_q15',
+        'tpch_q16', 'tpch_q17', 'tpch_q18', 'tpch_q19',
+        'tpch_q2', 'tpch_q20', 'tpch_q21', 'tpch_q22',
+        'tpch_q3', 'tpch_q4', 'tpch_q5', 'tpch_q6',
+        'tpch_q7', 'tpch_q8', 'tpch_q9', 'ts_linear_trend',
+        'ts_rolling_1h', 'ts_sessionize', 'window_distribution',
+    ),
+    3: (
+        'attribution_last_touch', 'cross_source_dedup_priority', 'cumulative_distinct_users', 'decontaminate_ngram',
+        'decontamination_overlap', 'doc_length_histogram', 'doc_pagerank', 'domain_quota_sample',
+        'embedding_norm_outliers', 'embedding_pca_power_iteration', 'embedding_quantize', 'event_bigrams',
+        'event_funnel', 'exact_substring_dedup', 'kmeans_one_step', 'ngram_topk',
+        'pipeline_corpus_curate', 'quality_filter_funnel', 'retention_cohort', 'sample_stratified',
+        'seq_packing', 'split_train_test', 'text_ngram_novelty', 'topk_docs_per_source',
+        'ts_alert_rules_eval', 'ts_anomaly_mad', 'ts_burst_detect', 'ts_calendar_heatmap',
+        'ts_capacity_forecast', 'ts_downsample_ohlc', 'ts_ewma', 'ts_fleet_zscore',
+        'ts_forecast_seasonal_naive', 'ts_missing_islands', 'ts_percent_change_movers', 'ts_rolling_median',
+        'ts_rollup_multi_granularity', 'ts_series_correlation', 'ts_sla_report', 'ts_step_change',
+        'ts_stl_decompose', 'ts_value_histogram', 'ts_wma',
+    ),
+    4: (
+        'ann_recall_eval', 'api_timerange_json', 'attribution_linear', 'bigram_lm_perplexity',
+        'bm25_topdocs', 'dau_wau_mau', 'doc_fingerprint', 'embedding_centroid_per_label',
+        'format_roundtrip_csv', 'format_roundtrip_json', 'format_roundtrip_orc', 'funnel_time_to_convert',
+        'ingest_batch_append', 'ingest_cdc_merge', 'ingest_replay_idempotent', 'knn_pairs',
+        'lang_distribution', 'lang_id_confusion', 'lang_id_ngram', 'multimodal_decode',
+        'multimodal_embed', 'multimodal_frame_sample', 'multimodal_join', 'multimodal_tile_plan',
+        'pii_scrub_stats', 'scd2_history_build', 'sim_search_ann_lsh', 'sim_search_batch',
+        'sim_search_ivf', 'sim_search_ivf_pq', 'sim_search_lsh_multiprobe', 'sim_search_range',
+        'sim_search_topk', 'storage_bucketed_join', 'storage_compaction_integrity', 'storage_day_partitioned_scan',
+        'storage_retention_expire', 'term_zipf_slope', 'text_quality_score', 'text_repetition_filter',
+        'text_repetition_stats', 'text_stopword_stats', 'text_tokenize_stats', 'text_unigram_logprob',
+        'text_word_entropy', 'tfidf_topterms', 'token_count_bpe', 'ts_merge_upsert',
+        'vector_pq_adc', 'vocab_growth_heaps',
+    ),
+    5: (
+        'approx_distinct_hll_merge', 'grouped_mode', 'salted_skew_join', 'skew_key_report',
+        'storage_schema_evolution', 'storage_zorder_scan', 'stream_anomaly_zscore', 'stream_cdc_apply',
+        'stream_cdc_apply_bucketed', 'stream_dedup', 'stream_distinct_hll', 'stream_first_touch',
+        'stream_histogram_ladder', 'stream_ingest', 'stream_ladder_maintenance', 'stream_ladder_retention',
+        'stream_replay_exactly_once', 'stream_session', 'stream_sliding', 'stream_stateful_rate',
+        'stream_static_join', 'stream_stream_join', 'stream_topk_talkers', 'stream_tumbling',
+        'stream_utilization_alert', 'stream_watermark_late', 'ts_alert_flap_detect', 'ts_autocorr_lag',
+        'ts_availability_report', 'ts_compare_window', 'ts_error_budget_burn', 'ts_hierarchy_rollup',
+        'ts_histogram_ladder', 'ts_incident_merge_windows', 'ts_lead_lag_correlation', 'ts_mtbf_mttr',
+        'ts_percentile_bands', 'ts_period_detect', 'ts_seasonal_anomaly', 'ts_sla_maintenance_window',
+        'ts_stl_residual_anomaly', 'ts_topk_change_contributors', 'ts_utilization_report', 'window_ntile',
+    ),
+    6: (
+        'ann_recall_eval_ivfpq', 'api_bulk_timerange', 'api_freshness_report', 'attribution_time_decay',
+        'blocklist_filter', 'bpe_merge_pair_step', 'chunk_dedup_cdc', 'corpus_mix_report',
+        'data_quality_contract', 'dataset_mixture_epochs', 'dedup_cross_source_matrix', 'dedup_minhash_indexed',
+        'dedup_semantic_indexed', 'doc_sliding_context_chunks', 'doc_winnowing_overlap', 'embedding_dim_stats',
+        'event_lift_matrix', 'event_markov_transition', 'ingest_dlq_quarantine', 'ingest_late_data_report',
+        'inter_event_gap_histogram', 'multimodal_phash_dedup', 'pipeline_pretraining_mix', 'privacy_k_anonymity',
+        'quality_gopher_rules', 'rag_hybrid_retrieval', 'sample_importance_weighted', 'sample_token_budget',
+        'scd2_point_in_time_join', 'session_duration_stats', 'sim_search_ivf_pq_indexed', 'sim_search_lsh_indexed',
+        'source_divergence_kl', 'storage_file_skipping_manifest', 'storage_gdpr_erasure', 'storage_snapshot_gc',
+        'storage_snapshot_time_travel', 'stream_dedup_indexed', 'tokenizer_fertility_by_lang', 'tokenizer_vocab_coverage',
+        'ts_bin_split_bucketed', 'ts_flag_visibility', 'ts_poll_interval_drift', 'user_activity_concentration',
+        'user_journey_top_paths',
+    ),
+    7: (
+        'dedup_cluster_size_stats', 'dedup_connected_components', 'dedup_near_minhash', 'dedup_ngram_jaccard',
+        'dedup_semantic_cells', 'dedup_threshold_sweep', 'doc_semantic_outliers', 'mine_hard_negatives',
+        'minhash_band_sensitivity', 'minhash_jaccard_estimate', 'stream_ladder_full_pipeline', 'ts_agg_cascade',
+        'ts_aggregate_row', 'ts_anomaly_zscore', 'ts_billing_p95', 'ts_bin_split',
+        'ts_counter_reset_detect', 'ts_counter_wrap', 'ts_counter_wrap64', 'ts_delta',
+        'ts_downsample_avg', 'ts_downsample_delta', 'ts_downsample_delta64', 'ts_downsample_last',
+        'ts_downsample_minmax', 'ts_downsample_percentile', 'ts_flag_filter', 'ts_gap_fill_locf',
+        'ts_gap_report', 'ts_heartbeat_invalidate', 'ts_interpolate', 'ts_ladder_backfill',
+        'ts_ladder_full_pipeline', 'ts_ladder_route', 'ts_ladder_route_sql', 'ts_last_known',
+        'ts_metadata_get', 'ts_point_lookup', 'ts_range_scan', 'ts_rate',
+        'ts_rate64', 'ts_rate_downsample', 'ts_rate_invalid_reasons', 'ts_seasonal_baseline',
+        'ts_series_catalog', 'ts_slot_dedup', 'ts_time_spine', 'ts_top_talkers',
+        'ts_valid_ratio', 'ts_wrap_eta',
+    ),
+}
+
+_LAST_HASHED = {k: n for n, ks in _HASH_ROUND.items() for k in ks}
 
 
 def _attest_order(keys) -> list[str]:
@@ -163,6 +258,7 @@ def _attest_order(keys) -> list[str]:
             k in _ATTESTED,
             k not in _PRIORITY_BACKLOG,
             _REATTEST_RANK.get(k, len(_REATTEST_QUEUE)),
+            _LAST_HASHED.get(k, 0),
             _REG_INDEX[k],
         ),
     )

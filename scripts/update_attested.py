@@ -47,36 +47,63 @@ def keys_from(path: str) -> set[str]:
 
 def main() -> int:
     attested: set[str] = set()
+    last_hashed: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
         ks = keys_from(path)
+        rnd = int(re.search(r"_r0*(\d+)\.json$", path).group(1))
         print(f"{os.path.basename(path)}: {len(ks)} attested keys")
         attested |= ks
+        for k in ks:
+            last_hashed[k] = max(last_hashed.get(k, 0), rnd)
     sys.path.insert(0, ROOT)
     from esxsnmp_tsdb_spark import registry
 
     registry.load_all()
     known = set(registry.QUERIES)
     attested &= known  # ignore keys renamed/removed since attestation
+    last_hashed = {k: n for k, n in last_hashed.items() if k in known}
     current = set(registry._ATTESTED)
     new = attested - current
+    stale = {
+        k: n for k, n in last_hashed.items() if registry._LAST_HASHED.get(k) != n
+    }
     print(f"union: {len(attested)} of {len(known)} registered ops attested")
     print(f"newly attested since the set in registry.py: {len(new)}")
-    if not new:
+    print(f"_HASH_ROUND entries needing update: {len(stale)}")
+    if not new and not stale:
         return 0
     if "--write" not in sys.argv:
         print("(dry run — pass --write to update registry.py)")
         return 0
-    lines = ",\n".join(
-        "        " + ", ".join(repr(k) for k in chunk)
-        for chunk in [sorted(attested)[i : i + 4] for i in range(0, len(attested), 4)]
-    )
+
+    def block(keys: list[str], indent: str) -> str:
+        return ",\n".join(
+            indent + ", ".join(repr(k) for k in chunk)
+            for chunk in [keys[i : i + 4] for i in range(0, len(keys), 4)]
+        )
+
     src = open(REG).read()
     pat = re.compile(r"_ATTESTED = frozenset\(\s*\{.*?\}\s*\)", re.S)
-    repl = "_ATTESTED = frozenset(\n    {\n" + lines + ",\n    }\n)"
-    new_src, n = pat.subn(repl, src)
+    repl = "_ATTESTED = frozenset(\n    {\n" + block(sorted(attested), "        ") + ",\n    }\n)"
+    src, n = pat.subn(repl, src)
     assert n == 1, "could not locate the attested-set literal"
-    open(REG, "w").write(new_src)
-    print(f"registry.py updated: attested set now {len(attested)} keys")
+
+    by_round: dict[int, list[str]] = {}
+    for k, rnd in last_hashed.items():
+        by_round.setdefault(rnd, []).append(k)
+    rounds = "\n".join(
+        f"    {rnd}: (\n" + block(sorted(by_round[rnd]), "        ") + ",\n    ),"
+        for rnd in sorted(by_round)
+    )
+    pat = re.compile(r"_HASH_ROUND: dict\[int, tuple\[str, \.\.\.\]\] = \{.*?\n\}|_HASH_ROUND: dict\[int, tuple\[str, \.\.\.\]\] = \{\}", re.S)
+    repl = "_HASH_ROUND: dict[int, tuple[str, ...]] = {\n" + rounds + "\n}"
+    src, n = pat.subn(repl, src)
+    assert n == 1, "could not locate the _HASH_ROUND literal"
+    open(REG, "w").write(src)
+    print(
+        f"registry.py updated: attested set {len(attested)} keys, "
+        f"_HASH_ROUND {len(last_hashed)} keys over {len(by_round)} rounds"
+    )
     return 0
 
 
