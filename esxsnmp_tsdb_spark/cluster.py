@@ -101,17 +101,22 @@ def cluster_profile(
     }
 
 
-def apply(spark: SparkSession, **profile_kwargs) -> SparkSession:
+def apply(spark: SparkSession, **profile_kwargs) -> list[str]:
     """Set the runtime-settable subset of :func:`cluster_profile` on a
     live session.  Static confs (files.*, some adaptive.*) must go in
-    spark-defaults / submit args; failures are skipped for the same
-    reason as `session.tune` — none are correctness-critical."""
+    spark-defaults / submit args; those raise ``CANNOT_MODIFY_CONFIG``
+    and are skipped — none are correctness-critical — but the skips are
+    RETURNED (and logged) so a typoed or static key is visible to the
+    caller instead of silently not taking effect."""
+    skipped: list[str] = []
     for k, v in cluster_profile(**profile_kwargs).items():
         try:
             spark.conf.set(k, v)
         except Exception:
-            pass
-    return spark
+            skipped.append(k)
+    if skipped:
+        print(f"cluster.apply: {len(skipped)} static/unknown confs skipped: {skipped}")
+    return skipped
 
 
 # The storage-side half of the 100 TB contract.  The observation table is

@@ -174,14 +174,9 @@ def build_scaled_tpch_dir(spark, factor: int) -> str:
     off = (max_ok // 630 + 1) * 630
 
     def orders_replica(base, k):
-        return base.select(
-            (F.col("o_orderkey") + k * off).alias("o_orderkey"),
-            "o_custkey",
-            "o_orderstatus",
-            "o_totalprice",
-            "o_orderdate",
-            "o_orderpriority",
-        )
+        # keep ALL columns (offset in place) so a fixture schema change
+        # cannot silently drop columns from the scaled dir
+        return base.withColumn("o_orderkey", F.col("o_orderkey") + k * off)
 
     def lineitem_replica(base, k):
         return base.select(
@@ -212,10 +207,17 @@ def build_scaled_emb_dir(spark, factor: int) -> str:
 
     emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
     row = emb.select(
-        F.max("vec_id").alias("m"), F.max(F.size("embedding")).alias("dim")
+        F.max("vec_id").alias("m"),
+        F.max(F.size("embedding")).alias("dim"),
+        F.min(F.size("embedding")).alias("dim_min"),
     ).collect()[0]
     off = (int(row.m) // 4850 + 1) * 4850
     dim = int(row.dim)
+    # The rotation below slices [rot+1 .. dim] + [1 .. rot]; a shorter
+    # vector would be silently truncated/mis-rotated, skewing the probe.
+    assert int(row.dim_min) == dim, (
+        f"ragged embedding fixture: size range [{row.dim_min}, {dim}]"
+    )
 
     def replica(base, k):
         rot = k % dim

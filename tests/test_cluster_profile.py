@@ -41,6 +41,31 @@ def test_profile_keys_apply_and_round_trip(spark):
                 spark.conf.set(k, saved[k])
 
 
+def test_apply_reports_skipped_keys(spark):
+    profile = cluster.cluster_profile()
+    saved = {k: spark.conf.get(k, None) for k in profile}
+    try:
+        skipped = cluster.apply(spark)
+        # every skip must be a real profile key, and the plan-shaping knobs
+        # must never be among them (a typoed key would land here visibly)
+        assert set(skipped) <= set(profile)
+        for k in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        ):
+            assert k not in skipped
+    finally:
+        for k in profile:
+            try:
+                if saved.get(k) is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, saved[k])
+            except Exception:
+                pass
+
+
 def test_profile_scales_with_cluster_shape():
     small = cluster.cluster_profile(total_cores=800)
     big = cluster.cluster_profile(total_cores=8000)
