@@ -321,6 +321,12 @@ def bin_split(
     # The explode below multiplies rows ~(gap/bucket)×; redistribute first
     # so the multiplication runs wide (see session.fan_out).
     df = df.withColumn("t0", F.col("tse") - F.col("dt"))
+    # Prune to the five columns the allocation needs BEFORE the explode:
+    # Catalyst does not push the projection below Generate here, so input
+    # columns the window needed (counter, event_id) would otherwise ride
+    # every exploded row (~50× for the hourly split; measured ~15% of the
+    # op at 10× series).
+    df = df.select("path", "tse", "t0", delta_col, "dt")
     if redistribute:
         df = fan_out(df)
     df = df.withColumn(

@@ -340,11 +340,13 @@ def ts_bin_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, the delta window AND the final groupBy(path, bucket) — the
     ~50×-exploded allocation rows are aggregated in-stage and never
     reshuffled (exchanges 3 → 1; the round-robin shape shuffled the
-    post-explode volume, the dominant cost at 10× series).
+    post-explode volume, the dominant cost at 10× series).  width=4
+    sizes the fan-out for the post-explode in-stage volume (see
+    session.fan_out) — still the one exchange.
     """
     from esxsnmp_tsdb_spark.session import fan_out
 
-    cnt = _counter(fan_out(_obs(spark, sf_dir), "path"))
+    cnt = _counter(fan_out(_obs(spark, sf_dir), "path", width=4))
     d = tsdb.deltas(cnt, "counter").withColumn(
         "delta", F.col("delta").cast("double")
     )

@@ -137,7 +137,8 @@ def ladder_full_pipeline(obs: DataFrame) -> DataFrame:
     # raw obs rows, AQE-coalesce-exempt, whose HashPartitioning(path)
     # carries through both windows, the FINE explode-aggregate and the 1 h
     # cascade — the exploded allocation rows are never reshuffled.
-    cnt = _counter(fan_out(obs, "path")).withColumn(
+    # width=4 sizes tasks for the post-explode volume (session.fan_out).
+    cnt = _counter(fan_out(obs, "path", width=4)).withColumn(
         "counter", F.col("counter") % SYNTH_WRAP
     )
     return _cascade_1h(

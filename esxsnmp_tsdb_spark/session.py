@@ -59,7 +59,7 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def fan_out(df, *cols):
+def fan_out(df, *cols, width: int = 1):
     """Spread a narrow input across the session's parallelism before a
     CPU-bound, row-multiplying stage (hash explosion, vector folds, Pandas
     UDFs).  Locally a small file scans as ~1 task and AQE coalesces small
@@ -78,8 +78,17 @@ def fan_out(df, *cols):
     this call pruned as redundant, re-exposing the plan to AQE coalesce.
     Round-robin balances better under key skew; keyed avoids shuffling
     the post-multiplication volume.  Pick per call site.
+
+    ``width`` multiplies the partition count for EXPLODE-heavy consumers:
+    the exchange carries raw rows, but each task's in-stage volume is the
+    post-explode multiple (~50× for the hourly bin-split), so sizing
+    tasks by the input underfills nothing and overfills the downstream
+    hash aggregate.  width≈4 keeps post-explode task working sets near
+    what shuffle.partitions was tuned for while staying coarse enough
+    that scheduler overhead stays negligible (measured on ts_bin_split:
+    1× 0.57→0.39 s, 10× 2.73→2.42 s vs width=1).
     """
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n = width * int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return df.repartition(n, *[F.col(c) if isinstance(c, str) else c for c in cols])
 
 
