@@ -79,6 +79,9 @@ def build_minhash_index(spark: SparkSession, sf_dir: str) -> str:
     if not os.path.exists(marker):
         corpus = _t(spark, sf_dir)["documents"].select("doc_id", "text")
         sigs = _minhash_sigs(spark, sf_dir, sh=_shingled(corpus))
+        # (16 band dirs × writer tasks is a healthy file count at every
+        # scale — unlike the per-cell members write below, which needs the
+        # explicit repartition to avoid tasks × cells slivers)
         sigs.write.mode("overwrite").partitionBy("band").parquet(sig_dir)
         with open(marker, "w") as f:
             f.write("ok\n")
@@ -110,11 +113,38 @@ def dedup_minhash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     is scanned once, for the batch side only).  At 100 TB the index is
     |docs|×{N_BANDS} bigint rows next to a corpus-scale shingle pass,
     and appending the batch's own signatures keeps it current."""
+    return minhash_index_hits(spark, sf_dir)
+
+
+def minhash_index_hits(
+    spark: SparkSession,
+    sf_dir: str,
+    batch_docs: DataFrame | None = None,
+    broadcast_batch: bool = False,
+) -> DataFrame:
+    """Library form of `dedup_minhash_indexed`: probe ``sf_dir``'s
+    persisted signature index with the near-copy batch manufactured from
+    ``batch_docs`` (default: the corpus itself, the oracle's shape).
+    The scaling probe's ``--batch-fixed`` mode passes the 1× fixture here
+    while ``sf_dir`` scales — the real incremental-ingest shape, where
+    probe cost must track the BATCH, not the corpus.
+
+    ``broadcast_batch`` pins the join shape for a SMALL arriving batch:
+    broadcast the batch signatures and stream the index, so the index is
+    never shuffled no matter how large it grows (the planner cannot know
+    the derived batch is tiny; without the hint it broadcasts the INDEX
+    at small scale and flips to shuffling both sides once the index
+    outgrows the threshold — an exchange count that changes with corpus
+    size).  The default (False) keeps the planner's choice, which is
+    right for the oracle's corpus-sized batch shape."""
     root = build_minhash_index(spark, sf_dir)
-    batch = _near_batch(_t(spark, sf_dir)["documents"])
+    src = batch_docs if batch_docs is not None else _t(spark, sf_dir)["documents"]
+    batch = _near_batch(src)
     bat_sigs = _minhash_sigs(spark, sf_dir, sh=_shingled(batch)).select(
         F.col("doc_id").alias("new_id"), "band", "sig"
     )
+    if broadcast_batch:
+        bat_sigs = F.broadcast(bat_sigs)
     idx = spark.read.parquet(os.path.join(root, "sigs")).select(
         F.col("doc_id").alias("match_id"), "band", "sig"
     )
@@ -145,11 +175,16 @@ def build_semantic_cell_index(spark: SparkSession, sf_dir: str) -> str:
         # broadcasts a parquet read instead of re-deriving the seed
         # lineage (a second corpus scan)
         cent = spark.read.parquet(os.path.join(root, "centroids"))
+        # repartition BY cid before the partitioned write: without it every
+        # upstream task writes a sliver into every cell directory (tasks ×
+        # cells tiny files — measured 10× scan-task overhead at a 10×
+        # corpus); with it each cell is one file, and a DPP-pruned probe
+        # read opens only the touched cells' files.
         _assign_to(e, cent).select(
             "vec_id", "embedding", "nrm", "cid"
-        ).write.mode("overwrite").partitionBy("cid").parquet(
-            os.path.join(root, "members")
-        )
+        ).repartition(F.col("cid")).write.mode("overwrite").partitionBy(
+            "cid"
+        ).parquet(os.path.join(root, "members"))
         with open(marker, "w") as f:
             f.write("ok\n")
     return root
@@ -200,8 +235,27 @@ def dedup_semantic_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the threshold is decided with wide margin.  The batch is the
     zero-last-component near-copy fixture, so every arriving vector has
     a true match to find."""
+    return semantic_index_hits(spark, sf_dir)
+
+
+def semantic_index_hits(
+    spark: SparkSession,
+    sf_dir: str,
+    batch_emb: DataFrame | None = None,
+    broadcast_batch: bool = False,
+) -> DataFrame:
+    """Library form of `dedup_semantic_indexed`: probe ``sf_dir``'s
+    persisted cell index with the near-copy batch manufactured from
+    ``batch_emb`` (default: the corpus itself, the oracle's shape).  The
+    scaling probe's ``--batch-fixed`` mode passes the 1× fixture while
+    ``sf_dir`` scales — batch constant, corpus/index growing.
+
+    ``broadcast_batch`` pins the small-arriving-batch join shape (see
+    `minhash_index_hits`): broadcast the assigned batch, stream the
+    members read — which also hands DPP a broadcast-side subquery to
+    prune the cell-partitioned members scan to the touched cells."""
     root = build_semantic_cell_index(spark, sf_dir)
-    e = _t(spark, sf_dir)["embeddings"]
+    e = batch_emb if batch_emb is not None else _t(spark, sf_dir)["embeddings"]
     batch = _emb_near_batch(e).withColumn("nrm", norm(_dbl(F.col("embedding"))))
     cent = spark.read.parquet(os.path.join(root, "centroids"))
     bassigned = _assign_to(batch, cent).select(
@@ -210,6 +264,8 @@ def dedup_semantic_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("bnrm"),
         "cid",
     )
+    if broadcast_batch:
+        bassigned = F.broadcast(bassigned)
     members = spark.read.parquet(os.path.join(root, "members")).select(
         F.col("vec_id").alias("dup_of"),
         F.col("embedding").alias("mv"),

@@ -143,6 +143,8 @@ _PRIORITY_BACKLOG = frozenset()
 _REATTEST_QUEUE = (
     # modified in round 8 (append as the round touches ops)
     'ts_bin_split', 'ts_ladder_full_pipeline', 'stream_ladder_full_pipeline',
+    # r8: indexed-dedup refactor (library form + per-cell index writer)
+    'dedup_minhash_indexed', 'dedup_semantic_indexed', 'stream_dedup_indexed',
 )
 
 _REATTEST_RANK = {k: i for i, k in enumerate(_REATTEST_QUEUE)}

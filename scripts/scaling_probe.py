@@ -238,14 +238,55 @@ def build_scaled_emb_dir(spark, factor: int) -> str:
     return _write_scaled(spark, {"embeddings": replica}, factor, "scaling_probe_emb")
 
 
-def time_op(spark, key: str, sf_dir: str, passes: int = 3) -> float:
-    fn = registry.QUERIES[key]
+def time_op(spark, build_df, sf_dir: str, passes: int = 3) -> float:
+    """``build_df``: (spark, sf_dir) -> DataFrame (registry callable or a
+    --batch-fixed builder)."""
     best = float("inf")
     for _ in range(passes):
         t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        build_df(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.time() - t0)
     return round(best, 3)
+
+
+# --batch-fixed (VERDICT r7 item 3): the default probe scales the indexed
+# dedup ops' ARRIVING BATCH together with the corpus (the batch is
+# manufactured from the corpus table), so both join sides grow N× and the
+# ratio over-reads.  The real incremental-ingest shape is a batch that is
+# both FIXED and SMALL relative to the corpus — the ~1% `% 97 == 3` slice
+# (the convention similarity.BATCH_Q_MOD established) of the 1× fixture.
+# Small matters as much as fixed: a batch the size of the whole 1× corpus
+# touches every index cell, so the members read cannot partition-prune and
+# the centroid-assignment term (batch × cells) grows with the corpus no
+# matter how the index is laid out.  With a small batch, DPP prunes the
+# cell read to the touched cells and per-cell membership stays flat, so
+# probe time should grow ≪ the corpus factor.  Builders reuse the ops' own
+# library functions — same plan, only the batch source differs.
+BATCH_FIXED_OPS = {
+    "dedup_minhash_indexed": ("documents", "documents", "doc_id"),
+    "dedup_semantic_indexed": ("embeddings", "embeddings", "vec_id"),
+}
+BATCH_FIXED_MOD = 97  # id % 97 == 3 — similarity.BATCH_Q_MOD convention
+
+
+def batch_fixed_builder(spark, key: str):
+    from pyspark.sql import functions as F
+
+    from esxsnmp_tsdb_spark.operators import dedup2
+    from esxsnmp_tsdb_spark.sources.catalog import load_table
+
+    _, table, id_col = BATCH_FIXED_OPS[key]
+    batch = load_table(spark, BASE_SF, table).filter(
+        F.col(id_col) % BATCH_FIXED_MOD == 3
+    )  # path-bound: stays 1×, ~1% of the 1× corpus
+    if key == "dedup_minhash_indexed":
+        batch = batch.select("doc_id", "text")
+        return lambda spark, sf: dedup2.minhash_index_hits(
+            spark, sf, batch_docs=batch, broadcast_batch=True
+        )
+    return lambda spark, sf: dedup2.semantic_index_hits(
+        spark, sf, batch_emb=batch, broadcast_batch=True
+    )
 
 
 AXES = {
@@ -261,8 +302,21 @@ def main() -> int:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--table", choices=tuple(AXES), default="events")
     ap.add_argument("--ops", default=None)
+    ap.add_argument(
+        "--batch-fixed",
+        action="store_true",
+        help="hold the indexed-dedup arriving batch at 1x while the "
+        "corpus/index scales (the incremental-ingest shape); restricts "
+        "ops to the axis's BATCH_FIXED_OPS",
+    )
     args = ap.parse_args()
     build, defaults = AXES[args.table]
+    if args.batch_fixed:
+        defaults = tuple(
+            k for k, (axis, *_) in BATCH_FIXED_OPS.items() if axis == args.table
+        )
+        if not defaults:
+            raise SystemExit(f"--batch-fixed has no ops on the {args.table} axis")
     ops = [o for o in (args.ops or ",".join(defaults)).split(",") if o]
 
     registry.load_all()
@@ -281,15 +335,18 @@ def main() -> int:
         "timing_note": "ratios unguarded min-of-3; exchange counts are the noise-immune signal",
         "ops": {},
     }
+    if args.batch_fixed:
+        out["batch_fixed"] = True
     for key in ops:
-        ex1 = plan_str(
-            registry.QUERIES[key](spark, BASE_SF), "simple"
-        ).count("Exchange")
-        exn = plan_str(
-            registry.QUERIES[key](spark, scaled), "simple"
-        ).count("Exchange")
-        t1 = time_op(spark, key, BASE_SF)
-        tn = time_op(spark, key, scaled)
+        build_df = (
+            batch_fixed_builder(spark, key)
+            if args.batch_fixed
+            else registry.QUERIES[key]
+        )
+        ex1 = plan_str(build_df(spark, BASE_SF), "simple").count("Exchange")
+        exn = plan_str(build_df(spark, scaled), "simple").count("Exchange")
+        t1 = time_op(spark, build_df, BASE_SF)
+        tn = time_op(spark, build_df, scaled)
         out["ops"][key] = {
             "t_1x": t1,
             f"t_{args.factor}x": tn,
