@@ -186,6 +186,47 @@ def main() -> None:
                 )
             spark.sparkContext._jvm.System.gc()
 
+    # Bucketed-vs-flat side-by-side (VERDICT r6 item 6 / r7 item 2): the
+    # §2.1/§2.2 window family re-timed over the OBS_TABLE_DDL bucketed
+    # layout (storage2.bucketed_obs_table), next to the flat numbers just
+    # measured.  Quantifies the exchange savings the 4096-bucket claim in
+    # docs/CLUSTER.md rests on; value-parity of the variants is pinned in
+    # tests/test_bench_bucketed.py.  Headline mode only (the full sweep
+    # already runs long); SPARK_GRAFT_BENCH_BUCKETED=0 opts out.
+    bucketed: dict[str, dict] | None = None
+    if bench_set is HEADLINE and os.environ.get(
+        "SPARK_GRAFT_BENCH_BUCKETED", "1"
+    ) == "1":
+        from esxsnmp_tsdb_spark.operators.bench_bucketed import (
+            OBS_PARAMETRIC,
+            bucketed_obs,
+            bucketed_variant,
+        )
+        from esxsnmp_tsdb_spark.plans import plan_str
+
+        t0 = time.perf_counter()
+        bucketed_obs(spark, sf_dir)  # one-time layout build, timed apart
+        build_s = round(time.perf_counter() - t0, 3)
+        bucketed = {"_layout_build_s": build_s}
+        for key in OBS_PARAMETRIC:
+            flat_ex = plan_str(queries[key](spark, sf_dir), "simple").count(
+                "Exchange"
+            )
+            bdf = bucketed_variant(spark, sf_dir, key)
+            bkt_ex = plan_str(bdf, "simple").count("Exchange")
+            best = float("inf")
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                materialize(bucketed_variant(spark, sf_dir, key))
+                best = min(best, time.perf_counter() - t0)
+            bucketed[key] = {
+                "flat_s": per_query.get(key),
+                "bucketed_s": round(best, 3),
+                "flat_exchanges": flat_ex,
+                "bucketed_exchanges": bkt_ex,
+            }
+            spark.sparkContext._jvm.System.gc()
+
     steal_t1 = read_steal_s()
     steal_cpu_s = (
         round(steal_t1 - steal_t0, 3)
@@ -207,6 +248,9 @@ def main() -> None:
             # Host CPU steal during the timed region (seconds, whole
             # host): the noise context for this record's numbers.
             "steal_cpu_s": steal_cpu_s,
+            # Window family over the OBS_TABLE_DDL bucketed layout vs the
+            # flat-parquet headline numbers (None in full-sweep mode).
+            "bucketed_vs_flat": bucketed,
         }
     )
     print(line)

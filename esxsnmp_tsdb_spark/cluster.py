@@ -127,8 +127,15 @@ def apply(spark: SparkSession, **profile_kwargs) -> list[str]:
 # partitionBy(path).orderBy(tse) and every groupBy(path, …) consumes the
 # bucket layout directly.  Day partitioning gives the time-range scans
 # (ts_range_scan shape) partition pruning before row-group skipping.
-OBS_TABLE_DDL = """
-CREATE TABLE obs (
+def obs_table_ddl(n_buckets: int = 4096, name: str = "obs") -> str:
+    """The observation-table DDL, parameterized so tests can EXECUTE it
+    (8 buckets at fixture scale) while the documented deployment value
+    stays 4096.  tests/test_cluster_profile.py runs this DDL, inserts a
+    day of fixture obs through the documented writer path, and asserts
+    the zero-exchange window plan on the result — the contract is
+    executable, not prose."""
+    return f"""
+CREATE TABLE {name} (
     path    STRING,     -- series identity (device/interface/oidset)
     tse     BIGINT,     -- epoch-UTC seconds (uint32 contract)
     value   DOUBLE,
@@ -137,8 +144,11 @@ CREATE TABLE obs (
 )
 USING PARQUET
 PARTITIONED BY (day)
-CLUSTERED BY (path) SORTED BY (path, tse) INTO 4096 BUCKETS
+CLUSTERED BY (path) SORTED BY (path, tse) INTO {n_buckets} BUCKETS
 """.strip()
+
+
+OBS_TABLE_DDL = obs_table_ddl()
 
 # Writer-side equivalent (sources/compaction.py does this at 8 buckets
 # locally):

@@ -1,0 +1,104 @@
+"""Bucketed-vs-flat bench variants (VERDICT r6 item 6 / r7 item 2).
+
+`cluster.OBS_TABLE_DDL` claims the §2.1/§2.2 window/consolidation family
+plans with ZERO exchanges on the bucketed obs layout.  `bench.py` proves
+it with numbers: for each op below it times the registered (flat-parquet)
+query next to the SAME computation over `storage2.bucketed_obs_table` and
+records both wall times and both exchange counts per round.
+
+The variants are deliberately thin compositions of the same library
+functions the registered ops use (`tsdb.slot_dedup`, `tsdb.downsample`,
+`tsdb.deltas`, `tsdb.bin_split`, `aggregator._counter`), so the only
+difference under test is the obs SOURCE.  tests/test_bench_bucketed.py
+pins the mirror: every variant must be value-equal to its registered op
+at sf0.001 and must plan with zero exchanges — a drifted mirror or a
+layout regression fails CI, not just the bench narrative.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from esxsnmp_tsdb_spark.functions import tsdb
+from esxsnmp_tsdb_spark.operators._shared import BUCKET, FINE, STEP
+from esxsnmp_tsdb_spark.operators.aggregator import _counter
+
+
+def _slot_dedup(obs: DataFrame) -> DataFrame:
+    # mirror: timeseries.ts_slot_dedup
+    return tsdb.slot_dedup(obs, STEP).select("path", "slot", "tse", "value")
+
+
+def _rate(obs: DataFrame) -> DataFrame:
+    # mirror: aggregator.ts_rate
+    d = tsdb.deltas(_counter(obs), "counter")
+    return d.select(
+        "path",
+        "tse",
+        F.round(F.col("delta").cast("double") / F.col("dt"), 6).alias("rate"),
+    )
+
+
+def _downsample_avg(obs: DataFrame) -> DataFrame:
+    # mirror: aggregator.ts_downsample_avg
+    ds = tsdb.downsample(obs, BUCKET)
+    return ds.select("path", "slot", F.round("average", 6).alias("average"), "n")
+
+
+def _agg_cascade(obs: DataFrame) -> DataFrame:
+    # mirror: aggregator.ts_agg_cascade
+    fine = (
+        obs.withColumn("slot", tsdb.slot_of(F.col("tse"), FINE))
+        .groupBy("path", "slot")
+        .agg(
+            F.sum("value").alias("sv"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        fine.groupBy("path", tsdb.slot_of(F.col("slot"), BUCKET).alias("slot"))
+        .agg(
+            F.round(F.sum("sv") / F.sum("n"), 6).alias("average"),
+            F.min("mn").alias("vmin"),
+            F.max("mx").alias("vmax"),
+            F.sum("n").cast("bigint").alias("n"),
+        )
+    )
+
+
+def _bin_split(obs: DataFrame) -> DataFrame:
+    # mirror: aggregator.ts_bin_split (== storage2.ts_bin_split_bucketed
+    # when fed the bucketed table)
+    d = tsdb.deltas(_counter(obs), "counter").withColumn(
+        "delta", F.col("delta").cast("double")
+    )
+    split = tsdb.bin_split(d, BUCKET, redistribute=False)
+    return split.select(
+        "path", "bucket", F.round("delta_alloc", 6).alias("delta_alloc")
+    )
+
+
+# op key -> obs-parametric computation; key order is the bench emit order.
+OBS_PARAMETRIC: dict[str, Callable[[DataFrame], DataFrame]] = {
+    "ts_slot_dedup": _slot_dedup,
+    "ts_rate": _rate,
+    "ts_downsample_avg": _downsample_avg,
+    "ts_agg_cascade": _agg_cascade,
+    "ts_bin_split": _bin_split,
+}
+
+
+def bucketed_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OBS_TABLE_DDL layout at fixture scale (8 buckets locally)."""
+    from esxsnmp_tsdb_spark.operators.storage2 import bucketed_obs_table
+
+    return bucketed_obs_table(spark, sf_dir)
+
+
+def bucketed_variant(spark: SparkSession, sf_dir: str, key: str) -> DataFrame:
+    return OBS_PARAMETRIC[key](bucketed_obs(spark, sf_dir))

@@ -81,5 +81,57 @@ def test_ddl_and_layout_name_the_contract_columns():
     assert cluster.LADDER_STORE_LAYOUT["cascade"].startswith("level[i]")
 
 
+def test_obs_table_ddl_executes_and_plans_zero_exchange_windows(spark):
+    """VERDICT r7 item 6: EXECUTE the DDL (8 buckets at fixture scale),
+    write one day of sf0.01 obs through the documented writer path, and
+    assert (a) the per-series window family plans with zero exchanges on
+    the resulting table and (b) a day predicate partition-prunes."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from esxsnmp_tsdb_spark.functions import tsdb
+    from esxsnmp_tsdb_spark.operators._workdirs import op_dir
+    from esxsnmp_tsdb_spark.plans import plan_str
+    from esxsnmp_tsdb_spark.sources import register_views
+
+    loc = op_dir("obs_ddl_test")
+    spark.sql("DROP TABLE IF EXISTS obs_ddl_test")
+    spark.sql(
+        cluster.obs_table_ddl(8, "obs_ddl_test")
+        + f" LOCATION '{loc}/t'"
+    )
+    try:
+        obs = tsdb.obs_from_events(
+            register_views(spark, "/root/testdata/sf0.01")["events"]
+        ).withColumn("day", F.to_date(F.from_unixtime("tse")))
+        one_day = obs.filter(F.col("day") == "2024-01-10")
+        n_in = one_day.count()
+        assert n_in > 0
+        # documented writer path (cluster.py): repartition(day, path) then
+        # insert — Spark applies the table's bucket/sort spec on write
+        one_day.repartition("day", "path").select(
+            "path", "tse", "value", "flags", "day"
+        ).write.insertInto("obs_ddl_test")
+
+        t = spark.table("obs_ddl_test")
+        assert t.count() == n_in
+
+        # (a) per-series lag window + slot group-by: zero exchanges
+        w = Window.partitionBy("path").orderBy("tse")
+        windowed = (
+            t.withColumn("delta", F.col("value") - F.lag("value").over(w))
+            .groupBy("path", tsdb.slot_of(F.col("tse"), 3600).alias("slot"))
+            .agg(F.sum("delta").alias("d"))
+        )
+        plan = plan_str(windowed, "simple")
+        assert plan.count("Exchange") == 0, plan
+
+        # (b) a day predicate reaches the scan as partition pruning
+        pruned = plan_str(t.filter(F.col("day") == "2024-01-10"), "formatted")
+        assert "PartitionFilters" in pruned and "day" in pruned
+    finally:
+        spark.sql("DROP TABLE IF EXISTS obs_ddl_test")
+
+
 def test_session_reexport_matches():
     assert session.cluster_profile() == cluster.cluster_profile()
