@@ -93,11 +93,24 @@ OBS_PARAMETRIC: dict[str, Callable[[DataFrame], DataFrame]] = {
 }
 
 
+_BKT_TAG = "spark.esxsnmp_tsdb.bktObsSfDir"
+
+
 def bucketed_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The OBS_TABLE_DDL layout at fixture scale (8 buckets locally)."""
+    """The OBS_TABLE_DDL layout at fixture scale (N_BUCKETS locally),
+    built ONCE per (session, sf_dir): `storage2._bucketed_table` drops and
+    rewrites the table on every call (idempotence for the driver path),
+    which is correct for a one-shot op but would put a full table rebuild
+    inside every timed bench pass — the first bench cut measured exactly
+    that (~2 s of 'bucketed' time that was really the writer).  The conf
+    tag re-keys on sf_dir the same way `register_views` does."""
     from esxsnmp_tsdb_spark.operators.storage2 import bucketed_obs_table
 
-    return bucketed_obs_table(spark, sf_dir)
+    if spark.conf.get(_BKT_TAG, None) == sf_dir:
+        return spark.table("bkt_obs")
+    df = bucketed_obs_table(spark, sf_dir)
+    spark.conf.set(_BKT_TAG, sf_dir)
+    return df
 
 
 def bucketed_variant(spark: SparkSession, sf_dir: str, key: str) -> DataFrame:

@@ -47,7 +47,13 @@ from esxsnmp_tsdb_spark.operators._workdirs import op_dir
 from esxsnmp_tsdb_spark.registry import op
 from esxsnmp_tsdb_spark.sources import register_views
 
-N_BUCKETS = 8
+# Local projection of the 4096-bucket deployment layout (docs/CLUSTER.md):
+# one bucket per core, so a zero-exchange bucketed plan runs at the same
+# parallelism as the flat path's 32-wide shuffle and the bench's
+# bucketed-vs-flat delta isolates the EXCHANGE, not a task-count artifact
+# (at 8 buckets the bucketed side ran 4x fewer tasks and read slower
+# locally despite the better plan).
+N_BUCKETS = 32
 ZBITS = 8  # Morton bits per dimension
 
 

@@ -145,6 +145,8 @@ _REATTEST_QUEUE = (
     'ts_bin_split', 'ts_ladder_full_pipeline', 'stream_ladder_full_pipeline',
     # r8: indexed-dedup refactor (library form + per-cell index writer)
     'dedup_minhash_indexed', 'dedup_semantic_indexed', 'stream_dedup_indexed',
+    # r8: N_BUCKETS 8 -> 32 (local projection of the 4096-bucket layout)
+    'ts_bin_split_bucketed', 'storage_bucketed_join',
 )
 
 _REATTEST_RANK = {k: i for i, k in enumerate(_REATTEST_QUEUE)}
