@@ -1,7 +1,14 @@
 #!/usr/bin/env python
-"""Pre-run the driver's exact sf0.01 oracle comparison for every op that
-no CORRECTNESS_r*.json has attested yet, and write the results to
-``docs/PARITY_PRECHECK.json``.
+"""Pre-run the driver's exact sf0.01 oracle comparison and write the
+results to ``docs/PARITY_PRECHECK.json``.
+
+Default scope: every op no CORRECTNESS_r*.json has attested yet (freshly
+added operators waiting for an official row).  ``--window N`` scopes to
+the FIRST N keys of ``registry.queries()`` order instead — the exact set
+the driver's next CORRECTNESS window will hash, so a round can pre-verify
+its re-attestation queue + stalest-cohort rotation before the driver runs:
+
+    python scripts/precheck_unattested.py --window 50
 
 The driver attests only 50 ops per round, so freshly-added operators wait
 one or two rounds for an official row.  This script closes the evidence
@@ -33,8 +40,12 @@ def main() -> int:
     from tests.oracle_harness import duck_connection, run_op
 
     registry.load_all()
-    todo = [k for k in registry.QUERIES if k not in registry._ATTESTED]
-    print(f"{len(todo)} not-yet-attested ops; sf_dir={SF_DIR}")
+    if len(sys.argv) > 2 and sys.argv[1] == "--window":
+        todo = list(registry.queries())[: int(sys.argv[2])]
+        print(f"driver-window head: {len(todo)} ops; sf_dir={SF_DIR}")
+    else:
+        todo = [k for k in registry.QUERIES if k not in registry._ATTESTED]
+        print(f"{len(todo)} not-yet-attested ops; sf_dir={SF_DIR}")
 
     spark = get_session("precheck")
     spark.sparkContext.setLogLevel("ERROR")
@@ -42,7 +53,7 @@ def main() -> int:
 
     results: dict[str, dict] = {}
     n_pass = n_rows_only = n_fail = 0
-    for k in sorted(todo):
+    for k in (todo if "--window" in sys.argv else sorted(todo)):
         fn = registry.QUERIES[k]
         try:
             if k in registry.ORACLE:
