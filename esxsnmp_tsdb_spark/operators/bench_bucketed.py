@@ -103,14 +103,14 @@ def bucketed_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is correct for a one-shot op but would put a full table rebuild
     inside every timed bench pass — the first bench cut measured exactly
     that (~2 s of 'bucketed' time that was really the writer).  The conf
-    tag re-keys on sf_dir the same way `register_views` does."""
+    tag re-keys on sf_dir the same way `register_views` does; it is
+    STAMPED by `bucketed_obs_table` itself, so any rebuild for another
+    fixture moves the tag with the table."""
     from esxsnmp_tsdb_spark.operators.storage2 import bucketed_obs_table
 
     if spark.conf.get(_BKT_TAG, None) == sf_dir:
         return spark.table("bkt_obs")
-    df = bucketed_obs_table(spark, sf_dir)
-    spark.conf.set(_BKT_TAG, sf_dir)
-    return df
+    return bucketed_obs_table(spark, sf_dir)
 
 
 def bucketed_variant(spark: SparkSession, sf_dir: str, key: str) -> DataFrame:

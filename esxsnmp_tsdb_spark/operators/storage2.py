@@ -95,7 +95,13 @@ def bucketed_obs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     disappears (asserted in tests/test_storage2.py).  At 100 TB this is
     the difference between consolidating a day re-shuffling the fleet's
     ingest and consolidating it bucket-local."""
-    return _bucketed_table(spark, _obs(spark, sf_dir), "bkt_obs", "path", "tse")
+    df = _bucketed_table(spark, _obs(spark, sf_dir), "bkt_obs", "path", "tse")
+    # Stamp what was just built so bench_bucketed.bucketed_obs can reuse
+    # the table without a rebuild per timed pass; stamped HERE (by the
+    # builder) so a direct rebuild for another sf_dir can never leave a
+    # stale tag pointing at the wrong fixture.
+    spark.conf.set("spark.esxsnmp_tsdb.bktObsSfDir", sf_dir)
+    return df
 
 
 @op(
