@@ -127,10 +127,16 @@ def _emb_with_near_copies(e: DataFrame) -> DataFrame:
     return e.select("vec_id", "embedding").unionAll(_emb_near_batch(e))
 
 
-def _cell_seeds(e: DataFrame) -> DataFrame:
-    """Coarse centroids seeded from every {CELL_SEED_MOD}th vector of the
-    given corpus — (cid, cv, cnrm), catalog-sized, broadcastable."""
-    return e.filter(F.col("vec_id") % CELL_SEED_MOD == 0).select(
+def _cell_seeds(e: DataFrame, mod: int = CELL_SEED_MOD) -> DataFrame:
+    """Coarse centroids seeded from every ``mod``th vector of the given
+    corpus — (cid, cv, cnrm), catalog-sized, broadcastable.
+
+    The default keeps the oracle-static {CELL_SEED_MOD} convention
+    (C ∝ N).  Deployment sizing is C ≈ √N (docs/CLUSTER.md): callers on
+    a growing corpus pass ``mod ≈ default × √(growth)`` so the probe
+    cost term Θ(C) + Θ(N/C) stays at its √N minimum — the scaling
+    probe's ``--seed-scale sqrt`` mode measures exactly that."""
+    return e.filter(F.col("vec_id") % mod == 0).select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("cv"),
         F.col("nrm").alias("cnrm"),

@@ -153,24 +153,36 @@ def minhash_index_hits(
 
 # --- Semantic cell index ------------------------------------------------
 
-def build_semantic_cell_index(spark: SparkSession, sf_dir: str) -> str:
+def build_semantic_cell_index(
+    spark: SparkSession, sf_dir: str, seed_mod: int | None = None
+) -> str:
     """Build (once per session per corpus) the ingest-persisted semantic
     dedup index for the STANDING corpus (original embeddings): the
     coarse centroids (catalog-sized, `centroids/`) and every corpus
     vector with its cell assignment, written PARTITIONED BY cid
     (`members/`) — the layout `dedup_semantic_cells`' docstring promises
-    at ingest time, shared geometry via `curation8._assign_cells`."""
+    at ingest time, shared geometry via `curation8._assign_cells`.
+
+    ``seed_mod`` overrides the cell-seeding stride (default
+    `curation8.CELL_SEED_MOD`, the oracle-static convention).  A growing
+    corpus should pass ``CELL_SEED_MOD × √(growth)`` so the cell count
+    follows the √N deployment rule (docs/CLUSTER.md); each stride gets
+    its own index directory."""
+    from esxsnmp_tsdb_spark.operators.curation8 import CELL_SEED_MOD
+
+    suffix = "" if seed_mod in (None, CELL_SEED_MOD) else f"__m{seed_mod}"
     root = op_dir(
-        "semcell_index__" + sf_dir.strip("/").replace("/", "_"), fresh=False
+        "semcell_index__" + sf_dir.strip("/").replace("/", "_") + suffix,
+        fresh=False,
     )
     marker = os.path.join(root, "_built")
     if not os.path.exists(marker):
         e = _t(spark, sf_dir)["embeddings"].select(
             "vec_id", "embedding", norm(_dbl(F.col("embedding"))).alias("nrm")
         )
-        _cell_seeds(e).write.mode("overwrite").parquet(
-            os.path.join(root, "centroids")
-        )
+        _cell_seeds(e, seed_mod or CELL_SEED_MOD).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(root, "centroids"))
         # assign against the just-written centroids so the members job
         # broadcasts a parquet read instead of re-deriving the seed
         # lineage (a second corpus scan)
@@ -243,6 +255,7 @@ def semantic_index_hits(
     sf_dir: str,
     batch_emb: DataFrame | None = None,
     broadcast_batch: bool = False,
+    seed_mod: int | None = None,
 ) -> DataFrame:
     """Library form of `dedup_semantic_indexed`: probe ``sf_dir``'s
     persisted cell index with the near-copy batch manufactured from
@@ -253,8 +266,9 @@ def semantic_index_hits(
     ``broadcast_batch`` pins the small-arriving-batch join shape (see
     `minhash_index_hits`): broadcast the assigned batch, stream the
     members read — which also hands DPP a broadcast-side subquery to
-    prune the cell-partitioned members scan to the touched cells."""
-    root = build_semantic_cell_index(spark, sf_dir)
+    prune the cell-partitioned members scan to the touched cells.
+    ``seed_mod`` forwards to `build_semantic_cell_index` (√N sizing)."""
+    root = build_semantic_cell_index(spark, sf_dir, seed_mod=seed_mod)
     e = batch_emb if batch_emb is not None else _t(spark, sf_dir)["embeddings"]
     batch = _emb_near_batch(e).withColumn("nrm", norm(_dbl(F.col("embedding"))))
     cent = spark.read.parquet(os.path.join(root, "centroids"))

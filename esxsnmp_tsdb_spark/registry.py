@@ -147,6 +147,9 @@ _REATTEST_QUEUE = (
     'dedup_minhash_indexed', 'dedup_semantic_indexed', 'stream_dedup_indexed',
     # r8: N_BUCKETS 8 -> 32 (local projection of the 4096-bucket layout)
     'ts_bin_split_bucketed', 'storage_bucketed_join',
+    # r8: _cell_seeds seed-stride parameterization (default path unchanged;
+    # queued as drift insurance for its direct consumers)
+    'dedup_semantic_cells', 'mine_hard_negatives', 'doc_semantic_outliers',
 )
 
 _REATTEST_RANK = {k: i for i, k in enumerate(_REATTEST_QUEUE)}

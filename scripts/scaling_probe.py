@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import sys
 import time
@@ -269,7 +270,7 @@ BATCH_FIXED_OPS = {
 BATCH_FIXED_MOD = 97  # id % 97 == 3 — similarity.BATCH_Q_MOD convention
 
 
-def batch_fixed_builder(spark, key: str):
+def batch_fixed_builder(spark, key: str, sqrt_seed_factor: int | None = None):
     from pyspark.sql import functions as F
 
     from esxsnmp_tsdb_spark.operators import dedup2
@@ -284,9 +285,23 @@ def batch_fixed_builder(spark, key: str):
         return lambda spark, sf: dedup2.minhash_index_hits(
             spark, sf, batch_docs=batch, broadcast_batch=True
         )
-    return lambda spark, sf: dedup2.semantic_index_hits(
-        spark, sf, batch_emb=batch, broadcast_batch=True
-    )
+
+    # --seed-scale sqrt: the SCALED corpus's index is seeded at
+    # CELL_SEED_MOD × √factor — the √N deployment sizing rule
+    # (docs/CLUSTER.md) — while the 1× index keeps the default stride.
+    # Isolates the C ∝ N assignment/listing term the default seeding
+    # leaves in the batch-fixed ratio.
+    def build(spark, sf):
+        mod = None
+        if sqrt_seed_factor and sf != BASE_SF:
+            from esxsnmp_tsdb_spark.operators.curation8 import CELL_SEED_MOD
+
+            mod = CELL_SEED_MOD * max(1, math.isqrt(sqrt_seed_factor))
+        return dedup2.semantic_index_hits(
+            spark, sf, batch_emb=batch, broadcast_batch=True, seed_mod=mod
+        )
+
+    return build
 
 
 AXES = {
@@ -302,6 +317,14 @@ def main() -> int:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--table", choices=tuple(AXES), default="events")
     ap.add_argument("--ops", default=None)
+    ap.add_argument(
+        "--seed-scale",
+        choices=("default", "sqrt"),
+        default="default",
+        help="with --batch-fixed on the embeddings axis: seed the SCALED "
+        "index at CELL_SEED_MOD*sqrt(factor) (the deployment sizing rule) "
+        "instead of the oracle-static stride",
+    )
     ap.add_argument(
         "--batch-fixed",
         action="store_true",
@@ -337,9 +360,17 @@ def main() -> int:
     }
     if args.batch_fixed:
         out["batch_fixed"] = True
+        if args.seed_scale != "default":
+            out["seed_scale"] = args.seed_scale
     for key in ops:
         build_df = (
-            batch_fixed_builder(spark, key)
+            batch_fixed_builder(
+                spark,
+                key,
+                sqrt_seed_factor=(
+                    args.factor if args.seed_scale == "sqrt" else None
+                ),
+            )
             if args.batch_fixed
             else registry.QUERIES[key]
         )
