@@ -31,7 +31,9 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-OUT = os.path.join(ROOT, "docs", "PARITY_PRECHECK.json")
+OUT = os.environ.get(
+    "SPARK_GRAFT_PRECHECK_OUT", os.path.join(ROOT, "docs", "PARITY_PRECHECK.json")
+)
 
 
 def main() -> int:
