@@ -60,11 +60,19 @@ DUP_CTE = """docs2 AS (
 # slice yields NULL while Spark's concat_ws yields '' — pin the twin to
 # '' explicitly so the representations agree even where no later filter
 # happens to mask the difference.
-NEAR_BATCH_SQL = """SELECT doc_id + 100000 AS doc_id,
+def near_batch_sql(src: str = "documents") -> str:
+    """SQL twin of ``_near_batch(<src>)`` — the drop-last-token mutated
+    arm, parameterized on the source relation so the small-batch index
+    probe (dedup2) can mutate a FILTERED slice of documents with the
+    exact same template the full-batch oracles use."""
+    return f"""SELECT doc_id + 100000 AS doc_id,
          coalesce(array_to_string(
            list_slice(string_split(text, ' '), 1,
                       len(string_split(text, ' ')) - 1), ' '), '') AS text
-  FROM documents"""
+  FROM {src}"""
+
+
+NEAR_BATCH_SQL = near_batch_sql()
 
 # near-dup corpus: original ∪ drop-last-token mutation
 NEAR_CTE = f"""docs2 AS (

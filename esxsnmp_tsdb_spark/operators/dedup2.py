@@ -18,6 +18,7 @@ DuckDB — persistence must not change a single pair.
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -43,9 +44,11 @@ from esxsnmp_tsdb_spark.operators.dedup import (
     _minhash_sigs,
     _near_batch,
     _shingled,
+    near_batch_sql,
     shingle_sql,
     sigs_sql,
 )
+from esxsnmp_tsdb_spark.operators.similarity import BATCH_Q_MOD
 from esxsnmp_tsdb_spark.registry import op
 from esxsnmp_tsdb_spark.sources import register_views
 
@@ -149,6 +152,49 @@ def minhash_index_hits(
         F.col("doc_id").alias("match_id"), "band", "sig"
     )
     return bat_sigs.join(idx, ["band", "sig"]).select("new_id", "match_id").distinct()
+
+
+@op(
+    "dedup_minhash_indexed_smallbatch",
+    oracle=f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+batch AS (
+  {near_batch_sql(f'(SELECT doc_id, text FROM documents'
+                  f' WHERE doc_id % {BATCH_Q_MOD} = 3)')}
+),
+{shingle_sql(SHINGLE_K, 'corpus', 'cor_sh', materialized=True)},
+{sigs_sql('cor_sh', 'cor_sigs', materialized=True)},
+{shingle_sql(SHINGLE_K, 'batch', 'bat_sh', materialized=True)},
+{sigs_sql('bat_sh', 'bat_sigs', materialized=True)}
+SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS match_id
+FROM bat_sigs b JOIN cor_sigs c ON b.band = c.band AND b.sig = c.sig
+""",
+)
+def dedup_minhash_indexed_smallbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_minhash_indexed` in the SMALL-arriving-batch shape — the
+    steady-state of continuous ingestion, where each batch is a sliver
+    of the standing corpus (here the ~1% `doc_id % {BATCH_Q_MOD} == 3`
+    slice, the deterministic-batch convention `similarity.BATCH_Q_MOD`
+    established, mutated by the same drop-last-token template).
+
+    What the registered default cannot pin, this op does: with
+    ``broadcast_batch=True`` the batch signatures BROADCAST and the
+    persisted index streams map-side through the (band, sig) hash join,
+    so the index side is NEVER exchanged — an invariant that holds no
+    matter how large the corpus grows (plan-asserted: no
+    hashpartitioning(band, …) exchange; the only shuffle is the
+    batch-proportional DISTINCT on the hits).  Without the hint the
+    planner broadcasts the INDEX at small scale and flips to shuffling
+    both sides once the index outgrows the threshold — the measured r8
+    failure mode the `broadcast_batch` pin exists to prevent.  The
+    batch-fixed scaling probe (docs/SCALING_r08.json `batch_fixed`
+    minhash: 10× corpus → 0.95× probe wall, exchanges 6=6) is this op's
+    shape held at two corpus scales."""
+    docs = _t(spark, sf_dir)["documents"].select("doc_id", "text")
+    small = docs.filter(F.col("doc_id") % BATCH_Q_MOD == 3)
+    return minhash_index_hits(
+        spark, sf_dir, batch_docs=small, broadcast_batch=True
+    )
 
 
 # --- Semantic cell index ------------------------------------------------
@@ -298,6 +344,77 @@ def semantic_index_hits(
             "cid",
             F.round(cos, 6).alias("cos"),
         )
+    )
+
+
+def sqrtn_stride(spark: SparkSession, sf_dir: str) -> int:
+    """The √N cell-seeding stride for ``sf_dir``'s embedding corpus:
+    ``ceil(√N)``, so cell count ≈ corpus size / √N ≈ √N — the sizing
+    that keeps the probe cost term Θ(C) + Θ(N/C) at its minimum as the
+    corpus grows (docs/CLUSTER.md).  The census is one scalar COUNT to
+    the driver (parquet-metadata cheap), the same bounded-metadata class
+    as the dynamic-partition target lists — an ingest job knows its
+    corpus size."""
+    n = _t(spark, sf_dir)["embeddings"].count()
+    return max(1, math.ceil(math.sqrt(n)))
+
+
+@op(
+    "dedup_semantic_indexed_sqrtn",
+    oracle=f"""
+WITH n AS (
+  SELECT greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS stride
+  FROM embeddings
+),
+e AS (
+  SELECT vec_id, embedding, len(embedding) AS d FROM embeddings
+),
+c AS (SELECT vec_id AS cid, embedding AS cv, d AS cd FROM e
+      WHERE vec_id % (SELECT stride FROM n) = 0),
+{assign_cte('e', 'assigned')},
+batch AS (
+  SELECT vec_id, embedding, len(embedding) AS d
+  FROM ({EMB_NEAR_BATCH_SQL})
+),
+{assign_cte('batch', 'bassigned')}
+SELECT b.vec_id AS new_id, m.vec_id AS dup_of, b.cid AS cid,
+       round({DOT_SQL.format(d='b.d', a='b.embedding', b='m.embedding')} /
+             (sqrt({DOT_SQL.format(d='b.d', a='b.embedding',
+                                   b='b.embedding')}) *
+              sqrt({DOT_SQL.format(d='m.d', a='m.embedding',
+                                   b='m.embedding')})), 6) AS cos
+FROM bassigned b
+JOIN assigned m ON m.cid = b.cid
+WHERE {DOT_SQL.format(d='b.d', a='b.embedding', b='m.embedding')} /
+      (sqrt({DOT_SQL.format(d='b.d', a='b.embedding', b='b.embedding')}) *
+       sqrt({DOT_SQL.format(d='m.d', a='m.embedding', b='m.embedding')}))
+      >= {SEM_TAU}
+""",
+)
+def dedup_semantic_indexed_sqrtn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_semantic_indexed` under the √N cell-sizing DEPLOYMENT rule
+    instead of the oracle-static mod-{CELL_SEED_MOD} convention: the
+    index is seeded at stride ``ceil(√N)`` (`sqrtn_stride`), so cell
+    count grows as √N — not ∝ N — and the batch-side centroid
+    assignment term (batch × C) stays sub-linear as the corpus grows.
+    This is the registered form of the r8-measured gap: at a 100×
+    corpus, a fixed batch probes the mod-50 index at 6.54× the 1× wall
+    (cells ∝ N) but the √N-seeded index at ~1.9×
+    (docs/SCALING_r08.json `embeddings_factor100`); the static-stride
+    sibling stays registered as the oracle-convention twin, this op is
+    the shape a 100 TB deployment runs.
+
+    The oracle derives the SAME stride non-statically — a DuckDB scalar
+    subquery ``vec_id % (SELECT ceil(sqrt(count(*))) …) = 0`` — so
+    correctness is attested at whatever size the fixture has, not at a
+    hard-coded modulus: both engines compute ``ceil`` of an IEEE-754
+    correctly-rounded ``sqrt`` of the same integer census, which is
+    deterministic and identical.  Everything else (argmax-cosine
+    assignment, exact sequential cosine fold, τ={SEM_TAU} margin,
+    near-copy arriving batch) is shared with `dedup_semantic_indexed`
+    via `semantic_index_hits` / `assign_cte`."""
+    return semantic_index_hits(
+        spark, sf_dir, seed_mod=sqrtn_stride(spark, sf_dir)
     )
 
 

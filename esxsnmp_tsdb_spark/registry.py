@@ -141,15 +141,7 @@ _PRIORITY_BACKLOG = frozenset()
 # them; the queue is cleared each round after ``update_attested.py --write``
 # folds the fresh hashes into ``_HASH_ROUND``.
 _REATTEST_QUEUE = (
-    # modified in round 8 (append as the round touches ops)
-    'ts_bin_split', 'ts_ladder_full_pipeline', 'stream_ladder_full_pipeline',
-    # r8: indexed-dedup refactor (library form + per-cell index writer)
-    'dedup_minhash_indexed', 'dedup_semantic_indexed', 'stream_dedup_indexed',
-    # r8: N_BUCKETS 8 -> 32 (local projection of the 4096-bucket layout)
-    'ts_bin_split_bucketed', 'storage_bucketed_join',
-    # r8: _cell_seeds seed-stride parameterization (default path unchanged;
-    # queued as drift insurance for its direct consumers)
-    'dedup_semantic_cells', 'mine_hard_negatives', 'doc_semantic_outliers',
+    # modified in round 9 (append as the round touches ops)
 )
 
 _REATTEST_RANK = {k: i for i, k in enumerate(_REATTEST_QUEUE)}
@@ -161,27 +153,15 @@ _REATTEST_RANK = {k: i for i, k in enumerate(_REATTEST_QUEUE)}
 # the same oldest-registered cohort every round (the r7 window and an
 # unchanged r8 window would have been identical 37 keys).
 _HASH_ROUND: dict[int, tuple[str, ...]] = {
-    1: (
-        'anti_join', 'approx_distinct', 'asof_join', 'broadcast_join',
-        'cross_join_topk', 'distinct_agg', 'grouping_sets', 'hash_aggregate',
-        'hash_join_inner', 'outer_join_full', 'outer_join_left', 'percentiles',
-        'projection_filter', 'range_interval_join', 'rollup_cube', 'scan_parquet',
-        'semi_join', 'set_except', 'set_intersect', 'set_union',
-        'sort_limit_topk', 'sort_merge_join', 'window_lag_lead', 'window_rank',
-        'window_running',
-    ),
     2: (
-        'approx_percentiles', 'array_agg_sorted', 'asof_join_nearest', 'customer_rfm',
-        'dedup_embedding_cosine', 'dedup_exact', 'dedup_simhash', 'market_basket_pairs',
-        'pivot_unpivot', 'salted_aggregate', 'scalar_array_funcs', 'scalar_bitwise_funcs',
-        'scalar_date_funcs', 'scalar_json_funcs', 'scalar_math_funcs', 'scalar_string_funcs',
-        'subquery_scalar', 'tpch_q1', 'tpch_q10', 'tpch_q11',
-        'tpch_q12', 'tpch_q13', 'tpch_q14', 'tpch_q15',
-        'tpch_q16', 'tpch_q17', 'tpch_q18', 'tpch_q19',
-        'tpch_q2', 'tpch_q20', 'tpch_q21', 'tpch_q22',
-        'tpch_q3', 'tpch_q4', 'tpch_q5', 'tpch_q6',
-        'tpch_q7', 'tpch_q8', 'tpch_q9', 'ts_linear_trend',
-        'ts_rolling_1h', 'ts_sessionize', 'window_distribution',
+        'dedup_embedding_cosine', 'dedup_exact', 'dedup_simhash', 'scalar_array_funcs',
+        'scalar_bitwise_funcs', 'scalar_json_funcs', 'scalar_math_funcs', 'tpch_q1',
+        'tpch_q10', 'tpch_q11', 'tpch_q12', 'tpch_q13',
+        'tpch_q14', 'tpch_q15', 'tpch_q16', 'tpch_q17',
+        'tpch_q18', 'tpch_q19', 'tpch_q2', 'tpch_q20',
+        'tpch_q21', 'tpch_q22', 'tpch_q3', 'tpch_q4',
+        'tpch_q5', 'tpch_q6', 'tpch_q7', 'tpch_q8',
+        'tpch_q9',
     ),
     3: (
         'attribution_last_touch', 'cross_source_dedup_priority', 'cumulative_distinct_users', 'decontaminate_ngram',
@@ -205,11 +185,11 @@ _HASH_ROUND: dict[int, tuple[str, ...]] = {
         'multimodal_embed', 'multimodal_frame_sample', 'multimodal_join', 'multimodal_tile_plan',
         'pii_scrub_stats', 'scd2_history_build', 'sim_search_ann_lsh', 'sim_search_batch',
         'sim_search_ivf', 'sim_search_ivf_pq', 'sim_search_lsh_multiprobe', 'sim_search_range',
-        'sim_search_topk', 'storage_bucketed_join', 'storage_compaction_integrity', 'storage_day_partitioned_scan',
-        'storage_retention_expire', 'term_zipf_slope', 'text_quality_score', 'text_repetition_filter',
-        'text_repetition_stats', 'text_stopword_stats', 'text_tokenize_stats', 'text_unigram_logprob',
-        'text_word_entropy', 'tfidf_topterms', 'token_count_bpe', 'ts_merge_upsert',
-        'vector_pq_adc', 'vocab_growth_heaps',
+        'sim_search_topk', 'storage_compaction_integrity', 'storage_day_partitioned_scan', 'storage_retention_expire',
+        'term_zipf_slope', 'text_quality_score', 'text_repetition_filter', 'text_repetition_stats',
+        'text_stopword_stats', 'text_tokenize_stats', 'text_unigram_logprob', 'text_word_entropy',
+        'tfidf_topterms', 'token_count_bpe', 'ts_merge_upsert', 'vector_pq_adc',
+        'vocab_growth_heaps',
     ),
     5: (
         'approx_distinct_hll_merge', 'grouped_mode', 'salted_skew_join', 'skew_key_report',
@@ -227,31 +207,43 @@ _HASH_ROUND: dict[int, tuple[str, ...]] = {
     6: (
         'ann_recall_eval_ivfpq', 'api_bulk_timerange', 'api_freshness_report', 'attribution_time_decay',
         'blocklist_filter', 'bpe_merge_pair_step', 'chunk_dedup_cdc', 'corpus_mix_report',
-        'data_quality_contract', 'dataset_mixture_epochs', 'dedup_cross_source_matrix', 'dedup_minhash_indexed',
-        'dedup_semantic_indexed', 'doc_sliding_context_chunks', 'doc_winnowing_overlap', 'embedding_dim_stats',
-        'event_lift_matrix', 'event_markov_transition', 'ingest_dlq_quarantine', 'ingest_late_data_report',
-        'inter_event_gap_histogram', 'multimodal_phash_dedup', 'pipeline_pretraining_mix', 'privacy_k_anonymity',
-        'quality_gopher_rules', 'rag_hybrid_retrieval', 'sample_importance_weighted', 'sample_token_budget',
-        'scd2_point_in_time_join', 'session_duration_stats', 'sim_search_ivf_pq_indexed', 'sim_search_lsh_indexed',
-        'source_divergence_kl', 'storage_file_skipping_manifest', 'storage_gdpr_erasure', 'storage_snapshot_gc',
-        'storage_snapshot_time_travel', 'stream_dedup_indexed', 'tokenizer_fertility_by_lang', 'tokenizer_vocab_coverage',
-        'ts_bin_split_bucketed', 'ts_flag_visibility', 'ts_poll_interval_drift', 'user_activity_concentration',
+        'data_quality_contract', 'dataset_mixture_epochs', 'dedup_cross_source_matrix', 'doc_sliding_context_chunks',
+        'doc_winnowing_overlap', 'embedding_dim_stats', 'event_lift_matrix', 'event_markov_transition',
+        'ingest_dlq_quarantine', 'ingest_late_data_report', 'inter_event_gap_histogram', 'multimodal_phash_dedup',
+        'pipeline_pretraining_mix', 'privacy_k_anonymity', 'quality_gopher_rules', 'rag_hybrid_retrieval',
+        'sample_importance_weighted', 'sample_token_budget', 'scd2_point_in_time_join', 'session_duration_stats',
+        'sim_search_ivf_pq_indexed', 'sim_search_lsh_indexed', 'source_divergence_kl', 'storage_file_skipping_manifest',
+        'storage_gdpr_erasure', 'storage_snapshot_gc', 'storage_snapshot_time_travel', 'tokenizer_fertility_by_lang',
+        'tokenizer_vocab_coverage', 'ts_flag_visibility', 'ts_poll_interval_drift', 'user_activity_concentration',
         'user_journey_top_paths',
     ),
     7: (
         'dedup_cluster_size_stats', 'dedup_connected_components', 'dedup_near_minhash', 'dedup_ngram_jaccard',
-        'dedup_semantic_cells', 'dedup_threshold_sweep', 'doc_semantic_outliers', 'mine_hard_negatives',
-        'minhash_band_sensitivity', 'minhash_jaccard_estimate', 'stream_ladder_full_pipeline', 'ts_agg_cascade',
-        'ts_aggregate_row', 'ts_anomaly_zscore', 'ts_billing_p95', 'ts_bin_split',
-        'ts_counter_reset_detect', 'ts_counter_wrap', 'ts_counter_wrap64', 'ts_delta',
-        'ts_downsample_avg', 'ts_downsample_delta', 'ts_downsample_delta64', 'ts_downsample_last',
-        'ts_downsample_minmax', 'ts_downsample_percentile', 'ts_flag_filter', 'ts_gap_fill_locf',
-        'ts_gap_report', 'ts_heartbeat_invalidate', 'ts_interpolate', 'ts_ladder_backfill',
-        'ts_ladder_full_pipeline', 'ts_ladder_route', 'ts_ladder_route_sql', 'ts_last_known',
-        'ts_metadata_get', 'ts_point_lookup', 'ts_range_scan', 'ts_rate',
-        'ts_rate64', 'ts_rate_downsample', 'ts_rate_invalid_reasons', 'ts_seasonal_baseline',
-        'ts_series_catalog', 'ts_slot_dedup', 'ts_time_spine', 'ts_top_talkers',
-        'ts_valid_ratio', 'ts_wrap_eta',
+        'dedup_threshold_sweep', 'minhash_band_sensitivity', 'minhash_jaccard_estimate', 'ts_agg_cascade',
+        'ts_aggregate_row', 'ts_anomaly_zscore', 'ts_billing_p95', 'ts_counter_reset_detect',
+        'ts_counter_wrap', 'ts_counter_wrap64', 'ts_delta', 'ts_downsample_avg',
+        'ts_downsample_delta', 'ts_downsample_delta64', 'ts_downsample_last', 'ts_downsample_minmax',
+        'ts_downsample_percentile', 'ts_flag_filter', 'ts_gap_fill_locf', 'ts_gap_report',
+        'ts_heartbeat_invalidate', 'ts_interpolate', 'ts_ladder_backfill', 'ts_ladder_route',
+        'ts_ladder_route_sql', 'ts_last_known', 'ts_metadata_get', 'ts_point_lookup',
+        'ts_range_scan', 'ts_rate', 'ts_rate64', 'ts_rate_downsample',
+        'ts_rate_invalid_reasons', 'ts_seasonal_baseline', 'ts_series_catalog', 'ts_slot_dedup',
+        'ts_time_spine', 'ts_top_talkers', 'ts_valid_ratio', 'ts_wrap_eta',
+    ),
+    8: (
+        'anti_join', 'approx_distinct', 'approx_percentiles', 'array_agg_sorted',
+        'asof_join', 'asof_join_nearest', 'broadcast_join', 'cross_join_topk',
+        'customer_rfm', 'dedup_minhash_indexed', 'dedup_semantic_cells', 'dedup_semantic_indexed',
+        'distinct_agg', 'doc_semantic_outliers', 'grouping_sets', 'hash_aggregate',
+        'hash_join_inner', 'market_basket_pairs', 'mine_hard_negatives', 'outer_join_full',
+        'outer_join_left', 'percentiles', 'pivot_unpivot', 'projection_filter',
+        'range_interval_join', 'rollup_cube', 'salted_aggregate', 'scalar_date_funcs',
+        'scalar_string_funcs', 'scan_parquet', 'semi_join', 'set_except',
+        'set_intersect', 'set_union', 'sort_limit_topk', 'sort_merge_join',
+        'storage_bucketed_join', 'stream_dedup_indexed', 'stream_ladder_full_pipeline', 'subquery_scalar',
+        'ts_bin_split', 'ts_bin_split_bucketed', 'ts_ladder_full_pipeline', 'ts_linear_trend',
+        'ts_rolling_1h', 'ts_sessionize', 'window_distribution', 'window_lag_lead',
+        'window_rank', 'window_running',
     ),
 }
 

@@ -259,6 +259,61 @@ def test_incremental_dedup_reads_index_not_corpus(spark):
     assert "CartesianProduct" not in p2
 
 
+def test_smallbatch_probe_broadcasts_batch_never_index(spark):
+    """The small-arriving-batch probe's scale invariant: the BATCH side
+    of the (band, sig) join broadcasts and the persisted index streams
+    map-side — so the index is never exchanged no matter how large the
+    corpus grows, and the index scan is dynamically partition-pruned to
+    the bands the batch actually touches.  Every documents scan in the
+    plan must be the filtered batch slice (the DPP subquery re-derives
+    the batch; that is batch-proportional, not a corpus recompute)."""
+    spark.catalog.clearCache()
+    df = Q["dedup_minhash_indexed_smallbatch"](spark, SF_ORACLE)
+    p = plan_str(df, "simple")
+    assert "BroadcastHashJoin" in p
+    assert "minhash_index" in p  # persisted signature scan
+    # the probe keys are NEVER a shuffle key: the only exchanges are the
+    # batch's own minhash agg / fan-out and the hits DISTINCT
+    assert "hashpartitioning(band" not in p, "index side was exchanged"
+    # the broadcast subtree is the batch, not the index: in DFS print
+    # order the first scan after a BroadcastExchange is inside it
+    after = p.split("BroadcastExchange", 1)[1]
+    first_scan = after[after.index("FileScan") :].splitlines()[0]
+    assert "minhash_index" not in first_scan, "the INDEX was broadcast"
+    assert "documents.parquet" in first_scan
+    # index scan is DPP-pruned on band by the broadcast batch
+    assert "dynamicpruning" in p
+    # no unfiltered corpus scan: every documents scan carries the
+    # batch-slice filter in its pushed DataFilters
+    doc_scans = [l for l in p.splitlines() if "documents.parquet" in l]
+    assert doc_scans and all("% 97" in l for l in doc_scans), (
+        "unfiltered corpus scan"
+    )
+
+
+def test_sqrtn_semantic_probe_reads_sqrtn_index(spark):
+    """The √N-seeded semantic probe must read its own stride-suffixed
+    index directory (not the mod-50 default), scan raw embeddings once
+    (the batch side), and keep the batch×centroids assignment as a
+    broadcast nested loop — same shape as the static-stride sibling,
+    different (√N) cell geometry."""
+    spark.catalog.clearCache()
+    p = plan_str(Q["dedup_semantic_indexed_sqrtn"](spark, SF_ORACLE))
+    assert p.count("embeddings.parquet") == 1, "corpus re-assigned from raw"
+    import math
+
+    import duckdb
+
+    n = duckdb.connect().execute(
+        f"SELECT count(*) FROM '{SF_ORACLE}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert f"__m{max(1, math.ceil(math.sqrt(n)))}/" in p, (
+        "probe not reading the sqrt(N)-stride index dir"
+    )
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
 def test_winnowing_join_on_fingerprint_aggregate(spark):
     """Fingerprint selection is a bounded ROWS window; every join keys on
     the fingerprint or doc_id (equi — at sf0.001 AQE broadcasts the small
