@@ -227,6 +227,50 @@ def main() -> None:
             }
             spark.sparkContext._jvm.System.gc()
 
+        # Bucketed-side re-pin (ADVICE r8): the flat numbers above get up
+        # to 3 steal-guarded passes plus a per-op re-pin, while the
+        # bucketed side was a lone unguarded min-of-`repeats` — on a
+        # noisy host the comparison sampled asymmetrically and a stolen
+        # bucketed pass was recorded with no retry.  Same discipline as
+        # the flat re-pin: seed each key's bucketed best from every prior
+        # BENCH record at this sf, re-time suspects >1.5x it, min-fold,
+        # bounded.
+        import glob as _glob
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        bkt_hist: dict[str, float] = {}
+        for f in sorted(_glob.glob(os.path.join(here, "BENCH_r*.json"))):
+            try:
+                rec = json.load(open(f))
+            except (ValueError, OSError):
+                continue
+            rec = rec.get("parsed", rec)
+            if not rec or str(rec.get("sf")) != sf:
+                continue
+            for k, v in (rec.get("bucketed_vs_flat") or {}).items():
+                if isinstance(v, dict) and isinstance(
+                    v.get("bucketed_s"), (int, float)
+                ):
+                    bkt_hist[k] = min(bkt_hist.get(k, float("inf")), v["bucketed_s"])
+        for _ in range(max_passes):
+            suspects = [
+                k
+                for k in OBS_PARAMETRIC
+                if k in bkt_hist
+                and bucketed[k]["bucketed_s"] > 1.5 * bkt_hist[k]
+            ]
+            if not suspects:
+                break
+            for key in suspects:
+                for _r in range(repeats):
+                    t0 = time.perf_counter()
+                    materialize(bucketed_variant(spark, sf_dir, key))
+                    bucketed[key]["bucketed_s"] = min(
+                        bucketed[key]["bucketed_s"],
+                        round(time.perf_counter() - t0, 3),
+                    )
+                spark.sparkContext._jvm.System.gc()
+
     steal_t1 = read_steal_s()
     steal_cpu_s = (
         round(steal_t1 - steal_t0, 3)

@@ -93,9 +93,6 @@ OBS_PARAMETRIC: dict[str, Callable[[DataFrame], DataFrame]] = {
 }
 
 
-_BKT_TAG = "spark.esxsnmp_tsdb.bktObsSfDir"
-
-
 def bucketed_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The OBS_TABLE_DDL layout at fixture scale (N_BUCKETS locally),
     built ONCE per (session, sf_dir): `storage2._bucketed_table` drops and
@@ -106,9 +103,12 @@ def bucketed_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag re-keys on sf_dir the same way `register_views` does; it is
     STAMPED by `bucketed_obs_table` itself, so any rebuild for another
     fixture moves the tag with the table."""
-    from esxsnmp_tsdb_spark.operators.storage2 import bucketed_obs_table
+    from esxsnmp_tsdb_spark.operators.storage2 import (
+        BKT_OBS_TAG,
+        bucketed_obs_table,
+    )
 
-    if spark.conf.get(_BKT_TAG, None) == sf_dir:
+    if spark.conf.get(BKT_OBS_TAG, None) == sf_dir:
         return spark.table("bkt_obs")
     return bucketed_obs_table(spark, sf_dir)
 

@@ -61,6 +61,13 @@ def _obs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tsdb.obs_from_events(register_views(spark, sf_dir)["events"])
 
 
+# Conf key recording which sf_dir the bkt_obs table was built from —
+# stamped by `bucketed_obs_table`, read by `bench_bucketed.bucketed_obs`
+# to skip rebuilds.  Defined ONCE here (the stamping side) so the two
+# sides cannot drift into a silent rebuild-per-timed-pass.
+BKT_OBS_TAG = "spark.esxsnmp_tsdb.bktObsSfDir"
+
+
 def _bucketed_table(
     spark: SparkSession, df: DataFrame, name: str, key: str, *sort_cols: str
 ) -> DataFrame:
@@ -100,7 +107,7 @@ def bucketed_obs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the table without a rebuild per timed pass; stamped HERE (by the
     # builder) so a direct rebuild for another sf_dir can never leave a
     # stale tag pointing at the wrong fixture.
-    spark.conf.set("spark.esxsnmp_tsdb.bktObsSfDir", sf_dir)
+    spark.conf.set(BKT_OBS_TAG, sf_dir)
     return df
 
 

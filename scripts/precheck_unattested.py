@@ -37,13 +37,27 @@ OUT = os.environ.get(
 
 
 def main() -> int:
+    import argparse
+
     from esxsnmp_tsdb_spark import registry
     from esxsnmp_tsdb_spark.session import get_session
     from tests.oracle_harness import duck_connection, run_op
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--window",
+        type=int,
+        default=None,
+        metavar="N",
+        help="scope to the FIRST N keys of registry.queries() (the exact "
+        "set the driver's next CORRECTNESS window hashes) instead of the "
+        "not-yet-attested set",
+    )
+    args = ap.parse_args()
+
     registry.load_all()
-    if len(sys.argv) > 2 and sys.argv[1] == "--window":
-        todo = list(registry.queries())[: int(sys.argv[2])]
+    if args.window is not None:
+        todo = list(registry.queries())[: args.window]
         print(f"driver-window head: {len(todo)} ops; sf_dir={SF_DIR}")
     else:
         todo = [k for k in registry.QUERIES if k not in registry._ATTESTED]
@@ -55,7 +69,7 @@ def main() -> int:
 
     results: dict[str, dict] = {}
     n_pass = n_rows_only = n_fail = 0
-    for k in (todo if "--window" in sys.argv else sorted(todo)):
+    for k in (todo if args.window is not None else sorted(todo)):
         fn = registry.QUERIES[k]
         try:
             if k in registry.ORACLE:

@@ -266,6 +266,11 @@ def time_op(spark, build_df, sf_dir: str, passes: int = 3) -> float:
 BATCH_FIXED_OPS = {
     "dedup_minhash_indexed": ("documents", "documents", "doc_id"),
     "dedup_semantic_indexed": ("embeddings", "embeddings", "vec_id"),
+    # the registered sqrt(N) deployment rule: the SCALED corpus's index is
+    # seeded at the op's own census-derived stride (ceil(sqrt(N))), no
+    # --seed-scale flag needed — this is the probe point that shows the
+    # batch x cells assignment term staying sub-linear
+    "dedup_semantic_indexed_sqrtn": ("embeddings", "embeddings", "vec_id"),
 }
 BATCH_FIXED_MOD = 97  # id % 97 == 3 — similarity.BATCH_Q_MOD convention
 
@@ -284,6 +289,17 @@ def batch_fixed_builder(spark, key: str, sqrt_seed_factor: int | None = None):
         batch = batch.select("doc_id", "text")
         return lambda spark, sf: dedup2.minhash_index_hits(
             spark, sf, batch_docs=batch, broadcast_batch=True
+        )
+
+    if key == "dedup_semantic_indexed_sqrtn":
+        # the registered op's own census-derived stride, applied to BOTH
+        # scales — the deployment shape end-to-end, no override knob
+        return lambda spark, sf: dedup2.semantic_index_hits(
+            spark,
+            sf,
+            batch_emb=batch,
+            broadcast_batch=True,
+            seed_mod=dedup2.sqrtn_stride(spark, sf),
         )
 
     # --seed-scale sqrt: the SCALED corpus's index is seeded at
@@ -341,6 +357,13 @@ def main() -> int:
         if not defaults:
             raise SystemExit(f"--batch-fixed has no ops on the {args.table} axis")
     ops = [o for o in (args.ops or ",".join(defaults)).split(",") if o]
+    if args.batch_fixed:
+        bad = [o for o in ops if o not in defaults]
+        if bad:
+            raise SystemExit(
+                f"--batch-fixed supports only {sorted(defaults)} on the "
+                f"{args.table} axis; got {bad}"
+            )
 
     registry.load_all()
     spark = get_session()
