@@ -62,6 +62,13 @@ HEADLINE = [
     # shows up per-round.  Safe to add: the guard seeds per-query
     # history, so a headline-set change no longer resets it.
     "pipeline_pretraining_mix",    # §2.5 composed pipeline
+    # Round 9: the two registered incremental-ingest probe shapes — the
+    # small broadcast batch against the persisted minhash index, and the
+    # sqrt(N)-seeded semantic cell index (the 100 TB deployment sizing).
+    # Safe to add: the guard seeds per-query history, so growing the set
+    # never resets it; these two get history from this round forward.
+    "dedup_minhash_indexed_smallbatch",  # §2.5 broadcast-batch index probe
+    "dedup_semantic_indexed_sqrtn",      # §2.5 sqrt(N)-cell index probe
 ]
 
 
