@@ -171,22 +171,51 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_capacity_forecast",
     oracle=f"""
 WITH {OBS_CTE}, {_SLOT_CTE},
+pts AS (
+  SELECT path, CAST(round(x * 1000000) AS BIGINT) AS xm,
+         (slot - {T_JAN10}) // 3600 AS t
+  FROM slotavg
+),
+sums AS (
+  SELECT path, count(*) AS n, sum(t) AS st, sum(t * t) AS st2,
+         sum(xm) AS sx, sum(xm * t) AS sxt, max(t) AS t_last
+  FROM pts GROUP BY path
+),
 fit AS (
+  -- closed-form OLS as exact integers; den = 0 (single-point series)
+  -- dropped here, regr_slope's NULL-filter semantics
   SELECT path,
-         round(regr_slope(x, CAST((slot - {T_JAN10}) // 3600 AS DOUBLE)), 6) + 0
-           AS slope,
-         round(regr_intercept(x, CAST((slot - {T_JAN10}) // 3600 AS DOUBLE)), 4) + 0
-           AS intercept,
-         CAST(max((slot - {T_JAN10}) // 3600) AS DOUBLE) AS t_last
-  FROM slotavg GROUP BY path
+         n * sxt - sx * st AS num,
+         sx * st2 - st * sxt AS inum,
+         n * st2 - st * st AS den,
+         t_last
+  FROM sums WHERE n * st2 - st * st > 0
+),
+q AS (
+  -- rs = slope in 1e-6 units, ri = intercept in 1e-4 units: integer
+  -- round-half-up (2n+d)//(2d), sign split so both engines' integer
+  -- division only ever sees non-negative operands
+  SELECT path,
+         CASE WHEN num >= 0 THEN (2 * num + den) // (2 * den)
+              ELSE -((-2 * num + den) // (2 * den)) END AS rs,
+         CASE WHEN inum >= 0 THEN (2 * inum + 100 * den) // (200 * den)
+              ELSE -((-2 * inum + 100 * den) // (200 * den)) END AS ri,
+         t_last
+  FROM fit
 ),
 cur AS (
-  SELECT path, slope, round(intercept + slope * t_last, 4) AS current
-  FROM fit WHERE slope > 0
+  -- current = intercept + slope*t_last, exactly: (100*ri + rs*t_last)
+  -- is 1e-6 units; rc re-quantizes to the 1e-4 grid, still half-up
+  SELECT path, rs,
+         CASE WHEN 100 * ri + rs * t_last >= 0
+              THEN (2 * (100 * ri + rs * t_last) + 100) // 200
+              ELSE -((-2 * (100 * ri + rs * t_last) + 100) // 200) END AS rc
+  FROM q WHERE rs > 0
 )
-SELECT path, slope, current,
-       CAST(least(CASE WHEN current >= {CAP_THRESH} THEN 0
-                       ELSE ceil(({CAP_THRESH} - current) / slope) END,
+SELECT path, rs / 1e6 AS slope, rc / 1e4 AS current,
+       CAST(least(CASE WHEN rc / 1e4 >= {CAP_THRESH} THEN 0
+                       ELSE ceil(({CAP_THRESH} - rc / 1e4)
+                                 / (rs / 1e6)) END,
                   {CAP_ETA_MAX}) AS BIGINT) AS eta_hours
 FROM cur
 """,
@@ -194,36 +223,77 @@ FROM cur
 def ts_capacity_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capacity-exhaustion ETA: fit the per-series hourly OLS trend, then
     project hours until the slot average crosses the "full" threshold —
-    the 'when does this link saturate' report, built on the same regr_*
-    closed forms as `ts_linear_trend`.
+    the 'when does this link saturate' report, the projection layer over
+    `ts_linear_trend`'s fit.
 
-    The ceil/compare chain runs on already-rounded slope/current values
-    (identical doubles cross-engine), and near-zero slopes are capped so
-    the ETA stays a finite bigint.  One algebraic aggregate per path —
-    the whole fit is a map-side-combined groupBy at any scale."""
+    The fit is closed-form OLS over EXACT integer power sums with
+    half-up integer rounding — the ``(2n+d) div 2d`` micro-unit idiom
+    `ts_utilization_report` established — not regr_* on doubles: x is
+    already a 6-decimal slot average, so micro-scaling it (round(x·10⁶)
+    → BIGINT) is lossless; Σt / Σt² / Σxm / Σxm·t are order-free integer
+    sums; slope/intercept/current are integer-rounded onto their
+    1e-6/1e-4 grids; and only the final tie-free /1e6 and /1e4 touch a
+    double.  Two prior formulations diverged at sf0.1 (r9 cross-scale
+    parity run): regr_* summed doubles in engine order (6/3396
+    last-digit flips), and double-quotient round(...,6) hit the engines'
+    different tie rules — Spark rounds the shortest decimal repr
+    HALF_UP, DuckDB rounds the true binary value — on the exact-decimal
+    quotients exact sums produce (4/3396).  Integer magnitudes are
+    corpus-size-independent (xm is a slot AVERAGE, t is bounded by the
+    fixed 240 h window), so the int64 products never outgrow the window.
+    One partial-aggregated shuffle on path — the five sums combine
+    map-side exactly like sum/count at 100 TB."""
     s = _slot_series(spark, sf_dir)
-    t = F.expr(f"CAST((slot - {T_JAN10}) div 3600 AS DOUBLE)")
-    fit = (
-        s.select("path", "x", t.alias("t"))
-        .groupBy("path")
-        .agg(
-            (F.round(F.expr("regr_slope(x, t)"), 6) + 0.0).alias("slope"),
-            (F.round(F.expr("regr_intercept(x, t)"), 4) + 0.0).alias("intercept"),
-            F.max("t").alias("t_last"),
-        )
-        .filter(F.col("slope") > 0)
-        .withColumn(
-            "current",
-            F.round(F.col("intercept") + F.col("slope") * F.col("t_last"), 4),
-        )
-    )
-    eta = F.when(F.col("current") >= CAP_THRESH, F.lit(0.0)).otherwise(
-        F.ceil((F.lit(CAP_THRESH) - F.col("current")) / F.col("slope"))
-    )
-    return fit.select(
+    pts = s.select(
         "path",
-        "slope",
-        "current",
+        F.expr("CAST(round(x * 1000000) AS BIGINT)").alias("xm"),
+        F.expr(f"(slot - {T_JAN10}) div 3600").alias("t"),
+    )
+    sums = pts.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t") * F.col("t")).alias("st2"),
+        F.sum("xm").alias("sx"),
+        F.sum(F.col("xm") * F.col("t")).alias("sxt"),
+        F.max("t").alias("t_last"),
+    )
+    fit = sums.select(
+        "path",
+        F.expr("n * sxt - sx * st").alias("num"),
+        F.expr("sx * st2 - st * sxt").alias("inum"),
+        F.expr("n * st2 - st * st").alias("den"),
+        "t_last",
+    ).filter(F.col("den") > 0)
+    q = fit.select(
+        "path",
+        F.expr(
+            "CASE WHEN num >= 0 THEN (2 * num + den) div (2 * den)"
+            " ELSE -((-2 * num + den) div (2 * den)) END"
+        ).alias("rs"),
+        F.expr(
+            "CASE WHEN inum >= 0 THEN (2 * inum + 100 * den) div (200 * den)"
+            " ELSE -((-2 * inum + 100 * den) div (200 * den)) END"
+        ).alias("ri"),
+        "t_last",
+    )
+    cur = q.filter(F.col("rs") > 0).select(
+        "path",
+        "rs",
+        F.expr(
+            "CASE WHEN 100 * ri + rs * t_last >= 0"
+            " THEN (2 * (100 * ri + rs * t_last) + 100) div 200"
+            " ELSE -((-2 * (100 * ri + rs * t_last) + 100) div 200) END"
+        ).alias("rc"),
+    )
+    slope = F.expr("rs / 1e6")
+    current = F.expr("rc / 1e4")
+    eta = F.when(current >= CAP_THRESH, F.lit(0.0)).otherwise(
+        F.ceil((F.lit(CAP_THRESH) - current) / slope)
+    )
+    return cur.select(
+        "path",
+        slope.alias("slope"),
+        current.alias("current"),
         F.least(eta.cast("bigint"), F.lit(CAP_ETA_MAX)).alias("eta_hours"),
     )
 

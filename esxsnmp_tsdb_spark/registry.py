@@ -142,6 +142,9 @@ _PRIORITY_BACKLOG = frozenset()
 # folds the fresh hashes into ``_HASH_ROUND``.
 _REATTEST_QUEUE = (
     # modified in round 9 (append as the round touches ops)
+    # r9: OLS fit moved from regr_* double sums to exact power sums after
+    # the sf0.1 cross-scale parity run caught 6/3396 last-digit flips
+    'ts_capacity_forecast',
 )
 
 _REATTEST_RANK = {k: i for i, k in enumerate(_REATTEST_QUEUE)}
