@@ -104,12 +104,24 @@ def main() -> int:
         help="also audit the bucketed obs-layout twins next to their "
         "flat forms (bench_bucketed.OBS_PARAMETRIC)",
     )
+    ap.add_argument(
+        "--all",
+        action="store_true",
+        help="audit every registered batch op (stream_*/ingest_batch_"
+        "append excluded, same rule as the bench sweep) — the full "
+        "wire-volume inventory",
+    )
     args = ap.parse_args()
 
     registry.load_all()
     spark = get_session("shuffle_audit")
     if args.ops:
         ops = [o for o in args.ops.split(",") if o]
+    elif args.all:
+        skip = {k for k in registry.QUERIES if k.startswith("stream_")} | {
+            "ingest_batch_append"
+        }
+        ops = sorted(k for k in registry.QUERIES if k not in skip)
     else:
         from bench import HEADLINE
 
@@ -117,7 +129,10 @@ def main() -> int:
 
     out = {"sf_dir": SF_DIR, "ops": {}}
     for key in ops:
-        out["ops"][key] = audit(registry.QUERIES[key](spark, SF_DIR))
+        try:
+            out["ops"][key] = audit(registry.QUERIES[key](spark, SF_DIR))
+        except Exception as e:  # record, keep sweeping (--all mode)
+            out["ops"][key] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
     if args.bucketed:
         from esxsnmp_tsdb_spark.operators.bench_bucketed import (
