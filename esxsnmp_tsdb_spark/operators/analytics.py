@@ -459,37 +459,112 @@ def ts_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "ts_linear_trend",
     oracle=f"""
-WITH {OBS_CTE}
+WITH {OBS_CTE},
+pts AS (
+  SELECT path, CAST(round(value * 100) AS BIGINT) AS vm,
+         tse - {T_JAN01} AS t
+  FROM obs
+),
+sums AS (
+  SELECT path, count(*) AS n, sum(t) AS st, sum(t * t) AS st2,
+         sum(vm) AS sv, sum(vm * t) AS svt, sum(vm * vm) AS svv
+  FROM pts GROUP BY path
+),
+fit AS (
+  SELECT path, n,
+         n * svt - sv * st AS num,
+         sv * st2 - st * svt AS inum,
+         n * st2 - st * st AS den,
+         n * svv - sv * sv AS deny
+  FROM sums
+)
 SELECT path,
-       round(regr_slope(value, CAST(tse - {T_JAN01} AS DOUBLE)), 6) + 0 AS slope,
-       round(regr_intercept(value, CAST(tse - {T_JAN01} AS DOUBLE)), 4) + 0
-         AS intercept,
-       round(regr_r2(value, CAST(tse - {T_JAN01} AS DOUBLE)), 4) + 0 AS r2,
-       count(*) AS n
-FROM obs GROUP BY path
+       CASE WHEN den > 0 THEN
+         (CASE WHEN num >= 0 THEN (2000000 * num + 100 * den) // (200 * den)
+               ELSE -((-2000000 * num + 100 * den) // (200 * den)) END) / 1e6
+       END AS slope,
+       CASE WHEN den > 0 THEN
+         (CASE WHEN inum >= 0 THEN (20000 * inum + 100 * den) // (200 * den)
+               ELSE -((-20000 * inum + 100 * den) // (200 * den)) END) / 1e4
+       END AS intercept,
+       CASE WHEN den > 0 AND deny > 0 THEN
+         CAST(floor(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+                    / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE))
+                    * 10000 + 0.5) AS BIGINT) / 1e4
+       END AS r2,
+       n
+FROM fit
 """,
 )
 def ts_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series OLS trend line (slope / intercept / R²) — the capacity-
-    planning primitive ("when does this link saturate") layered on the
-    same closed-form regression aggregates as `term_zipf_slope`.
+    planning primitive ("when does this link saturate"), the fit layer
+    under `ts_capacity_forecast`'s projection.
 
-    The time axis is centered on the fixture epoch start so intercepts
-    stay in value range (raw epoch seconds would put x≈1.7e9 and make
-    the intercept a catastrophic-cancellation trap).  One partial-
-    aggregated shuffle on path; regr_* are algebraic aggregates, so the
-    map-side combine works exactly like sum/count at 100 TB."""
+    Closed-form OLS over EXACT integer power sums — the idiom that fixed
+    `ts_capacity_forecast` in round 9 — not regr_* on doubles, whose
+    engine-order double summation flipped last digits at sf0.1 there.
+    value is a 2-decimal gauge, so vm = round(value·100) → BIGINT is
+    lossless; the time axis is centered on the fixture epoch start so
+    intercepts stay in value range.  Σt/Σt²/Σvm/Σvm·t/Σvm² are order-free
+    integer sums, held as Decimal(38,0) on the Spark side (DuckDB's
+    sum(BIGINT) is already HUGEINT) because the cross products reach
+    ~7e22 at the 1e4 intercept grid — far past int64, where Spark would
+    wrap silently while DuckDB promotes (the divergence class ADVICE r9
+    flagged on the forecast op).  Slope/intercept are integer-rounded
+    half-up onto their 1e-6/1e-4 grids via the sign-split (2n+d) div 2d
+    idiom (the vm 100× scale folds into the divisor); r² = num²/(den·deny)
+    would need ~1e41 exactly, so its exact sums are cast to DOUBLE first —
+    one IEEE expression tree over identical integers is deterministic on
+    both engines, unlike order-dependent summation — and floor(x·1e4+0.5)
+    grid-snaps it without touching either engine's round() tie rules
+    (Spark rounds the shortest-decimal repr, DuckDB the true binary).
+    den=0 (constant time axis) → NULL fit; deny=0 (constant series) → NULL
+    r².  One partial-aggregated shuffle on path; the six sums combine
+    map-side exactly like sum/count at 100 TB."""
     obs = _obs(spark, sf_dir)
-    x = (F.col("tse") - T_JAN01).cast("double")
-    return (
-        obs.select("path", "value", x.alias("x"))
-        .groupBy("path")
-        .agg(
-            # + 0.0 normalizes IEEE negative zero (-0.0 vs 0.0 would
-            # string-diverge in the driver's comparator) — same on both sides
-            (F.round(F.expr("regr_slope(value, x)"), 6) + 0.0).alias("slope"),
-            (F.round(F.expr("regr_intercept(value, x)"), 4) + 0.0).alias("intercept"),
-            (F.round(F.expr("regr_r2(value, x)"), 4) + 0.0).alias("r2"),
-            F.count(F.lit(1)).alias("n"),
-        )
+    pts = obs.select(
+        "path",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("vm"),
+        (F.col("tse") - T_JAN01).alias("t"),
+    )
+    dec = "decimal(20,0)"
+    sums = pts.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("t").cast(dec)).alias("st"),
+        F.sum((F.col("t") * F.col("t")).cast(dec)).alias("st2"),
+        F.sum(F.col("vm").cast(dec)).alias("sv"),
+        F.sum((F.col("vm") * F.col("t")).cast(dec)).alias("svt"),
+        F.sum((F.col("vm") * F.col("vm")).cast(dec)).alias("svv"),
+    )
+    fit = sums.select(
+        "path",
+        "n",
+        F.expr("n * svt - sv * st").alias("num"),
+        F.expr("sv * st2 - st * svt").alias("inum"),
+        F.expr("n * st2 - st * st").alias("den"),
+        F.expr("n * svv - sv * sv").alias("deny"),
+    )
+    return fit.select(
+        "path",
+        F.expr(
+            "CASE WHEN den > 0 THEN"
+            " (CASE WHEN num >= 0 THEN (2000000 * num + 100 * den) div (200 * den)"
+            "       ELSE -((-2000000 * num + 100 * den) div (200 * den)) END) / 1e6"
+            " END"
+        ).alias("slope"),
+        F.expr(
+            "CASE WHEN den > 0 THEN"
+            " (CASE WHEN inum >= 0 THEN (20000 * inum + 100 * den) div (200 * den)"
+            "       ELSE -((-20000 * inum + 100 * den) div (200 * den)) END) / 1e4"
+            " END"
+        ).alias("intercept"),
+        F.expr(
+            "CASE WHEN den > 0 AND deny > 0 THEN"
+            " CAST(floor(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)"
+            "            / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE))"
+            "            * 10000 + 0.5) AS BIGINT) / 1e4"
+            " END"
+        ).alias("r2"),
+        "n",
     )

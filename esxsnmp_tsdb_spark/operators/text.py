@@ -526,13 +526,37 @@ ranked AS (
   SELECT lang, n,
          row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rnk
   FROM tf
+),
+pts AS (
+  SELECT lang,
+         CAST(floor(ln(n) * 1000000 + 0.5) AS BIGINT) AS lm,
+         CAST(floor(ln(rnk) * 1000000 + 0.5) AS BIGINT) AS rm
+  FROM ranked WHERE rnk <= {ZIPF_TOP}
+),
+sums AS (
+  SELECT lang, count(*) AS k, sum(rm) AS sr, sum(rm * rm) AS sr2,
+         sum(lm) AS sl, sum(lm * rm) AS slr, sum(lm * lm) AS sl2
+  FROM pts GROUP BY lang
+),
+fit AS (
+  SELECT lang, k,
+         k * slr - sl * sr AS num,
+         k * sr2 - sr * sr AS den,
+         k * sl2 - sl * sl AS deny
+  FROM sums
 )
 SELECT lang,
-       round(regr_slope(ln(n), ln(rnk)), 4) AS zipf_slope,
-       round(regr_r2(ln(n), ln(rnk)), 4) AS r2,
-       count(*) AS n_terms
-FROM ranked WHERE rnk <= {ZIPF_TOP}
-GROUP BY lang
+       CASE WHEN den > 0 THEN
+         (CASE WHEN num >= 0 THEN (20000 * num + den) // (2 * den)
+               ELSE -((-20000 * num + den) // (2 * den)) END) / 1e4
+       END AS zipf_slope,
+       CASE WHEN den > 0 AND deny > 0 THEN
+         CAST(floor(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+                    / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE))
+                    * 10000 + 0.5) AS BIGINT) / 1e4
+       END AS r2,
+       k AS n_terms
+FROM fit
 """,
 )
 def term_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -541,10 +565,27 @@ def term_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (natural text ≈ −1; templated/synthetic text drifts shallow).
 
     Term counting is the standard explode + partial-aggregated count;
-    ranks are a per-language window (bounded by vocab, never global); the
-    regression is Spark's/DuckDB's built-in `regr_slope`/`regr_r2`
-    aggregate — identical closed forms, rounded to 4 so summation-order
-    ulps can't leak into the hash."""
+    ranks are a per-language window (bounded by vocab, never global).
+    The fit is closed-form OLS over EXACT integer power sums — the idiom
+    that fixed `ts_capacity_forecast` in round 9 — not regr_* on doubles,
+    whose engine-order double summation is one partition-order change
+    away from a last-digit flip.  The log axes aren't grid-valued, so
+    they're quantized first: lm/rm = floor(ln(·)·10⁶ + 0.5) — one IEEE
+    expression over the same small-integer argument yields the identical
+    double on both engines, and floor(x+0.5) grid-snaps it WITHOUT either
+    engine's round() tie rules (Spark rounds the shortest-decimal repr
+    HALF_UP, DuckDB the true binary — they disagree on display-tie
+    doubles, and ln-products can land on them).  The 10⁻⁶ quantization
+    perturbs the fitted slope by ~10⁻⁶ — invisible on the 10⁻⁴ output
+    grid — while making every downstream sum order-free integer math.
+    Sums are held as Decimal(38,0) on the Spark side (DuckDB promotes to
+    HUGEINT): the slope-grid numerator 2·10⁴·num reaches ~4e23.  Slope is
+    integer-rounded half-up via the sign-split (2n+d) div 2d idiom (the
+    common 10⁶ log scale cancels in slope and r²); r²'s exact num² would
+    need ~5e38, so its sums are cast to DOUBLE first and grid-snapped
+    with the same floor(x·10⁴+0.5).  One shuffle on (lang, tok) for the
+    counts, one bounded per-lang window, one partial-aggregated shuffle
+    on lang for the five sums — all map-side combinable at 100 TB."""
     docs = _t(spark, sf_dir)["documents"]
     tf = (
         docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
@@ -555,8 +596,41 @@ def term_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = tf.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= ZIPF_TOP
     )
-    return ranked.groupBy("lang").agg(
-        F.round(F.expr("regr_slope(ln(n), ln(rnk))"), 4).alias("zipf_slope"),
-        F.round(F.expr("regr_r2(ln(n), ln(rnk))"), 4).alias("r2"),
-        F.count(F.lit(1)).alias("n_terms"),
+    pts = ranked.select(
+        "lang",
+        F.expr("CAST(floor(ln(n) * 1000000 + 0.5) AS BIGINT)").alias("lm"),
+        F.expr("CAST(floor(ln(rnk) * 1000000 + 0.5) AS BIGINT)").alias("rm"),
+    )
+    dec = "decimal(20,0)"
+    sums = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("rm").cast(dec)).alias("sr"),
+        F.sum((F.col("rm") * F.col("rm")).cast(dec)).alias("sr2"),
+        F.sum(F.col("lm").cast(dec)).alias("sl"),
+        F.sum((F.col("lm") * F.col("rm")).cast(dec)).alias("slr"),
+        F.sum((F.col("lm") * F.col("lm")).cast(dec)).alias("sl2"),
+    )
+    fit = sums.select(
+        "lang",
+        "k",
+        F.expr("k * slr - sl * sr").alias("num"),
+        F.expr("k * sr2 - sr * sr").alias("den"),
+        F.expr("k * sl2 - sl * sl").alias("deny"),
+    )
+    return fit.select(
+        "lang",
+        F.expr(
+            "CASE WHEN den > 0 THEN"
+            " (CASE WHEN num >= 0 THEN (20000 * num + den) div (2 * den)"
+            "       ELSE -((-20000 * num + den) div (2 * den)) END) / 1e4"
+            " END"
+        ).alias("zipf_slope"),
+        F.expr(
+            "CASE WHEN den > 0 AND deny > 0 THEN"
+            " CAST(floor(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)"
+            "            / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE))"
+            "            * 10000 + 0.5) AS BIGINT) / 1e4"
+            " END"
+        ).alias("r2"),
+        F.col("k").alias("n_terms"),
     )
