@@ -171,3 +171,107 @@ def ts_histogram_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("month").alias("scope"), "bucket", "n")
     )
     return day_rows.unionByName(month_rows)
+
+
+# |estimate − exact| ≤ exact / AD_TOL_DIV per group (10 %: rsd 0.02 gives
+# ~2 % standard error, so 10 % is ~5σ — a failure means the estimator
+# broke, not that it had an unlucky day).
+AD_TOL_DIV = 10
+
+# percentile_approx(accuracy=10000) bounds RANK error by 1/10000; the
+# check brackets the estimate between exact quantiles at q ± PCT_DELTA.
+# 0.01 covers the sketch's 1e-4 rank error plus the ±1-rank discreteness
+# slack (1/n) down to ~150-row groups — the sf0.001 fixture's smallest.
+PCT_DELTA = 0.01
+
+
+@op(
+    "approx_distinct_check",
+    oracle="""
+SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS est_ok
+FROM events GROUP BY event_type
+""",
+)
+def approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance twin of `approx_distinct`: the same HLL++ estimate per
+    event_type, hash-checked as the CLAIM "estimate within 10 % of exact"
+    (the `approx_distinct_hll_merge` oracle strategy — a cross-engine
+    estimate compare is impossible because DuckDB runs a different HLL,
+    so the oracle pins the exact count plus est_ok=TRUE, and the Spark
+    side computes est_ok from its own sketch).  Only the exact count and
+    the boolean are output — never the estimate itself — so the hash is
+    stable under partition-layout changes while still failing loudly if
+    an engine upgrade degrades the estimator past tolerance.
+
+    Scale: the estimate side is the 100 TB path (fixed memory per group,
+    mergeable partials); the exact side rides the same shuffle as
+    `distinct_agg`.  In production the exact audit runs on a sample or a
+    single partition — here the fixture is small enough to audit fully."""
+    return (
+        register_views(spark, sf_dir)["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", 0.02).alias("est"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("est") - F.col("n_exact")) * AD_TOL_DIV
+                <= F.col("n_exact")
+            ).alias("est_ok"),
+        )
+    )
+
+
+@op(
+    "approx_percentiles_check",
+    oracle=f"""
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+       count(*) AS n,
+       TRUE AS p50_ok, TRUE AS p95_ok
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def approx_percentiles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance twin of `approx_percentiles`: KLL-style sketch quantiles
+    per order priority, hash-checked as the CLAIM "the sketch value sits
+    between the exact quantiles at q ± {PCT_DELTA}".  percentile_approx
+    guarantees RANK error ≤ 1/accuracy and returns an actual data value,
+    so bracketing by exact interpolated quantiles at q±0.01 (≫ 1e-4 rank
+    error + per-group ±1-rank slack) is the correct tolerance shape —
+    value-space tolerances would be distribution-dependent.  Output is
+    the exact p50/p95 (Spark `percentile` vs DuckDB `quantile_cont`,
+    both R-7 — the `percentiles` op precedent) plus the two booleans;
+    the estimates themselves stay out of the hash because sketch
+    compaction is partition-layout-sensitive even when accuracy holds.
+
+    Scale: exact quantiles need the full sorted group; the sketch is the
+    fixed-memory 100 TB path — this op pins that swapping one for the
+    other changes answers by less than the contract tolerance."""
+    return (
+        register_views(spark, sf_dir)["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("e50"),
+            F.expr("percentile(o_totalprice, 0.95)").alias("e95"),
+            F.expr(f"percentile(o_totalprice, {0.5 - PCT_DELTA})").alias("lo50"),
+            F.expr(f"percentile(o_totalprice, {0.5 + PCT_DELTA})").alias("hi50"),
+            F.expr(f"percentile(o_totalprice, {0.95 - PCT_DELTA})").alias("lo95"),
+            F.expr(f"percentile(o_totalprice, {0.95 + PCT_DELTA})").alias("hi95"),
+            F.expr("percentile_approx(o_totalprice, 0.5, 10000)").alias("a50"),
+            F.expr("percentile_approx(o_totalprice, 0.95, 10000)").alias("a95"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "o_orderpriority",
+            F.round("e50", 4).alias("p50"),
+            F.round("e95", 4).alias("p95"),
+            "n",
+            ((F.col("a50") >= F.col("lo50")) & (F.col("a50") <= F.col("hi50"))).alias("p50_ok"),
+            ((F.col("a95") >= F.col("lo95")) & (F.col("a95") <= F.col("hi95"))).alias("p95_ok"),
+        )
+    )
