@@ -270,9 +270,11 @@ def time_spine(
     Returns one row per (path, slot) for every slot in [begin, end), with
     ``average``/``n`` from the observed rows and ``valid`` false for empty
     slots.  The spine is built with ``sequence`` + ``explode`` (JVM-side,
-    no driver loop) and joined observed-side-first so the join is a
-    broadcast of the small distinct-path dimension at fixture scale and a
-    shuffle-on-(path, slot) co-partitioned join at 100 TB.
+    no driver loop).  Join strategy is MEASURED, not promised
+    (docs/SPINE_r10.json + docs/PLANS.md "ts_time_spine"): AQE broadcasts
+    the observed day-window aggregate at 1×/10× the fixture's series axis
+    and demotes to the co-partitioned (path, slot) SortMergeJoin at 100×,
+    with wire volume linear in grid size past the flip — no OOM cliff.
     """
     paths = obs.select(path_col).distinct()
     grid = paths.select(
