@@ -143,7 +143,12 @@ def main() -> None:
     # 21 → 26 and silently dropped to one unguarded pass) never resets the
     # guard: queries with history are still guarded, brand-new queries are
     # simply outside the comparison until their first record lands.
+    # One pass over the BENCH_r*.json history extracts BOTH per-query
+    # flat bests (this guard) and bucketed-variant bests (the bucketed
+    # re-pin below) — ADVICE r9: the bucketed section used to re-glob
+    # and re-parse the same files a second time.
     hist_q: dict[str, float] = {}
+    bkt_hist: dict[str, float] = {}
     if bench_set is HEADLINE:
         import glob
 
@@ -159,6 +164,13 @@ def main() -> None:
             for k, v in rec.get("queries", {}).items():
                 if isinstance(v, (int, float)):
                     hist_q[k] = min(hist_q.get(k, float("inf")), v)
+            for k, v in (rec.get("bucketed_vs_flat") or {}).items():
+                if isinstance(v, dict) and isinstance(
+                    v.get("bucketed_s"), (int, float)
+                ):
+                    bkt_hist[k] = min(
+                        bkt_hist.get(k, float("inf")), v["bucketed_s"]
+                    )
     covered = [k for k in bench_set if k in hist_q]
     best_hist = round(sum(hist_q[k] for k in covered), 3) if covered else None
 
@@ -239,26 +251,10 @@ def main() -> None:
         # bucketed side was a lone unguarded min-of-`repeats` — on a
         # noisy host the comparison sampled asymmetrically and a stolen
         # bucketed pass was recorded with no retry.  Same discipline as
-        # the flat re-pin: seed each key's bucketed best from every prior
-        # BENCH record at this sf, re-time suspects >1.5x it, min-fold,
+        # the flat re-pin: each key's bucketed best was seeded from every
+        # prior BENCH record at this sf (bkt_hist, loaded in the single
+        # history pass above); re-time suspects >1.5x it, min-fold,
         # bounded.
-        import glob as _glob
-
-        here = os.path.dirname(os.path.abspath(__file__))
-        bkt_hist: dict[str, float] = {}
-        for f in sorted(_glob.glob(os.path.join(here, "BENCH_r*.json"))):
-            try:
-                rec = json.load(open(f))
-            except (ValueError, OSError):
-                continue
-            rec = rec.get("parsed", rec)
-            if not rec or str(rec.get("sf")) != sf:
-                continue
-            for k, v in (rec.get("bucketed_vs_flat") or {}).items():
-                if isinstance(v, dict) and isinstance(
-                    v.get("bucketed_s"), (int, float)
-                ):
-                    bkt_hist[k] = min(bkt_hist.get(k, float("inf")), v["bucketed_s"])
         for _ in range(max_passes):
             suspects = [
                 k

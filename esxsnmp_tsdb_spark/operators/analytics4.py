@@ -249,12 +249,19 @@ def ts_capacity_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(round(x * 1000000) AS BIGINT)").alias("xm"),
         F.expr(f"(slot - {T_JAN10}) div 3600").alias("t"),
     )
+    # Sums held as decimal (DuckDB's sum(BIGINT) is already HUGEINT):
+    # the intercept numerator sx*st2 - st*sxt reaches ~1.8e18 at the
+    # fixture's observed magnitudes — only ~5x int64 headroom, and Spark
+    # bigint would WRAP silently on a hotter fixture while DuckDB
+    # promotes (ADVICE r9).  decimal(30,0) sums / decimal(38,0) products
+    # hold every term with ~1e20 headroom; values are unchanged.
+    dec = "decimal(20,0)"
     sums = pts.groupBy("path").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("t").alias("st"),
-        F.sum(F.col("t") * F.col("t")).alias("st2"),
-        F.sum("xm").alias("sx"),
-        F.sum(F.col("xm") * F.col("t")).alias("sxt"),
+        F.sum(F.col("t").cast(dec)).alias("st"),
+        F.sum((F.col("t") * F.col("t")).cast(dec)).alias("st2"),
+        F.sum(F.col("xm").cast(dec)).alias("sx"),
+        F.sum((F.col("xm") * F.col("t")).cast(dec)).alias("sxt"),
         F.max("t").alias("t_last"),
     )
     fit = sums.select(

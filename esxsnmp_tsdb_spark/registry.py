@@ -149,6 +149,11 @@ _REATTEST_QUEUE = (
     # away from a last-digit flip; see docs/ROUND9_NOTES.md item 3)
     'ts_linear_trend',
     'term_zipf_slope',
+    # r10: sums promoted bigint -> decimal for overflow headroom (values
+    # unchanged — but the code drifted, so re-hash) and the sqrt(N)
+    # census gained per-session caching
+    'ts_capacity_forecast',
+    'dedup_semantic_indexed_sqrtn',
 )
 
 _REATTEST_RANK = {k: i for i, k in enumerate(_REATTEST_QUEUE)}

@@ -33,18 +33,31 @@ def test_variant_matches_registered_op(spark, key):
     bkt = bucketed_variant(spark, SF, key).toPandas()
     cols = sorted(flat.columns)
     assert cols == sorted(bkt.columns)
-    # sort on the KEY columns only (exact-valued); float aggregates over
-    # the two physical layouts fold in different orders, so a value
-    # adjacent to a round(...,6) boundary can differ in the last digit —
-    # compare floats with a tolerance, everything else exactly
-    # sort on ALL columns numerically (keys first): where key columns
-    # repeat (ts_bin_split has several deltas per (path, bucket)) the
-    # float sort aligns near-equal rows, and any two rows close enough
-    # to swap are by construction within the comparison tolerance
+    # sort on ALL columns (keys first): where key columns repeat
+    # (ts_bin_split has several deltas per (path, bucket)) the float
+    # sort aligns near-equal rows.  Floats sort on a 5-decimal ROUNDED
+    # key (coarser than the 2e-6 comparison atol, ADVICE r9): raw-float
+    # sorting could swap two rows that near-tie on an EARLIER float
+    # column but differ on a later one — the swap is tolerance-bounded
+    # only on the column sorted on, so the later column would fail
+    # spuriously.  Rounding collapses near-ties to equal sort keys in
+    # both frames; rows still distinct after rounding differ by more
+    # than the atol and sort identically.
     keys = [c for c in cols if not is_float_dtype(flat[c])]
-    sort_cols = keys + [c for c in cols if c not in keys]
-    a = flat.reindex(cols, axis=1).sort_values(sort_cols).reset_index(drop=True)
-    b = bkt.reindex(cols, axis=1).sort_values(sort_cols).reset_index(drop=True)
+    floats = [c for c in cols if c not in keys]
+
+    def sortable(df):
+        out = df.reindex(cols, axis=1).copy()
+        for c in floats:
+            out[f"__sk_{c}"] = out[c].round(5)
+        return (
+            out.sort_values(keys + [f"__sk_{c}" for c in floats])
+            .drop(columns=[f"__sk_{c}" for c in floats])
+            .reset_index(drop=True)
+        )
+
+    a = sortable(flat)
+    b = sortable(bkt)
     assert len(a) == len(b), key
     for c in cols:
         if is_float_dtype(flat[c]):

@@ -304,10 +304,18 @@ def test_sqrtn_semantic_probe_reads_sqrtn_index(spark):
 
     import duckdb
 
+    from esxsnmp_tsdb_spark.operators.curation8 import CELL_SEED_MOD
+
     n = duckdb.connect().execute(
         f"SELECT count(*) FROM '{SF_ORACLE}/embeddings.parquet'"
     ).fetchone()[0]
-    assert f"__m{max(1, math.ceil(math.sqrt(n)))}/" in p, (
+    stride = max(1, math.ceil(math.sqrt(n)))
+    # Same suffix rule as build_semantic_cell_index (ADVICE r9): when the
+    # sqrt(N) stride happens to equal CELL_SEED_MOD the index reuses the
+    # default (suffix-less) directory — hard-coding "__m{stride}/" would
+    # fail on a ~CELL_SEED_MOD²-vector fixture despite correct behavior.
+    suffix = "" if stride == CELL_SEED_MOD else f"__m{stride}"
+    assert f"semcell_index__{SF_ORACLE.strip('/').replace('/', '_')}{suffix}/" in p, (
         "probe not reading the sqrt(N)-stride index dir"
     )
     assert "BroadcastNestedLoopJoin" in p
