@@ -536,7 +536,7 @@ pairs AS (
   FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, label, round(dot / (na * nb), 6) AS cos
-FROM pairs WHERE dot / (na * nb) >= 0.6
+FROM pairs WHERE dot / (na * nb) >= 0.35
 """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -548,6 +548,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (No per-block BLAS here: the output carries round(cos, 6) as a VALUE,
     where matmul summation order could flip the last digit against the
     oracle's sequential fold — the float-exactness rule.)
+
+    Threshold: 0.35, anchored to the fixture cosine distribution (the
+    p99.9 of within-label pair cosines is ~0.35 at every sf; the max is
+    ~0.47).  The original 0.6 never matched a pair in the random-vector
+    fixtures, so the op's oracle attestation was trivially empty-vs-empty
+    (CORRECTNESS r2/r9: 0 rows both sides) — at 0.35 the attestation
+    exercises actual dot/norm/round values at every scale.
     """
     from esxsnmp_tsdb_spark.functions.vector import dot, norm
 
@@ -577,7 +584,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.label").alias("label"),
             cos.alias("cos_raw"),
         )
-        .filter(F.col("cos_raw") >= 0.6)
+        .filter(F.col("cos_raw") >= 0.35)
         .select("vec_a", "vec_b", "label", F.round("cos_raw", 6).alias("cos"))
     )
 

@@ -154,6 +154,11 @@ _REATTEST_QUEUE = (
     # census gained per-session caching
     'ts_capacity_forecast',
     'dedup_semantic_indexed_sqrtn',
+    # r10: near-dup cosine threshold 0.6 -> 0.35 (anchored to the fixture
+    # cosine distribution) so the attestation exercises real values — at
+    # 0.6 the result was empty at every sf and the oracle row was a
+    # trivially-green empty-vs-empty hash (CORRECTNESS r2/r9: 0 rows).
+    'dedup_embedding_cosine',
 )
 
 _REATTEST_RANK = {k: i for i, k in enumerate(_REATTEST_QUEUE)}

@@ -23,11 +23,24 @@ def _rows(df, key_cols):
 
 
 def _with_shuffle_partitions(spark, n, fn):
+    """Run ``fn`` with the shuffle-partition count REALLY set to ``n``.
+
+    Setting the session conf alone is not enough: every op re-applies
+    ``session.RUNTIME_CONF`` through ``catalog.tune()`` when it loads its
+    tables, which would silently restore the default 32 before the query
+    executes (making a "1 vs 32" comparison a vacuous "32 vs 32").  So the
+    RUNTIME_CONF entry is patched for the duration too — the same
+    injection ``scripts/determinism_audit.py`` uses."""
+    from esxsnmp_tsdb_spark import session
+
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    old_rc = session.RUNTIME_CONF["spark.sql.shuffle.partitions"]
     try:
+        session.RUNTIME_CONF["spark.sql.shuffle.partitions"] = str(n)
         spark.conf.set("spark.sql.shuffle.partitions", str(n))
         return fn()
     finally:
+        session.RUNTIME_CONF["spark.sql.shuffle.partitions"] = old_rc
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
