@@ -297,47 +297,23 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs(spark, sf_dir)
 
 
-@op(
-    "dedup_connected_components",
-    oracle=f"""
-WITH RECURSIVE {MINHASH_PAIRS_SQL},
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION SELECT doc_b, doc_a FROM pairs
-),
-nodes AS (SELECT DISTINCT src AS doc FROM edges),
-reach(doc, label) AS (
-  SELECT doc, doc FROM nodes
-  UNION
-  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc
-),
-comp AS (SELECT doc, min(label) AS component FROM reach GROUP BY doc)
-SELECT doc AS doc_id, component,
-       count(*) OVER (PARTITION BY component) AS csize
-FROM comp
-""",
-)
-def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the MinHash candidate graph — the step
-    that turns pairwise near-dup hits into KEEP-one-per-cluster groups
-    (component id = min doc_id in the cluster).
+def min_label_components(edges: DataFrame, max_rounds: int = 20):
+    """Distributed min-label propagation WITH pointer jumping over a
+    bidirectional edge list ``(src, dst)`` (caller checkpoints it).
 
-    Iterative min-label propagation WITH pointer jumping: each round every
-    node adopts the smallest label among itself and its neighbors, then
-    short-circuits to its label's label (path halving).  Plain propagation
-    alone needs diameter rounds — and an LSH candidate graph over a
-    shared-vocabulary corpus has long chains — while the jump step makes
-    convergence O(log diameter).  Every round is distributed join+groupBy;
-    the driver only runs the loop and the convergence count (the standard
-    Spark shape for iterative graph algorithms), and `localCheckpoint`
-    truncates lineage so plans don't grow exponentially.  Oracle twin:
-    DuckDB recursive CTE transitive closure."""
-    pairs = _minhash_pairs(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .localCheckpoint(eager=True)
-    )
+    Each round every node adopts the smallest label among itself and its
+    neighbors, then short-circuits to its label's label (path halving).
+    Plain propagation needs diameter rounds; the jump step makes
+    convergence O(log diameter) — pinned on a synthetic 128-hop chain in
+    tests/test_cc_convergence.py, not just claimed here.  Every round is
+    a distributed join+groupBy; the driver only runs the loop and the
+    convergence count (the standard Spark shape for iterative graph
+    algorithms), and ``localCheckpoint`` truncates lineage so plans
+    don't grow exponentially.
+
+    Returns ``(labels, rounds)``: a ``(doc, label)`` frame mapping every
+    node to its component representative (min node id), and the number
+    of rounds the loop ran before the fixed point."""
     labels = (
         edges.select(F.col("src").alias("doc"))
         .distinct()
@@ -353,7 +329,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-plan any concurrently submitted query in the same session
     # (ADVICE r5).  At 100 TB the candidate graph still fans out to
     # thousands of tasks — the same mechanism, wider data.
-    for _ in range(20):
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
         neigh = (
             edges.join(labels, edges.src == labels.doc)
             .groupBy(F.col("dst").alias("doc2"))
@@ -386,6 +364,47 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = l2.drop("old")
         if changed == 0:
             break
+    return labels, rounds
+
+
+@op(
+    "dedup_connected_components",
+    oracle=f"""
+WITH RECURSIVE {MINHASH_PAIRS_SQL},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS doc FROM edges),
+reach(doc, label) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc
+),
+comp AS (SELECT doc, min(label) AS component FROM reach GROUP BY doc)
+SELECT doc AS doc_id, component,
+       count(*) OVER (PARTITION BY component) AS csize
+FROM comp
+""",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash candidate graph — the step
+    that turns pairwise near-dup hits into KEEP-one-per-cluster groups
+    (component id = min doc_id in the cluster).
+
+    The propagation loop lives in `min_label_components` (shared, and
+    convergence-pinned on a synthetic 128-hop chain in
+    tests/test_cc_convergence.py): min-label rounds with pointer jumping
+    — O(log diameter), not O(diameter), which matters because an LSH
+    candidate graph over a shared-vocabulary corpus has long chains.
+    Oracle twin: DuckDB recursive CTE transitive closure."""
+    pairs = _minhash_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .localCheckpoint(eager=True)
+    )
+    labels, _rounds = min_label_components(edges)
     w = Window.partitionBy("component")
     return (
         labels.select(F.col("doc").alias("doc_id"), F.col("label").alias("component"))

@@ -159,6 +159,11 @@ _REATTEST_QUEUE = (
     # 0.6 the result was empty at every sf and the oracle row was a
     # trivially-green empty-vs-empty hash (CORRECTNESS r2/r9: 0 rows).
     'dedup_embedding_cosine',
+    # r10: propagation loop extracted into min_label_components so the
+    # O(log diameter) convergence claim is test-pinned on a synthetic
+    # 128-hop chain (values unchanged — code drift, so re-hash)
+    'dedup_connected_components',
+    'dedup_cluster_size_stats',
 )
 
 _REATTEST_RANK = {k: i for i, k in enumerate(_REATTEST_QUEUE)}

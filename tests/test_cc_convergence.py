@@ -1,0 +1,53 @@
+"""Pin the pointer-jumping convergence claim with a measured worst case.
+
+`min_label_components` (operators/dedup.py) claims O(log diameter)
+rounds via path halving — previously docstring prose.  The LSH fixture
+graph converges in ~5 rounds but its components are shallow, so it
+cannot distinguish O(log d) from O(d).  A synthetic 128-hop chain can:
+plain min-label propagation needs ~128 rounds to pull the far end's
+label to the root, the jump step needs ~⌈log2(128)⌉+1.  If someone
+removes the pointer-jump join, this test fails long before the fixture
+oracle would notice anything."""
+
+from __future__ import annotations
+
+from esxsnmp_tsdb_spark.operators.dedup import min_label_components
+
+
+def _bidirectional(spark, pairs):
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs] + [(int(b), int(a)) for a, b in pairs],
+        "src bigint, dst bigint",
+    )
+    return df.localCheckpoint(eager=True)
+
+
+def test_chain_converges_in_log_rounds(spark):
+    """129-node path graph (diameter 128): rounds must scale with
+    log2(diameter), not diameter.  Halving gives ⌈log2(128)⌉ = 7 label
+    rounds + 1 fixed-point-detection round; allow slack to 10 — an order
+    of magnitude under the 128 plain propagation would need (and above
+    the loop's own max_rounds=20 safety valve, which would silently
+    truncate a non-converged run)."""
+    edges = _bidirectional(spark, [(i, i + 1) for i in range(128)])
+    labels, rounds = min_label_components(edges, max_rounds=200)
+    got = {r.doc: r.label for r in labels.collect()}
+    assert got == {i: 0 for i in range(129)}
+    assert rounds <= 10, f"chain-128 took {rounds} rounds — jump step broken?"
+
+
+def test_star_converges_immediately(spark):
+    """Star around node 0: every leaf sees the root directly — one label
+    round plus the fixed-point round."""
+    edges = _bidirectional(spark, [(0, i) for i in range(1, 40)])
+    labels, rounds = min_label_components(edges)
+    got = {r.doc: r.label for r in labels.collect()}
+    assert got == {i: 0 for i in range(40)}
+    assert rounds <= 2
+
+
+def test_two_components_stay_separate(spark):
+    edges = _bidirectional(spark, [(0, 1), (1, 2), (10, 11), (11, 12)])
+    labels, _ = min_label_components(edges)
+    got = {r.doc: r.label for r in labels.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
