@@ -164,6 +164,12 @@ _REATTEST_QUEUE = (
     # 128-hop chain (values unchanged — code drift, so re-hash)
     'dedup_connected_components',
     'dedup_cluster_size_stats',
+    # r10: the other two trivially-green attestations (0 rows at sf0.01
+    # since r8) rewritten to be value-exercising at every scale —
+    # anti_join = dormant-since-1998-05-01 customers (3/8/119 rows),
+    # set_except = ship days with no booked orders (1291/101/95 rows)
+    'anti_join',
+    'set_except',
 )
 
 _REATTEST_RANK = {k: i for i, k in enumerate(_REATTEST_QUEUE)}
