@@ -603,23 +603,26 @@ WHERE c_acctbal > (SELECT round(avg(c_acctbal), 4) FROM customer
                    WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
-                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+                    AND o_orderdate >= TIMESTAMP '1998-05-01')
 GROUP BY c_mktsegment
 """,
 )
 def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22 global-sales-opportunity, adapted: above-average-balance
-    customers with NO recent orders (fixtures lack c_phone, and every
-    customer has some order — the dormancy window makes the anti-join
-    selective).  Scalar subquery broadcast + left-anti join + rollup, the
-    Q22 plan shape intact.  Threshold rounded on both engines."""
+    customers with NO orders since 1998-05-01 (fixtures lack c_phone, and
+    every customer has SOME order — the dormancy window is what makes the
+    anti-join selective; it must sit INSIDE the fixture's date range, the
+    original 1999-01-01 cutoff was past the last order date so the
+    NOT EXISTS excluded nobody).  Scalar subquery broadcast + left-anti
+    join + rollup, the Q22 plan shape intact.  Threshold rounded on both
+    engines."""
     t = _t(spark, sf_dir)
     avg_bal = (
         t["customer"]
         .filter(F.col("c_acctbal") > 0)
         .agg(F.round(F.avg("c_acctbal"), 4).alias("avg_bal"))
     )
-    recent = t["orders"].filter(F.col("o_orderdate") >= "1999-01-01")
+    recent = t["orders"].filter(F.col("o_orderdate") >= "1998-05-01")
     return (
         t["customer"]
         .join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal"))

@@ -170,6 +170,10 @@ _REATTEST_QUEUE = (
     # set_except = ship days with no booked orders (1291/101/95 rows)
     'anti_join',
     'set_except',
+    # r10: q22's dormancy cutoff (1999-01-01) sat past the fixture's last
+    # order date, so its NOT EXISTS excluded nobody — moved inside the
+    # range (1998-05-01) to make the anti-join selective as Q22 intends
+    'tpch_q22',
 )
 
 _REATTEST_RANK = {k: i for i, k in enumerate(_REATTEST_QUEUE)}
