@@ -51,3 +51,40 @@ def test_two_components_stay_separate(spark):
     labels, _ = min_label_components(edges)
     got = {r.doc: r.label for r in labels.collect()}
     assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
+
+
+def test_random_graphs_match_union_find(spark):
+    """Seeded random topologies vs a pure-Python union-find reference —
+    chain/star pin convergence SPEED; this pins label CORRECTNESS on
+    graphs with cycles, bridges, self-duplicated edges and isolated
+    pairs, where a wrong jump step could stabilize on a non-minimal
+    representative without failing the fixture oracle (the LSH fixture's
+    components are shallow)."""
+    import random
+
+    for seed in (7, 23, 101):
+        rng = random.Random(seed)
+        n = 60
+        pairs = {(a, b) for a, b in (sorted(rng.sample(range(n), 2)) for _ in range(70))}
+        pairs = sorted(pairs)
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for p in pairs for v in p}
+        want = {v: find(v) for v in sorted(touched)}
+
+        edges = _bidirectional(spark, pairs)
+        labels, rounds = min_label_components(edges)
+        got = {r.doc: r.label for r in labels.collect()}
+        assert got == want, f"seed {seed}: component labels diverge from union-find"
+        assert rounds <= 10, f"seed {seed}: {rounds} rounds on a 60-node graph"
