@@ -23,15 +23,29 @@ from esxsnmp_tsdb_spark.registry import op
 from esxsnmp_tsdb_spark.sources import load_events_range, register_views
 
 
-@op("ingest_batch_append")
+@op(
+    "ingest_batch_append",
+    oracle=f"""
+WITH {OBS_CTE}
+SELECT strftime(make_timestamp(tse * 1000000), '%Y-%m-%d') AS day,
+       count(*) AS n_rows
+FROM obs GROUP BY 1 ORDER BY 1
+""",
+)
 def ingest_batch_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poller persistence (``TSDBPollPersister`` †): append a batch of
     (path, ts, value) rows to the bronze observation store, partitioned by
     UTC day — the 1:1 analog of the reference's one-chunk-file-per-day
     layout, and the layout every §2.1 range scan prunes against.
 
-    Rows-only check (write op).  Returns the read-back per-partition
-    counts so the check observes the durable result, not the plan.
+    Returns the READ-BACK per-day counts, so the oracle comparison
+    observes the durable result of the write, not the plan: the DuckDB
+    twin derives the same counts straight from the source events, and
+    any row the write path dropped, duplicated or mis-partitioned shows
+    up as a count mismatch.  (Long rows-only "by contract (write op)" —
+    but the working dir is cleared per call, so the read-back summary is
+    deterministic and there is no reason to leave the write path
+    unhashed; ``make_timestamp`` keeps the oracle's day TZ-independent.)
     At 100 TB: same write, plus ``sortWithinPartitions(path, ts)`` for
     row-group skipping and a small-file compaction pass (see
     ``sources.compaction``).
