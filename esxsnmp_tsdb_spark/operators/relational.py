@@ -191,9 +191,10 @@ def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale (every customer has orders), so the oracle row was a
     trivially-green empty-vs-empty hash (CORRECTNESS r8: 0 rows).
     Dormant-since-cutoff yields 3/8/119 rows at sf0.001/0.01/0.1 — and
-    is the anti-join a marketer actually runs.  The filter lands on the
-    probe side BEFORE the join, so the anti-join's build input shrinks
-    to the recent slice (PushedFilters on o_orderdate)."""
+    is the anti-join a marketer actually runs.  The date filter lands on
+    the orders scan BEFORE the join (PushedFilters on o_orderdate), so
+    the anti-join's build side shrinks to the recent slice — 2.2 MB
+    broadcast, zero shuffles at sf0.1."""
     t = _t(spark, sf_dir)
     recent = t["orders"].filter(F.col("o_orderdate") >= "1998-05-01")
     return (
