@@ -580,3 +580,111 @@ def stream_utilization_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(util_micro / 1e6, 6).alias("util"),
         (util_micro > UTIL_ALERT_MICRO).cast("bigint").alias("alert"),
     )
+
+
+WM_SPLIT_TSE = 1705708800  # 2024-01-20 00:00Z — hour-aligned lateness cut
+WM_TAIL_TSE = 1706572800  # 2024-01-30 00:00Z — hour-aligned sentinel cut
+WM_DELAY_SEC = 3600
+
+
+@op(
+    "stream_watermark_late_check",
+    oracle=f"""
+WITH b1 AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS tse
+  FROM events WHERE epoch(ts) >= {WM_SPLIT_TSE}
+),
+wm AS (
+  SELECT max(epoch(ts)) - {WM_DELAY_SEC} AS w
+  FROM events WHERE epoch(ts) >= {WM_SPLIT_TSE}
+)
+SELECT b1.event_type, b1.tse - b1.tse % 3600 AS slot, count(*) AS n
+FROM b1, wm
+WHERE b1.tse - b1.tse % 3600 + 3600 <= wm.w
+GROUP BY 1, 2
+""",
+)
+def stream_watermark_late_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked twin of `stream_watermark_late`: watermark lateness
+    staged so EVENT-TIME ORDER, not arrival timing, decides what is late —
+    the processing-time-free reformulation VERDICT r10 asked for.
+
+    The fixture is replayed as exactly three micro-batches
+    (``maxFilesPerTrigger=1``, file order pinned via mtime):
+
+    * batch 0 = events in [``WM_SPLIT_TSE``, ``WM_TAIL_TSE``) — the
+      mid-range body (2024-01-20 .. 01-30, hour-aligned cuts).
+    * batch 1 = events at/after ``WM_TAIL_TSE`` (the final day).  After
+      this batch the watermark is pinned at ``max(ts) - delay`` — ~10
+      days PAST every pre-cut event.
+    * batch 2 = every event before ``WM_SPLIT_TSE``: each row's 1h
+      window closed long before the watermark, so ALL of batch 2 is
+      dropped as late, deterministically — the streaming analog of the
+      reference's refusal to backfill past a flushed chunk †.
+
+    Why three batches, not two: Spark filters batch N's late input with
+    the EVICTION watermark of batch N-1 (watermark propagation lags one
+    batch for late events — measured on this Spark: a late file arriving
+    as batch 1 sees a zero late-event watermark and sails through).  The
+    sentinel batch 1 burns that lag, so by batch 2 the late-event
+    watermark is already ``max(ts through batch 0) - delay``.
+
+    The emitted append-mode set is therefore exactly: hourly windows of
+    post-cut rows whose window end <= max(ts) - delay (the no-data final
+    batch closes eligible tail windows; later windows stay open and
+    unemitted).  The oracle recomputes that set in batch SQL — a value
+    hash, not a rows-only count.  If the engine failed to drop late rows,
+    pre-cut windows would appear and the hash would differ; if it failed
+    to hold the tail, extra windows would appear.
+
+    Knife-edge note (ADVICE r10 discipline): window ends are whole-hour
+    integers while ``max(ts)`` carries microseconds at every fixture SF,
+    so ``end <= max - delay`` can never tie; tests/test_streaming_extra
+    asserts the non-alignment per SF.
+    """
+    import os
+    import shutil
+
+    from esxsnmp_tsdb_spark.operators._workdirs import op_dir
+    from esxsnmp_tsdb_spark.sources.catalog import load_table
+
+    root = op_dir("wm_late_check")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    tmp = os.path.join(root, "tmp")
+    tse = F.unix_timestamp("ts")
+    for fname, cond, mtime in (
+        (
+            "batch0.parquet",
+            (tse >= WM_SPLIT_TSE) & (tse < WM_TAIL_TSE),
+            1_000_000_000,
+        ),
+        ("batch1.parquet", tse >= WM_TAIL_TSE, 1_000_000_600),
+        ("batch2.parquet", tse < WM_SPLIT_TSE, 1_000_001_200),
+    ):
+        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.startswith("part-")][0]
+        dst = os.path.join(src, fname)
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+    shutil.rmtree(tmp)
+
+    staged = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        staged.withWatermark("ts", f"{WM_DELAY_SEC} seconds")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_to_memory(agg, "append", spark)
+    return out.select(
+        "event_type",
+        F.unix_timestamp(F.col("window.start")).alias("slot"),
+        F.col("n").cast("bigint").alias("n"),
+    )

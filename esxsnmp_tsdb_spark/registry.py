@@ -41,81 +41,81 @@ _REG_INDEX: dict[str, int] = {}
 _ATTESTED = frozenset(
     {
         'ann_recall_eval', 'ann_recall_eval_ivfpq', 'anti_join', 'api_bulk_timerange',
-        'api_freshness_report', 'api_timerange_json', 'approx_distinct', 'approx_distinct_hll_merge',
-        'approx_percentiles', 'array_agg_sorted', 'asof_join', 'asof_join_nearest',
-        'attribution_last_touch', 'attribution_linear', 'attribution_time_decay', 'bigram_lm_perplexity',
-        'blocklist_filter', 'bm25_topdocs', 'bpe_merge_pair_step', 'broadcast_join',
-        'chunk_dedup_cdc', 'corpus_mix_report', 'cross_join_topk', 'cross_source_dedup_priority',
-        'cumulative_distinct_users', 'customer_rfm', 'data_quality_contract', 'dataset_mixture_epochs',
-        'dau_wau_mau', 'decontaminate_ngram', 'decontamination_overlap', 'dedup_cluster_size_stats',
-        'dedup_connected_components', 'dedup_cross_source_matrix', 'dedup_embedding_cosine', 'dedup_exact',
-        'dedup_minhash_indexed', 'dedup_minhash_indexed_smallbatch', 'dedup_near_minhash', 'dedup_ngram_jaccard',
-        'dedup_semantic_cells', 'dedup_semantic_indexed', 'dedup_semantic_indexed_sqrtn', 'dedup_simhash',
-        'dedup_threshold_sweep', 'distinct_agg', 'doc_fingerprint', 'doc_length_histogram',
-        'doc_pagerank', 'doc_semantic_outliers', 'doc_sliding_context_chunks', 'doc_winnowing_overlap',
-        'domain_quota_sample', 'embedding_centroid_per_label', 'embedding_dim_stats', 'embedding_norm_outliers',
-        'embedding_pca_power_iteration', 'embedding_quantize', 'event_bigrams', 'event_funnel',
-        'event_lift_matrix', 'event_markov_transition', 'exact_substring_dedup', 'format_roundtrip_csv',
-        'format_roundtrip_json', 'format_roundtrip_orc', 'funnel_time_to_convert', 'grouped_mode',
-        'grouping_sets', 'hash_aggregate', 'hash_join_inner', 'ingest_batch_append',
-        'ingest_cdc_merge', 'ingest_dlq_quarantine', 'ingest_late_data_report', 'ingest_replay_idempotent',
-        'inter_event_gap_histogram', 'kmeans_one_step', 'knn_pairs', 'lang_distribution',
-        'lang_id_confusion', 'lang_id_ngram', 'market_basket_pairs', 'mine_hard_negatives',
-        'minhash_band_sensitivity', 'minhash_jaccard_estimate', 'multimodal_decode', 'multimodal_embed',
-        'multimodal_frame_sample', 'multimodal_join', 'multimodal_phash_dedup', 'multimodal_tile_plan',
-        'ngram_topk', 'outer_join_full', 'outer_join_left', 'percentiles',
-        'pii_scrub_stats', 'pipeline_corpus_curate', 'pipeline_pretraining_mix', 'pivot_unpivot',
-        'privacy_k_anonymity', 'projection_filter', 'quality_filter_funnel', 'quality_gopher_rules',
-        'rag_hybrid_retrieval', 'range_interval_join', 'retention_cohort', 'rollup_cube',
-        'salted_aggregate', 'salted_skew_join', 'sample_importance_weighted', 'sample_stratified',
-        'sample_token_budget', 'scalar_array_funcs', 'scalar_bitwise_funcs', 'scalar_date_funcs',
-        'scalar_json_funcs', 'scalar_math_funcs', 'scalar_string_funcs', 'scan_parquet',
-        'scd2_history_build', 'scd2_point_in_time_join', 'semi_join', 'seq_packing',
-        'session_duration_stats', 'set_except', 'set_intersect', 'set_union',
-        'sim_search_ann_lsh', 'sim_search_batch', 'sim_search_ivf', 'sim_search_ivf_pq',
-        'sim_search_ivf_pq_indexed', 'sim_search_lsh_indexed', 'sim_search_lsh_multiprobe', 'sim_search_range',
-        'sim_search_topk', 'skew_key_report', 'sort_limit_topk', 'sort_merge_join',
-        'source_divergence_kl', 'split_train_test', 'storage_bucketed_join', 'storage_compaction_integrity',
-        'storage_day_partitioned_scan', 'storage_file_skipping_manifest', 'storage_gdpr_erasure', 'storage_retention_expire',
-        'storage_schema_evolution', 'storage_snapshot_gc', 'storage_snapshot_time_travel', 'storage_zorder_scan',
-        'stream_anomaly_zscore', 'stream_cdc_apply', 'stream_cdc_apply_bucketed', 'stream_dedup',
-        'stream_dedup_indexed', 'stream_distinct_hll', 'stream_first_touch', 'stream_histogram_ladder',
-        'stream_ingest', 'stream_ladder_full_pipeline', 'stream_ladder_maintenance', 'stream_ladder_retention',
-        'stream_replay_exactly_once', 'stream_session', 'stream_sliding', 'stream_stateful_rate',
-        'stream_static_join', 'stream_stream_join', 'stream_topk_talkers', 'stream_tumbling',
-        'stream_utilization_alert', 'stream_watermark_late', 'subquery_scalar', 'term_zipf_slope',
-        'text_ngram_novelty', 'text_quality_score', 'text_repetition_filter', 'text_repetition_stats',
-        'text_stopword_stats', 'text_tokenize_stats', 'text_unigram_logprob', 'text_word_entropy',
-        'tfidf_topterms', 'token_count_bpe', 'tokenizer_fertility_by_lang', 'tokenizer_vocab_coverage',
-        'topk_docs_per_source', 'tpch_q1', 'tpch_q10', 'tpch_q11',
-        'tpch_q12', 'tpch_q13', 'tpch_q14', 'tpch_q15',
-        'tpch_q16', 'tpch_q17', 'tpch_q18', 'tpch_q19',
-        'tpch_q2', 'tpch_q20', 'tpch_q21', 'tpch_q22',
-        'tpch_q3', 'tpch_q4', 'tpch_q5', 'tpch_q6',
-        'tpch_q7', 'tpch_q8', 'tpch_q9', 'ts_agg_cascade',
-        'ts_aggregate_row', 'ts_alert_flap_detect', 'ts_alert_rules_eval', 'ts_anomaly_mad',
-        'ts_anomaly_zscore', 'ts_autocorr_lag', 'ts_availability_report', 'ts_billing_p95',
-        'ts_bin_split', 'ts_bin_split_bucketed', 'ts_burst_detect', 'ts_calendar_heatmap',
-        'ts_capacity_forecast', 'ts_compare_window', 'ts_counter_reset_detect', 'ts_counter_wrap',
-        'ts_counter_wrap64', 'ts_delta', 'ts_downsample_avg', 'ts_downsample_delta',
-        'ts_downsample_delta64', 'ts_downsample_last', 'ts_downsample_minmax', 'ts_downsample_ohlc',
-        'ts_downsample_percentile', 'ts_error_budget_burn', 'ts_ewma', 'ts_flag_filter',
-        'ts_flag_visibility', 'ts_fleet_zscore', 'ts_forecast_seasonal_naive', 'ts_gap_fill_locf',
-        'ts_gap_report', 'ts_heartbeat_invalidate', 'ts_hierarchy_rollup', 'ts_histogram_ladder',
-        'ts_incident_merge_windows', 'ts_interpolate', 'ts_ladder_backfill', 'ts_ladder_full_pipeline',
-        'ts_ladder_route', 'ts_ladder_route_sql', 'ts_last_known', 'ts_lead_lag_correlation',
-        'ts_linear_trend', 'ts_merge_upsert', 'ts_metadata_get', 'ts_missing_islands',
-        'ts_mtbf_mttr', 'ts_percent_change_movers', 'ts_percentile_bands', 'ts_period_detect',
-        'ts_point_lookup', 'ts_poll_interval_drift', 'ts_range_scan', 'ts_rate',
-        'ts_rate64', 'ts_rate_downsample', 'ts_rate_invalid_reasons', 'ts_rolling_1h',
-        'ts_rolling_median', 'ts_rollup_multi_granularity', 'ts_seasonal_anomaly', 'ts_seasonal_baseline',
-        'ts_series_catalog', 'ts_series_correlation', 'ts_sessionize', 'ts_sla_maintenance_window',
-        'ts_sla_report', 'ts_slot_dedup', 'ts_step_change', 'ts_stl_decompose',
-        'ts_stl_residual_anomaly', 'ts_time_spine', 'ts_top_talkers', 'ts_topk_change_contributors',
-        'ts_utilization_report', 'ts_valid_ratio', 'ts_value_histogram', 'ts_wma',
-        'ts_wrap_eta', 'user_activity_concentration', 'user_journey_top_paths', 'vector_pq_adc',
-        'vocab_growth_heaps', 'window_distribution', 'window_lag_lead', 'window_ntile',
-        'window_rank', 'window_running',
+        'api_freshness_report', 'api_timerange_json', 'approx_distinct', 'approx_distinct_check',
+        'approx_distinct_hll_merge', 'approx_percentiles', 'approx_percentiles_check', 'array_agg_sorted',
+        'asof_join', 'asof_join_nearest', 'attribution_last_touch', 'attribution_linear',
+        'attribution_time_decay', 'bigram_lm_perplexity', 'blocklist_filter', 'bm25_topdocs',
+        'bpe_merge_pair_step', 'broadcast_join', 'chunk_dedup_cdc', 'corpus_mix_report',
+        'cross_join_topk', 'cross_source_dedup_priority', 'cumulative_distinct_users', 'customer_rfm',
+        'data_quality_contract', 'dataset_mixture_epochs', 'dau_wau_mau', 'decontaminate_ngram',
+        'decontamination_overlap', 'dedup_cluster_size_stats', 'dedup_connected_components', 'dedup_cross_source_matrix',
+        'dedup_embedding_cosine', 'dedup_exact', 'dedup_minhash_indexed', 'dedup_minhash_indexed_smallbatch',
+        'dedup_near_minhash', 'dedup_ngram_jaccard', 'dedup_semantic_cells', 'dedup_semantic_indexed',
+        'dedup_semantic_indexed_sqrtn', 'dedup_simhash', 'dedup_threshold_sweep', 'distinct_agg',
+        'doc_fingerprint', 'doc_length_histogram', 'doc_pagerank', 'doc_semantic_outliers',
+        'doc_sliding_context_chunks', 'doc_winnowing_overlap', 'domain_quota_sample', 'embedding_centroid_per_label',
+        'embedding_dim_stats', 'embedding_norm_outliers', 'embedding_pca_power_iteration', 'embedding_quantize',
+        'event_bigrams', 'event_funnel', 'event_lift_matrix', 'event_markov_transition',
+        'exact_substring_dedup', 'format_roundtrip_csv', 'format_roundtrip_json', 'format_roundtrip_orc',
+        'funnel_time_to_convert', 'grouped_mode', 'grouping_sets', 'hash_aggregate',
+        'hash_join_inner', 'ingest_batch_append', 'ingest_cdc_merge', 'ingest_dlq_quarantine',
+        'ingest_late_data_report', 'ingest_replay_idempotent', 'inter_event_gap_histogram', 'kmeans_one_step',
+        'knn_pairs', 'lang_distribution', 'lang_id_confusion', 'lang_id_ngram',
+        'market_basket_pairs', 'mine_hard_negatives', 'minhash_band_sensitivity', 'minhash_jaccard_estimate',
+        'multimodal_decode', 'multimodal_embed', 'multimodal_frame_sample', 'multimodal_join',
+        'multimodal_phash_dedup', 'multimodal_tile_plan', 'ngram_topk', 'outer_join_full',
+        'outer_join_left', 'percentiles', 'pii_scrub_stats', 'pipeline_corpus_curate',
+        'pipeline_pretraining_mix', 'pivot_unpivot', 'privacy_k_anonymity', 'projection_filter',
+        'quality_filter_funnel', 'quality_gopher_rules', 'rag_hybrid_retrieval', 'range_interval_join',
+        'retention_cohort', 'rollup_cube', 'salted_aggregate', 'salted_skew_join',
+        'sample_importance_weighted', 'sample_stratified', 'sample_token_budget', 'scalar_array_funcs',
+        'scalar_bitwise_funcs', 'scalar_date_funcs', 'scalar_json_funcs', 'scalar_math_funcs',
+        'scalar_string_funcs', 'scan_parquet', 'scd2_history_build', 'scd2_point_in_time_join',
+        'semi_join', 'seq_packing', 'session_duration_stats', 'set_except',
+        'set_intersect', 'set_union', 'sim_search_ann_lsh', 'sim_search_batch',
+        'sim_search_ivf', 'sim_search_ivf_pq', 'sim_search_ivf_pq_indexed', 'sim_search_lsh_indexed',
+        'sim_search_lsh_multiprobe', 'sim_search_range', 'sim_search_topk', 'skew_key_report',
+        'sort_limit_topk', 'sort_merge_join', 'source_divergence_kl', 'split_train_test',
+        'storage_bucketed_join', 'storage_compaction_integrity', 'storage_day_partitioned_scan', 'storage_file_skipping_manifest',
+        'storage_gdpr_erasure', 'storage_retention_expire', 'storage_schema_evolution', 'storage_snapshot_gc',
+        'storage_snapshot_time_travel', 'storage_zorder_scan', 'stream_anomaly_zscore', 'stream_cdc_apply',
+        'stream_cdc_apply_bucketed', 'stream_dedup', 'stream_dedup_indexed', 'stream_distinct_hll',
+        'stream_first_touch', 'stream_histogram_ladder', 'stream_ingest', 'stream_ladder_full_pipeline',
+        'stream_ladder_maintenance', 'stream_ladder_retention', 'stream_replay_exactly_once', 'stream_session',
+        'stream_sliding', 'stream_stateful_rate', 'stream_static_join', 'stream_stream_join',
+        'stream_topk_talkers', 'stream_tumbling', 'stream_utilization_alert', 'stream_watermark_late',
+        'subquery_scalar', 'term_zipf_slope', 'text_ngram_novelty', 'text_quality_score',
+        'text_repetition_filter', 'text_repetition_stats', 'text_stopword_stats', 'text_tokenize_stats',
+        'text_unigram_logprob', 'text_word_entropy', 'tfidf_topterms', 'token_count_bpe',
+        'tokenizer_fertility_by_lang', 'tokenizer_vocab_coverage', 'topk_docs_per_source', 'tpch_q1',
+        'tpch_q10', 'tpch_q11', 'tpch_q12', 'tpch_q13',
+        'tpch_q14', 'tpch_q15', 'tpch_q16', 'tpch_q17',
+        'tpch_q18', 'tpch_q19', 'tpch_q2', 'tpch_q20',
+        'tpch_q21', 'tpch_q22', 'tpch_q3', 'tpch_q4',
+        'tpch_q5', 'tpch_q6', 'tpch_q7', 'tpch_q8',
+        'tpch_q9', 'ts_agg_cascade', 'ts_aggregate_row', 'ts_alert_flap_detect',
+        'ts_alert_rules_eval', 'ts_anomaly_mad', 'ts_anomaly_zscore', 'ts_autocorr_lag',
+        'ts_availability_report', 'ts_billing_p95', 'ts_bin_split', 'ts_bin_split_bucketed',
+        'ts_burst_detect', 'ts_calendar_heatmap', 'ts_capacity_forecast', 'ts_compare_window',
+        'ts_counter_reset_detect', 'ts_counter_wrap', 'ts_counter_wrap64', 'ts_delta',
+        'ts_downsample_avg', 'ts_downsample_delta', 'ts_downsample_delta64', 'ts_downsample_last',
+        'ts_downsample_minmax', 'ts_downsample_ohlc', 'ts_downsample_percentile', 'ts_error_budget_burn',
+        'ts_ewma', 'ts_flag_filter', 'ts_flag_visibility', 'ts_fleet_zscore',
+        'ts_forecast_seasonal_naive', 'ts_gap_fill_locf', 'ts_gap_report', 'ts_heartbeat_invalidate',
+        'ts_hierarchy_rollup', 'ts_histogram_ladder', 'ts_incident_merge_windows', 'ts_interpolate',
+        'ts_ladder_backfill', 'ts_ladder_full_pipeline', 'ts_ladder_route', 'ts_ladder_route_sql',
+        'ts_last_known', 'ts_lead_lag_correlation', 'ts_linear_trend', 'ts_merge_upsert',
+        'ts_metadata_get', 'ts_missing_islands', 'ts_mtbf_mttr', 'ts_percent_change_movers',
+        'ts_percentile_bands', 'ts_period_detect', 'ts_point_lookup', 'ts_poll_interval_drift',
+        'ts_range_scan', 'ts_rate', 'ts_rate64', 'ts_rate_downsample',
+        'ts_rate_invalid_reasons', 'ts_rolling_1h', 'ts_rolling_median', 'ts_rollup_multi_granularity',
+        'ts_seasonal_anomaly', 'ts_seasonal_baseline', 'ts_series_catalog', 'ts_series_correlation',
+        'ts_sessionize', 'ts_sla_maintenance_window', 'ts_sla_report', 'ts_slot_dedup',
+        'ts_step_change', 'ts_stl_decompose', 'ts_stl_residual_anomaly', 'ts_time_spine',
+        'ts_top_talkers', 'ts_topk_change_contributors', 'ts_utilization_report', 'ts_valid_ratio',
+        'ts_value_histogram', 'ts_wma', 'ts_wrap_eta', 'user_activity_concentration',
+        'user_journey_top_paths', 'vector_pq_adc', 'vocab_growth_heaps', 'window_distribution',
+        'window_lag_lead', 'window_ntile', 'window_rank', 'window_running',
     }
 )
 
@@ -189,28 +189,16 @@ _REATTEST_RANK = {k: i for i, k in enumerate(_REATTEST_QUEUE)}
 # the same oldest-registered cohort every round (the r7 window and an
 # unchanged r8 window would have been identical 37 keys).
 _HASH_ROUND: dict[int, tuple[str, ...]] = {
-    3: (
-        'attribution_last_touch', 'cross_source_dedup_priority', 'cumulative_distinct_users', 'decontaminate_ngram',
-        'decontamination_overlap', 'doc_length_histogram', 'doc_pagerank', 'domain_quota_sample',
-        'embedding_norm_outliers', 'embedding_pca_power_iteration', 'embedding_quantize', 'event_bigrams',
-        'event_funnel', 'exact_substring_dedup', 'kmeans_one_step', 'ngram_topk',
-        'pipeline_corpus_curate', 'quality_filter_funnel', 'retention_cohort', 'sample_stratified',
-        'seq_packing', 'split_train_test', 'text_ngram_novelty', 'topk_docs_per_source',
-    ),
     4: (
         'ann_recall_eval', 'api_timerange_json', 'attribution_linear', 'bigram_lm_perplexity',
-        'bm25_topdocs', 'dau_wau_mau', 'doc_fingerprint', 'embedding_centroid_per_label',
-        'format_roundtrip_csv', 'format_roundtrip_json', 'format_roundtrip_orc', 'funnel_time_to_convert',
-        'ingest_batch_append', 'ingest_cdc_merge', 'ingest_replay_idempotent', 'knn_pairs',
-        'lang_distribution', 'lang_id_confusion', 'lang_id_ngram', 'multimodal_decode',
-        'multimodal_embed', 'multimodal_frame_sample', 'multimodal_join', 'multimodal_tile_plan',
-        'pii_scrub_stats', 'scd2_history_build', 'sim_search_ann_lsh', 'sim_search_batch',
-        'sim_search_ivf', 'sim_search_ivf_pq', 'sim_search_lsh_multiprobe', 'sim_search_range',
-        'sim_search_topk', 'storage_compaction_integrity', 'storage_day_partitioned_scan', 'storage_retention_expire',
-        'term_zipf_slope', 'text_quality_score', 'text_repetition_filter', 'text_repetition_stats',
-        'text_stopword_stats', 'text_tokenize_stats', 'text_unigram_logprob', 'text_word_entropy',
-        'tfidf_topterms', 'token_count_bpe', 'ts_merge_upsert', 'vector_pq_adc',
-        'vocab_growth_heaps',
+        'dau_wau_mau', 'embedding_centroid_per_label', 'format_roundtrip_csv', 'format_roundtrip_json',
+        'format_roundtrip_orc', 'funnel_time_to_convert', 'ingest_cdc_merge', 'ingest_replay_idempotent',
+        'knn_pairs', 'lang_id_confusion', 'multimodal_decode', 'multimodal_embed',
+        'multimodal_frame_sample', 'multimodal_join', 'multimodal_tile_plan', 'pii_scrub_stats',
+        'scd2_history_build', 'sim_search_batch', 'sim_search_ivf', 'sim_search_ivf_pq',
+        'sim_search_lsh_multiprobe', 'sim_search_range', 'storage_compaction_integrity', 'storage_day_partitioned_scan',
+        'storage_retention_expire', 'text_repetition_filter', 'text_word_entropy', 'ts_merge_upsert',
+        'vector_pq_adc', 'vocab_growth_heaps',
     ),
     5: (
         'approx_distinct_hll_merge', 'grouped_mode', 'salted_skew_join', 'skew_key_report',
@@ -239,47 +227,60 @@ _HASH_ROUND: dict[int, tuple[str, ...]] = {
         'user_journey_top_paths',
     ),
     7: (
-        'dedup_cluster_size_stats', 'dedup_connected_components', 'dedup_near_minhash', 'dedup_ngram_jaccard',
-        'dedup_threshold_sweep', 'minhash_band_sensitivity', 'minhash_jaccard_estimate', 'ts_agg_cascade',
-        'ts_aggregate_row', 'ts_anomaly_zscore', 'ts_billing_p95', 'ts_counter_reset_detect',
-        'ts_counter_wrap', 'ts_counter_wrap64', 'ts_delta', 'ts_downsample_avg',
-        'ts_downsample_delta', 'ts_downsample_delta64', 'ts_downsample_last', 'ts_downsample_minmax',
-        'ts_downsample_percentile', 'ts_flag_filter', 'ts_gap_fill_locf', 'ts_gap_report',
-        'ts_heartbeat_invalidate', 'ts_interpolate', 'ts_ladder_backfill', 'ts_ladder_route',
-        'ts_ladder_route_sql', 'ts_last_known', 'ts_metadata_get', 'ts_point_lookup',
-        'ts_range_scan', 'ts_rate', 'ts_rate64', 'ts_rate_downsample',
-        'ts_rate_invalid_reasons', 'ts_seasonal_baseline', 'ts_series_catalog', 'ts_slot_dedup',
-        'ts_time_spine', 'ts_top_talkers', 'ts_valid_ratio', 'ts_wrap_eta',
+        'dedup_near_minhash', 'dedup_ngram_jaccard', 'dedup_threshold_sweep', 'minhash_band_sensitivity',
+        'minhash_jaccard_estimate', 'ts_agg_cascade', 'ts_aggregate_row', 'ts_anomaly_zscore',
+        'ts_billing_p95', 'ts_counter_reset_detect', 'ts_counter_wrap', 'ts_counter_wrap64',
+        'ts_delta', 'ts_downsample_avg', 'ts_downsample_delta', 'ts_downsample_delta64',
+        'ts_downsample_last', 'ts_downsample_minmax', 'ts_downsample_percentile', 'ts_flag_filter',
+        'ts_gap_fill_locf', 'ts_gap_report', 'ts_heartbeat_invalidate', 'ts_interpolate',
+        'ts_ladder_backfill', 'ts_ladder_route', 'ts_ladder_route_sql', 'ts_last_known',
+        'ts_metadata_get', 'ts_point_lookup', 'ts_range_scan', 'ts_rate',
+        'ts_rate64', 'ts_rate_downsample', 'ts_rate_invalid_reasons', 'ts_seasonal_baseline',
+        'ts_series_catalog', 'ts_slot_dedup', 'ts_time_spine', 'ts_top_talkers',
+        'ts_valid_ratio', 'ts_wrap_eta',
     ),
     8: (
-        'anti_join', 'approx_distinct', 'approx_percentiles', 'array_agg_sorted',
-        'asof_join', 'asof_join_nearest', 'broadcast_join', 'cross_join_topk',
-        'customer_rfm', 'dedup_minhash_indexed', 'dedup_semantic_cells', 'dedup_semantic_indexed',
-        'distinct_agg', 'doc_semantic_outliers', 'grouping_sets', 'hash_aggregate',
-        'hash_join_inner', 'market_basket_pairs', 'mine_hard_negatives', 'outer_join_full',
-        'outer_join_left', 'percentiles', 'pivot_unpivot', 'projection_filter',
-        'range_interval_join', 'rollup_cube', 'salted_aggregate', 'scalar_date_funcs',
-        'scalar_string_funcs', 'scan_parquet', 'semi_join', 'set_except',
-        'set_intersect', 'set_union', 'sort_limit_topk', 'sort_merge_join',
-        'storage_bucketed_join', 'stream_dedup_indexed', 'stream_ladder_full_pipeline', 'subquery_scalar',
-        'ts_bin_split', 'ts_bin_split_bucketed', 'ts_ladder_full_pipeline', 'ts_linear_trend',
-        'ts_rolling_1h', 'ts_sessionize', 'window_distribution', 'window_lag_lead',
-        'window_rank', 'window_running',
+        'approx_distinct', 'approx_percentiles', 'array_agg_sorted', 'asof_join',
+        'asof_join_nearest', 'broadcast_join', 'cross_join_topk', 'customer_rfm',
+        'dedup_minhash_indexed', 'dedup_semantic_cells', 'dedup_semantic_indexed', 'distinct_agg',
+        'doc_semantic_outliers', 'grouping_sets', 'hash_aggregate', 'hash_join_inner',
+        'market_basket_pairs', 'mine_hard_negatives', 'outer_join_full', 'outer_join_left',
+        'percentiles', 'pivot_unpivot', 'projection_filter', 'range_interval_join',
+        'rollup_cube', 'salted_aggregate', 'scalar_date_funcs', 'scalar_string_funcs',
+        'scan_parquet', 'semi_join', 'set_intersect', 'set_union',
+        'sort_limit_topk', 'sort_merge_join', 'storage_bucketed_join', 'stream_dedup_indexed',
+        'stream_ladder_full_pipeline', 'subquery_scalar', 'ts_bin_split', 'ts_bin_split_bucketed',
+        'ts_ladder_full_pipeline', 'ts_rolling_1h', 'ts_sessionize', 'window_distribution',
+        'window_lag_lead', 'window_rank', 'window_running',
     ),
     9: (
-        'dedup_embedding_cosine', 'dedup_exact', 'dedup_minhash_indexed_smallbatch', 'dedup_semantic_indexed_sqrtn',
-        'dedup_simhash', 'scalar_array_funcs', 'scalar_bitwise_funcs', 'scalar_json_funcs',
-        'scalar_math_funcs', 'tpch_q1', 'tpch_q10', 'tpch_q11',
-        'tpch_q12', 'tpch_q13', 'tpch_q14', 'tpch_q15',
-        'tpch_q16', 'tpch_q17', 'tpch_q18', 'tpch_q19',
-        'tpch_q2', 'tpch_q20', 'tpch_q21', 'tpch_q22',
-        'tpch_q3', 'tpch_q4', 'tpch_q5', 'tpch_q6',
-        'tpch_q7', 'tpch_q8', 'tpch_q9', 'ts_alert_rules_eval',
-        'ts_anomaly_mad', 'ts_burst_detect', 'ts_calendar_heatmap', 'ts_capacity_forecast',
+        'dedup_exact', 'dedup_minhash_indexed_smallbatch', 'dedup_simhash', 'scalar_array_funcs',
+        'scalar_bitwise_funcs', 'scalar_json_funcs', 'scalar_math_funcs', 'tpch_q1',
+        'tpch_q10', 'tpch_q11', 'tpch_q12', 'tpch_q13',
+        'tpch_q14', 'tpch_q15', 'tpch_q16', 'tpch_q17',
+        'tpch_q18', 'tpch_q19', 'tpch_q2', 'tpch_q20',
+        'tpch_q21', 'tpch_q3', 'tpch_q4', 'tpch_q5',
+        'tpch_q6', 'tpch_q7', 'tpch_q8', 'tpch_q9',
+        'ts_alert_rules_eval', 'ts_anomaly_mad', 'ts_burst_detect', 'ts_calendar_heatmap',
         'ts_downsample_ohlc', 'ts_ewma', 'ts_fleet_zscore', 'ts_forecast_seasonal_naive',
         'ts_missing_islands', 'ts_percent_change_movers', 'ts_rolling_median', 'ts_rollup_multi_granularity',
         'ts_series_correlation', 'ts_sla_report', 'ts_step_change', 'ts_stl_decompose',
         'ts_value_histogram', 'ts_wma',
+    ),
+    10: (
+        'anti_join', 'approx_distinct_check', 'approx_percentiles_check', 'attribution_last_touch',
+        'bm25_topdocs', 'cross_source_dedup_priority', 'cumulative_distinct_users', 'decontaminate_ngram',
+        'decontamination_overlap', 'dedup_cluster_size_stats', 'dedup_connected_components', 'dedup_embedding_cosine',
+        'dedup_semantic_indexed_sqrtn', 'doc_fingerprint', 'doc_length_histogram', 'doc_pagerank',
+        'domain_quota_sample', 'embedding_norm_outliers', 'embedding_pca_power_iteration', 'embedding_quantize',
+        'event_bigrams', 'event_funnel', 'exact_substring_dedup', 'ingest_batch_append',
+        'kmeans_one_step', 'lang_distribution', 'lang_id_ngram', 'ngram_topk',
+        'pipeline_corpus_curate', 'quality_filter_funnel', 'retention_cohort', 'sample_stratified',
+        'seq_packing', 'set_except', 'sim_search_ann_lsh', 'sim_search_topk',
+        'split_train_test', 'term_zipf_slope', 'text_ngram_novelty', 'text_quality_score',
+        'text_repetition_stats', 'text_stopword_stats', 'text_tokenize_stats', 'text_unigram_logprob',
+        'tfidf_topterms', 'token_count_bpe', 'topk_docs_per_source', 'tpch_q22',
+        'ts_capacity_forecast', 'ts_linear_trend',
     ),
 }
 
