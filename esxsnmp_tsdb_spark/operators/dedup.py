@@ -311,9 +311,14 @@ def min_label_components(edges: DataFrame, max_rounds: int = 20):
     algorithms), and ``localCheckpoint`` truncates lineage so plans
     don't grow exponentially.
 
-    Returns ``(labels, rounds)``: a ``(doc, label)`` frame mapping every
-    node to its component representative (min node id), and the number
-    of rounds the loop ran before the fixed point."""
+    Returns ``(labels, rounds, converged)``: a ``(doc, label)`` frame
+    mapping every node to its component representative (min node id),
+    the number of rounds the loop ran, and whether it actually reached
+    the fixed point (``changed == 0``).  The flag exists because
+    ``rounds == max_rounds`` is ambiguous — converged-on-the-last-round
+    and truncated look identical (ADVICE r10) — and a truncated run
+    returns WRONG component labels; callers must check it, not the
+    round count."""
     labels = (
         edges.select(F.col("src").alias("doc"))
         .distinct()
@@ -330,6 +335,7 @@ def min_label_components(edges: DataFrame, max_rounds: int = 20):
     # (ADVICE r5).  At 100 TB the candidate graph still fans out to
     # thousands of tasks — the same mechanism, wider data.
     rounds = 0
+    converged = False
     for _ in range(max_rounds):
         rounds += 1
         neigh = (
@@ -363,8 +369,9 @@ def min_label_components(edges: DataFrame, max_rounds: int = 20):
         changed = l2.filter(F.col("label") != F.col("old")).count()
         labels = l2.drop("old")
         if changed == 0:
+            converged = True
             break
-    return labels, rounds
+    return labels, rounds, converged
 
 
 @op(
@@ -404,7 +411,16 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
         .localCheckpoint(eager=True)
     )
-    labels, _rounds = min_label_components(edges)
+    labels, rounds, converged = min_label_components(edges)
+    if not converged:
+        # Truncated labels are silently WRONG (two docs in one real
+        # component can carry different labels) — refuse to serve them.
+        raise RuntimeError(
+            f"connected-components did not converge in {rounds} rounds; "
+            "raise max_rounds (pointer jumping makes rounds ~ log2(graph "
+            "diameter), so hitting this means a pathological candidate "
+            "graph, not normal data)"
+        )
     w = Window.partitionBy("component")
     return (
         labels.select(F.col("doc").alias("doc_id"), F.col("label").alias("component"))

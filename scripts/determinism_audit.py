@@ -48,14 +48,34 @@ sys.path.insert(0, ROOT)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 OUT = os.path.join(ROOT, "docs", "DETERMINISM_r10.json")
 
-# Layouts: A = engine defaults (session.RUNTIME_CONF values), B = skewed
-# small-split / narrow-reduce layout with runtime coalescing disabled.
-PASS_A = {
-    "spark.sql.shuffle.partitions": "32",
+# Layouts: A = the engine's own runtime config, snapshotted from
+# session.RUNTIME_CONF at startup (NOT hardcoded — RUNTIME_CONF derives
+# shuffle width from SPARK_GRAFT_CPUS, so a literal "32" would silently
+# diverge from the layout the driver and bench actually see whenever that
+# env var is set; ADVICE r10).  B = skewed small-split / narrow-reduce
+# layout with runtime coalescing disabled.
+_LAYOUT_KEYS = (
+    "spark.sql.shuffle.partitions",
+    "spark.sql.files.maxPartitionBytes",
+    "spark.sql.files.openCostInBytes",
+    "spark.sql.adaptive.coalescePartitions.enabled",
+)
+_PASS_A_DEFAULTS = {
     "spark.sql.files.maxPartitionBytes": "4m",
     "spark.sql.files.openCostInBytes": "1m",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
 }
+
+
+def _snapshot_pass_a(runtime_conf: dict[str, str]) -> dict[str, str]:
+    """Pass A = the four layout keys as the live session would run them."""
+    return {
+        k: runtime_conf.get(k, _PASS_A_DEFAULTS.get(k, ""))
+        for k in _LAYOUT_KEYS
+        if runtime_conf.get(k) is not None or k in _PASS_A_DEFAULTS
+    }
+
+
 PASS_B = {
     "spark.sql.shuffle.partitions": "5",
     "spark.sql.files.maxPartitionBytes": "256k",
@@ -126,6 +146,9 @@ def main() -> int:
         return 2
 
     spark = get_session()
+    # Snapshot BEFORE any layout injection: this is both pass A and the
+    # state the shared RUNTIME_CONF dict is restored to at the end.
+    PASS_A = _snapshot_pass_a(session.RUNTIME_CONF)
 
     def apply(layout: dict[str, str]) -> None:
         # Patch RUNTIME_CONF so catalog.tune() re-applies OUR layout, then
@@ -157,7 +180,9 @@ def main() -> int:
         flag = "ok" if rec["match"] else "FLIP" if not rec["err"] else "ERR"
         print(f"[{i + 1}/{len(keys)}] {key}: {flag}", flush=True)
 
-    apply(PASS_A)  # leave the session in the default layout
+    apply(PASS_A)  # restore the startup snapshot — RUNTIME_CONF and the
+    # live session leave exactly as they arrived (no injected layout keys
+    # survive: pass B touches only keys the snapshot also carries)
     flips = sorted(k for k, r in results.items() if not r["match"] and not r["err"])
     errs = sorted(k for k, r in results.items() if r["err"])
     out = {

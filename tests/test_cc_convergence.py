@@ -30,7 +30,8 @@ def test_chain_converges_in_log_rounds(spark):
     the loop's own max_rounds=20 safety valve, which would silently
     truncate a non-converged run)."""
     edges = _bidirectional(spark, [(i, i + 1) for i in range(128)])
-    labels, rounds = min_label_components(edges, max_rounds=200)
+    labels, rounds, converged = min_label_components(edges, max_rounds=200)
+    assert converged
     got = {r.doc: r.label for r in labels.collect()}
     assert got == {i: 0 for i in range(129)}
     assert rounds <= 10, f"chain-128 took {rounds} rounds — jump step broken?"
@@ -40,7 +41,8 @@ def test_star_converges_immediately(spark):
     """Star around node 0: every leaf sees the root directly — one label
     round plus the fixed-point round."""
     edges = _bidirectional(spark, [(0, i) for i in range(1, 40)])
-    labels, rounds = min_label_components(edges)
+    labels, rounds, converged = min_label_components(edges)
+    assert converged
     got = {r.doc: r.label for r in labels.collect()}
     assert got == {i: 0 for i in range(40)}
     assert rounds <= 2
@@ -48,7 +50,8 @@ def test_star_converges_immediately(spark):
 
 def test_two_components_stay_separate(spark):
     edges = _bidirectional(spark, [(0, 1), (1, 2), (10, 11), (11, 12)])
-    labels, _ = min_label_components(edges)
+    labels, _, converged = min_label_components(edges)
+    assert converged
     got = {r.doc: r.label for r in labels.collect()}
     assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
 
@@ -84,7 +87,41 @@ def test_random_graphs_match_union_find(spark):
         want = {v: find(v) for v in sorted(touched)}
 
         edges = _bidirectional(spark, pairs)
-        labels, rounds = min_label_components(edges)
+        labels, rounds, converged = min_label_components(edges)
+        assert converged
         got = {r.doc: r.label for r in labels.collect()}
         assert got == want, f"seed {seed}: component labels diverge from union-find"
         assert rounds <= 10, f"seed {seed}: {rounds} rounds on a 60-node graph"
+
+
+def test_truncation_is_flagged_not_silent(spark):
+    """A max_rounds too small to converge must come back converged=False
+    (rounds == max_rounds alone cannot distinguish truncated from
+    converged-on-the-last-round — ADVICE r10), and
+    dedup_connected_components refuses to serve truncated labels."""
+    edges = _bidirectional(spark, [(i, i + 1) for i in range(64)])
+    labels, rounds, converged = min_label_components(edges, max_rounds=2)
+    assert rounds == 2 and not converged
+
+
+def test_adversarial_long_path_plus_hot_star_envelope(spark):
+    """VERDICT r10 item 7: the mixed worst case — one long path (depth)
+    welded to a hot star (skew) at 10× the fixture candidate-pair volume
+    (~1.3k bidirectional edges vs the ~60-pair LSH fixture graph).  The
+    envelope pinned: rounds stay O(log d) (the star cannot slow the
+    chain, the chain cannot stall the star), labels exact, convergence
+    genuine."""
+    chain = [(i, i + 1) for i in range(256)]                 # diameter 256
+    star = [(0, 10_000 + i) for i in range(400)]             # hot key: node 0
+    bridges = [(256, 20_000 + i) for i in range(16)]         # side spurs
+    edges = _bidirectional(spark, chain + star + bridges)
+    labels, rounds, converged = min_label_components(edges, max_rounds=30)
+    assert converged, "mixed chain+star graph failed to converge"
+    assert rounds <= 11, (
+        f"{rounds} rounds on diameter-256 mixed graph — above the "
+        "ceil(log2(256))+3 envelope; jump step degraded"
+    )
+    got = {r.doc: r.label for r in labels.collect()}
+    n_nodes = len({v for p in chain + star + bridges for v in p})
+    assert len(got) == n_nodes
+    assert set(got.values()) == {0}, "one welded component must label to 0"
