@@ -36,6 +36,15 @@ HEADLINE = [
     "tpch_q3",              # §2.4 3-way join + top-k
     "tpch_q5",              # §2.4 6-way join
     "tpch_q18",             # §2.4 HAVING semi-join
+    # Round 11 (VERDICT r10 item 6): the two most expensive registered
+    # TPC-H shapes join the steal-guarded headline so the per-query
+    # guard history starts now — q9 is the widest multi-join (6 tables,
+    # part-filtered fact explosion), q21 stacks semi- + anti-join over a
+    # self-joined lineitem; both are the shapes most likely to catch a
+    # join-strategy regression first.  Safe to add: the guard seeds
+    # per-query history, so growing the set never resets it.
+    "tpch_q9",              # §2.4 6-way join + profit rollup
+    "tpch_q21",             # §2.4 semi+anti self-join stack
     "hash_join_inner",      # §2.4 fact⋈dim shuffle join
     "broadcast_join",       # §2.4 broadcast fact⋈dim
     "asof_join",            # §2.4 union+window as-of

@@ -34,6 +34,7 @@ from esxsnmp_tsdb_spark.operators._shared import (
     T_JAN10,
     T_JAN11,
 )
+from esxsnmp_tsdb_spark.functions.exact import half_up_div_signed
 from esxsnmp_tsdb_spark.registry import op
 from esxsnmp_tsdb_spark.sources import load_events_range, register_views
 
@@ -549,14 +550,12 @@ def ts_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "path",
         F.expr(
             "CASE WHEN den > 0 THEN"
-            " (CASE WHEN num >= 0 THEN (2000000 * num + 100 * den) div (200 * den)"
-            "       ELSE -((-2000000 * num + 100 * den) div (200 * den)) END) / 1e6"
+            f" ({half_up_div_signed('num', '100 * den', mul=1_000_000)}) / 1e6"
             " END"
         ).alias("slope"),
         F.expr(
             "CASE WHEN den > 0 THEN"
-            " (CASE WHEN inum >= 0 THEN (20000 * inum + 100 * den) div (200 * den)"
-            "       ELSE -((-20000 * inum + 100 * den) div (200 * den)) END) / 1e4"
+            f" ({half_up_div_signed('inum', '100 * den', mul=10_000)}) / 1e4"
             " END"
         ).alias("intercept"),
         F.expr(

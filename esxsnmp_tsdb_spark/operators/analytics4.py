@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from esxsnmp_tsdb_spark.functions import tsdb
 from esxsnmp_tsdb_spark.operators._shared import BUCKET, OBS_CTE, T_JAN10, T_JAN20
+from esxsnmp_tsdb_spark.functions.exact import half_up_div_signed
 from esxsnmp_tsdb_spark.registry import op
 from esxsnmp_tsdb_spark.sources import register_views
 
@@ -273,23 +274,15 @@ def ts_capacity_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("den") > 0)
     q = fit.select(
         "path",
-        F.expr(
-            "CASE WHEN num >= 0 THEN (2 * num + den) div (2 * den)"
-            " ELSE -((-2 * num + den) div (2 * den)) END"
-        ).alias("rs"),
-        F.expr(
-            "CASE WHEN inum >= 0 THEN (2 * inum + 100 * den) div (200 * den)"
-            " ELSE -((-2 * inum + 100 * den) div (200 * den)) END"
-        ).alias("ri"),
+        F.expr(half_up_div_signed("num", "den")).alias("rs"),
+        F.expr(half_up_div_signed("inum", "100 * den")).alias("ri"),
         "t_last",
     )
     cur = q.filter(F.col("rs") > 0).select(
         "path",
         "rs",
         F.expr(
-            "CASE WHEN 100 * ri + rs * t_last >= 0"
-            " THEN (2 * (100 * ri + rs * t_last) + 100) div 200"
-            " ELSE -((-2 * (100 * ri + rs * t_last) + 100) div 200) END"
+            half_up_div_signed("100 * ri + rs * t_last", 100)
         ).alias("rc"),
     )
     slope = F.expr("rs / 1e6")

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from esxsnmp_tsdb_spark.functions import tsdb
+from esxsnmp_tsdb_spark.functions.exact import half_up_div
 from esxsnmp_tsdb_spark.operators._shared import (
     BUCKET,
     CNT_CTE,
@@ -131,17 +132,14 @@ def ts_utilization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "path",
             F.expr(
-                "(2 * delta * 10000000 + dt * cap10) div (2 * dt * cap10)"
+                half_up_div("delta", "dt * cap10", mul=10_000_000)
             ).alias("util_micro"),
         )
     )
     return u.groupBy("path").agg(
         F.count(F.lit(1)).alias("n_samples"),
         F.round(
-            F.expr(
-                "(2 * sum(util_micro) + count(1)) div (2 * count(1))"
-            )
-            / 1e6,
+            F.expr(half_up_div("sum(util_micro)", "count(1)")) / 1e6,
             6,
         ).alias("util_avg"),
         F.round(F.max("util_micro") / 1e6, 6).alias("util_max"),
@@ -271,14 +269,14 @@ def ts_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "path",
             F.element_at(F.split("path", "/"), 1).alias("device"),
             (F.col("tse") - F.col("tse") % BUCKET).alias("slot"),
-            F.expr("(2 * delta * 1000000 + dt) div (2 * dt)").alias(
+            F.expr(half_up_div("delta", "dt", mul=1_000_000)).alias(
                 "rate_micro"
             ),
         )
     )
     series = r.groupBy("device", "slot", "path").agg(
         F.expr(
-            "(2 * sum(rate_micro) + count(1)) div (2 * count(1))"
+            half_up_div("sum(rate_micro)", "count(1)")
         ).alias("series_avg_micro")
     )
     return series.groupBy("device", "slot").agg(

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from esxsnmp_tsdb_spark.functions import tsdb
 from esxsnmp_tsdb_spark.operators._shared import OBS_CTE
+from esxsnmp_tsdb_spark.functions.exact import half_up_div
 from esxsnmp_tsdb_spark.registry import op
 from esxsnmp_tsdb_spark.sources import register_views
 
@@ -71,8 +72,8 @@ def ts_availability_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pres.groupBy("path", "day").agg(
         F.count(F.lit(1)).alias("hours_present"),
         F.expr(
-            f"CAST((2 * count(1) * 1000000 + {HOURS_PER_DAY})"
-            f" div (2 * {HOURS_PER_DAY}) AS BIGINT)"
+            f"CAST({half_up_div('count(1)', HOURS_PER_DAY, mul=1_000_000)}"
+            " AS BIGINT)"
         ).alias("availability_micro"),
     )
 
@@ -120,13 +121,12 @@ def ts_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("bad").cast("bigint").alias("n_bad"),
         F.expr(
-            "CAST((2 * sum(bad) * 1000000 + count(1))"
-            " div (2 * count(1)) AS BIGINT)"
+            f"CAST({half_up_div('sum(bad)', 'count(1)', mul=1_000_000)}"
+            " AS BIGINT)"
         ).alias("error_ppm"),
         F.expr(
-            f"CAST((2 * sum(bad) * 1000000 * 1000000"
-            f" + count(1) * {ALLOW_PPM})"
-            f" div (2 * count(1) * {ALLOW_PPM}) AS BIGINT)"
+            f"CAST({half_up_div('sum(bad)', f'count(1) * {ALLOW_PPM}', mul=1_000_000 * 1_000_000)}"
+            " AS BIGINT)"
         ).alias("burn_micro"),
     )
 

@@ -32,6 +32,7 @@ from esxsnmp_tsdb_spark.operators._shared import (
     T_JAN10,
     T_JAN20,
 )
+from esxsnmp_tsdb_spark.functions.exact import half_up_div
 from esxsnmp_tsdb_spark.registry import op
 from esxsnmp_tsdb_spark.sources import register_views
 
@@ -241,14 +242,11 @@ def ts_sla_maintenance_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_slots",
         "n_maint",
         F.expr(
-            "CAST((2 * n_up * 1000000 + (n_slots - n_maint))"
-            " div (2 * (n_slots - n_maint)) AS BIGINT)"
+            f"CAST({half_up_div('n_up', 'n_slots - n_maint', mul=1_000_000)}"
+            " AS BIGINT)"
         ).alias("avail_ppm"),
         (
-            F.expr(
-                "(2 * n_up * 1000000 + (n_slots - n_maint))"
-                " div (2 * (n_slots - n_maint))"
-            )
+            F.expr(half_up_div("n_up", "n_slots - n_maint", mul=1_000_000))
             < SLA_PPM_TARGET
         ).alias("breach"),
     )
@@ -324,12 +322,11 @@ def ts_mtbf_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_incidents",
         "downtime_sec",
         F.expr(
-            "CAST((2 * downtime_sec + n_incidents)"
-            " div (2 * n_incidents) AS BIGINT)"
+            f"CAST({half_up_div('downtime_sec', 'n_incidents')} AS BIGINT)"
         ).alias("mttr_sec"),
         F.expr(
-            "CAST((2 * (span_sec - downtime_sec) + n_incidents)"
-            " div (2 * n_incidents) AS BIGINT)"
+            f"CAST({half_up_div('span_sec - downtime_sec', 'n_incidents')}"
+            " AS BIGINT)"
         ).alias("mtbf_sec"),
     )
 

@@ -24,6 +24,7 @@ from esxsnmp_tsdb_spark.functions.topk import ranked_topk
 from esxsnmp_tsdb_spark.functions.vector import cosine
 from esxsnmp_tsdb_spark.operators.curation import _hex16
 from esxsnmp_tsdb_spark.operators.similarity import DOT_SQL, QUERY_VEC_ID
+from esxsnmp_tsdb_spark.functions.exact import half_up_div
 from esxsnmp_tsdb_spark.registry import op
 from esxsnmp_tsdb_spark.sources import register_views
 
@@ -106,8 +107,8 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kept_chars"),
         F.expr("CAST(thr * 15625 div 1024 AS BIGINT)").alias("target_ppm"),
         F.expr(
-            "CAST((2 * sum(keep) * 1000000 + count(1))"
-            " div (2 * count(1)) AS BIGINT)"
+            f"CAST({half_up_div('sum(keep)', 'count(1)', mul=1_000_000)}"
+            " AS BIGINT)"
         ).alias("achieved_ppm"),
     ).drop("thr")
 
@@ -339,8 +340,8 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ws_tokens",
         "bpe_tokens",
         F.expr(
-            "CAST((2 * bpe_tokens * 1000000 + ws_tokens)"
-            " div (2 * ws_tokens) AS BIGINT)"
+            f"CAST({half_up_div('bpe_tokens', 'ws_tokens', mul=1_000_000)}"
+            " AS BIGINT)"
         ).alias("fertility_ppm"),
         F.round(
             F.col("tok_chars").cast("double") / F.col("bpe_tokens"), 6

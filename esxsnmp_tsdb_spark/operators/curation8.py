@@ -39,6 +39,7 @@ from esxsnmp_tsdb_spark.operators.dedup import (
     _hex16,
 )
 from esxsnmp_tsdb_spark.operators.similarity import DOT_SQL, _dbl
+from esxsnmp_tsdb_spark.functions.exact import half_up_div
 from esxsnmp_tsdb_spark.registry import op
 from esxsnmp_tsdb_spark.sources import register_views
 
@@ -407,7 +408,7 @@ def doc_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             "n_shared",
             F.expr(
-                "CAST((2 * n_shared * 1000000 + m) div (2 * m) AS BIGINT)"
+                f"CAST({half_up_div('n_shared', 'm', mul=1_000_000)} AS BIGINT)"
             ).alias("overlap_ppm"),
         )
     )
@@ -793,9 +794,9 @@ def dataset_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "target_ppm",
             "target_tokens",
             F.expr(
-                "CASE WHEN n_tokens > 0 THEN"
-                " CAST((2 * target_tokens * 1000000 + n_tokens)"
-                " div (2 * n_tokens) AS BIGINT) END"
+                "CASE WHEN n_tokens > 0 THEN CAST("
+                + half_up_div("target_tokens", "n_tokens", mul=1_000_000)
+                + " AS BIGINT) END"
             ).alias("epochs_ppm"),
         )
     )

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from esxsnmp_tsdb_spark.functions.topk import ranked_topk
+from esxsnmp_tsdb_spark.functions.exact import half_up_div
 from esxsnmp_tsdb_spark.registry import op
 from esxsnmp_tsdb_spark.sources import register_views
 
@@ -256,7 +257,7 @@ def user_activity_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_users"),
             F.sum("n").cast("bigint").alias("n_events"),
             F.expr(
-                "CAST((2 * sum(n) * 1000000 + t) div (2 * t) AS BIGINT)"
+                f"CAST({half_up_div('sum(n)', 't', mul=1_000_000)} AS BIGINT)"
             ).alias("share_micro"),
         )
         .drop("t")
@@ -306,9 +307,9 @@ def event_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_type",
         "to_type",
         "n",
-        F.expr("CAST((2 * n * 1000000 + t) div (2 * t) AS BIGINT)").alias(
-            "prob_ppm"
-        ),
+        F.expr(
+            f"CAST({half_up_div('n', 't', mul=1_000_000)} AS BIGINT)"
+        ).alias("prob_ppm"),
     )
 
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from esxsnmp_tsdb_spark.functions.exact import half_up_div
 from esxsnmp_tsdb_spark.registry import op
 from esxsnmp_tsdb_spark.sources import register_views
 
@@ -226,10 +227,10 @@ def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
             "n_keys",
             F.expr(
-                "CAST((2 * n * 1000000 + total) div (2 * total) AS BIGINT)"
+                f"CAST({half_up_div('n', 'total', mul=1_000_000)} AS BIGINT)"
             ).alias("share_ppm"),
             F.expr(
-                "CAST((2 * cum_n * 1000000 + total) div (2 * total)"
+                f"CAST({half_up_div('cum_n', 'total', mul=1_000_000)}"
                 " AS BIGINT)"
             ).alias("cum_share_ppm"),
         )

@@ -24,6 +24,7 @@ from esxsnmp_tsdb_spark.operators.analytics5 import (
     _CAP10_VALUES as _CAP10_VALUES,
 )
 from esxsnmp_tsdb_spark.operators.analytics5 import CAP10 as _CAP10
+from esxsnmp_tsdb_spark.functions.exact import half_up_div
 from esxsnmp_tsdb_spark.registry import op
 from esxsnmp_tsdb_spark.streaming import events_stream, run_to_memory
 
@@ -569,8 +570,9 @@ def stream_utilization_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory(agg, "complete", spark)
     util_micro = F.expr(
-        f"(2 * vol_cents * 1000000 + {UTIL_WINDOW_SEC} * 10 * cap10)"
-        f" div (2 * {UTIL_WINDOW_SEC} * 10 * cap10)"
+        half_up_div(
+            "vol_cents", f"{UTIL_WINDOW_SEC} * 10 * cap10", mul=1_000_000
+        )
     )
     return out.select(
         F.unix_timestamp(F.col("window.start")).alias("slot"),

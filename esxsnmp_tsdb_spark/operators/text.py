@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from esxsnmp_tsdb_spark.operators.dedup import _hex16
+from esxsnmp_tsdb_spark.functions.exact import half_up_div_signed
 from esxsnmp_tsdb_spark.registry import op
 from esxsnmp_tsdb_spark.sources import register_views
 
@@ -621,8 +622,7 @@ def term_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.expr(
             "CASE WHEN den > 0 THEN"
-            " (CASE WHEN num >= 0 THEN (20000 * num + den) div (2 * den)"
-            "       ELSE -((-20000 * num + den) div (2 * den)) END) / 1e4"
+            f" ({half_up_div_signed('num', 'den', mul=10_000)}) / 1e4"
             " END"
         ).alias("zipf_slope"),
         F.expr(

@@ -85,6 +85,7 @@ from esxsnmp_tsdb_spark.operators.dedup import (
     shingle_sql,
     sigs_sql,
 )
+from esxsnmp_tsdb_spark.functions.exact import half_up_div
 from esxsnmp_tsdb_spark.registry import op
 
 MIX_LANGS = ("de", "en", "es", "fr")
@@ -351,8 +352,13 @@ def pipeline_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             _z("docs_sampled"),
             _z("tokens_sampled"),
             F.expr(
-                "CAST((2 * coalesce(tokens_sampled, 0) * 1000000"
-                " + greatest(t, 1)) div (2 * greatest(t, 1)) AS BIGINT)"
+                "CAST("
+                + half_up_div(
+                    "coalesce(tokens_sampled, 0)",
+                    "greatest(t, 1)",
+                    mul=1_000_000,
+                )
+                + " AS BIGINT)"
             ).alias("mix_ppm"),
         )
     )

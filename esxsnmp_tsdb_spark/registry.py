@@ -142,42 +142,33 @@ _PRIORITY_BACKLOG = frozenset()
 # them; the queue is cleared each round after ``update_attested.py --write``
 # folds the fresh hashes into ``_HASH_ROUND``.
 _REATTEST_QUEUE = (
-    # modified in round 10 (append as the round touches ops)
-    # r10: the last two regr_*-on-doubles fits rewritten into the exact
-    # integer power-sum + half-up grid idiom that fixed ts_capacity_forecast
-    # in r9 (engine-order double summation is one partition-order change
-    # away from a last-digit flip; see docs/ROUND9_NOTES.md item 3)
-    'ts_linear_trend',
-    'term_zipf_slope',
-    # r10: sums promoted bigint -> decimal for overflow headroom (values
-    # unchanged — but the code drifted, so re-hash) and the sqrt(N)
-    # census gained per-session caching
-    'ts_capacity_forecast',
-    'dedup_semantic_indexed_sqrtn',
-    # r10: near-dup cosine threshold 0.6 -> 0.35 (anchored to the fixture
-    # cosine distribution) so the attestation exercises real values — at
-    # 0.6 the result was empty at every sf and the oracle row was a
-    # trivially-green empty-vs-empty hash (CORRECTNESS r2/r9: 0 rows).
-    'dedup_embedding_cosine',
-    # r10: propagation loop extracted into min_label_components so the
-    # O(log diameter) convergence claim is test-pinned on a synthetic
-    # 128-hop chain (values unchanged — code drift, so re-hash)
-    'dedup_connected_components',
-    'dedup_cluster_size_stats',
-    # r10: the other two trivially-green attestations (0 rows at sf0.01
-    # since r8) rewritten to be value-exercising at every scale —
-    # anti_join = dormant-since-1998-05-01 customers (3/8/119 rows),
-    # set_except = ship days with no booked orders (1291/101/95 rows)
-    'anti_join',
-    'set_except',
-    # r10: q22's dormancy cutoff (1999-01-01) sat past the fixture's last
-    # order date, so its NOT EXISTS excluded nobody — moved inside the
-    # range (1998-05-01) to make the anti-join selective as Q22 intends
-    'tpch_q22',
-    # r10: gained an oracle — the read-back per-day counts are derived
-    # from the source in DuckDB, so the write path is hash-checked now
-    # (rows-only set shrinks to approx estimators + watermark timing)
-    'ingest_batch_append',
+    # modified in round 11 (append as the round touches ops)
+    # r11: the half-up micro-unit idiom was extracted into
+    # functions/exact.py (VERDICT r10 item 5) and these ops' inline
+    # (2n+d) div 2d strings now come from the shared builders — values
+    # identical (18/18 oracle-pass at sf0.01 + 18/18 layout-invariant in
+    # the determinism audit before commit), but the code drifted, so
+    # re-hash.  Five value-identical migrants whose driver hash is fresh
+    # from r10 (ts_linear_trend, term_zipf_slope, ts_capacity_forecast,
+    # dedup_connected_components, dedup_cluster_size_stats) are NOT
+    # queued: the window has exactly 50 slots and retiring the whole r4
+    # staleness cohort (34 keys) takes precedence; their local oracle +
+    # layout evidence is recorded in docs/ROUND11_NOTES.md.
+    'ts_utilization_report',
+    'ts_hierarchy_rollup',
+    'stream_utilization_alert',
+    'user_activity_concentration',
+    'event_markov_transition',
+    'skew_key_report',
+    'sample_importance_weighted',
+    'tokenizer_fertility_by_lang',
+    'ts_availability_report',
+    'ts_error_budget_burn',
+    'pipeline_pretraining_mix',
+    'doc_winnowing_overlap',
+    'dataset_mixture_epochs',
+    'ts_sla_maintenance_window',
+    'ts_mtbf_mttr',
 )
 
 _REATTEST_RANK = {k: i for i, k in enumerate(_REATTEST_QUEUE)}
