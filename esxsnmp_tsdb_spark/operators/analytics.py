@@ -481,12 +481,10 @@ fit AS (
 )
 SELECT path,
        CASE WHEN den > 0 THEN
-         (CASE WHEN num >= 0 THEN (2000000 * num + 100 * den) // (200 * den)
-               ELSE -((-2000000 * num + 100 * den) // (200 * den)) END) / 1e6
+         ({half_up_div_signed('num', '100 * den', mul=1_000_000, idiv='//')}) / 1e6
        END AS slope,
        CASE WHEN den > 0 THEN
-         (CASE WHEN inum >= 0 THEN (20000 * inum + 100 * den) // (200 * den)
-               ELSE -((-20000 * inum + 100 * den) // (200 * den)) END) / 1e4
+         ({half_up_div_signed('inum', '100 * den', mul=10_000, idiv='//')}) / 1e4
        END AS intercept,
        CASE WHEN den > 0 AND deny > 0 THEN
          CAST(floor(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)

@@ -197,10 +197,8 @@ q AS (
   -- round-half-up (2n+d)//(2d), sign split so both engines' integer
   -- division only ever sees non-negative operands
   SELECT path,
-         CASE WHEN num >= 0 THEN (2 * num + den) // (2 * den)
-              ELSE -((-2 * num + den) // (2 * den)) END AS rs,
-         CASE WHEN inum >= 0 THEN (2 * inum + 100 * den) // (200 * den)
-              ELSE -((-2 * inum + 100 * den) // (200 * den)) END AS ri,
+         {half_up_div_signed('num', 'den', idiv='//')} AS rs,
+         {half_up_div_signed('inum', '100 * den', idiv='//')} AS ri,
          t_last
   FROM fit
 ),
@@ -208,9 +206,7 @@ cur AS (
   -- current = intercept + slope*t_last, exactly: (100*ri + rs*t_last)
   -- is 1e-6 units; rc re-quantizes to the 1e-4 grid, still half-up
   SELECT path, rs,
-         CASE WHEN 100 * ri + rs * t_last >= 0
-              THEN (2 * (100 * ri + rs * t_last) + 100) // 200
-              ELSE -((-2 * (100 * ri + rs * t_last) + 100) // 200) END AS rc
+         {half_up_div_signed('100 * ri + rs * t_last', 100, idiv='//')} AS rc
   FROM q WHERE rs > 0
 )
 SELECT path, rs / 1e6 AS slope, rc / 1e4 AS current,

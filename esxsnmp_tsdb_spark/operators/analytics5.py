@@ -82,14 +82,14 @@ u AS (
   -- util = delta/(dt*cap) = delta*10/(dt*cap10); micro-units via exact
   -- integer round-half-up: (2n + d) // 2d
   SELECT d.path,
-         (2 * d.delta * 10000000 + d.dt * caps.cap10)
-           // (2 * d.dt * caps.cap10) AS util_micro
+         {half_up_div('d.delta', 'd.dt * caps.cap10', mul=10_000_000, idiv='//')}
+           AS util_micro
   FROM d JOIN caps ON d.etype = caps.etype
   WHERE d.delta IS NOT NULL AND d.dt > 0 AND d.dt <= {HEARTBEAT}
 )
 SELECT path,
        CAST(count(*) AS BIGINT) AS n_samples,
-       round(((2 * sum(util_micro) + count(*)) // (2 * count(*))) / 1e6, 6)
+       round(({half_up_div('sum(util_micro)', 'count(*)', idiv='//')}) / 1e6, 6)
          AS util_avg,
        round(max(util_micro) / 1e6, 6) AS util_max,
        CAST(sum(CASE WHEN util_micro > 800000 THEN 1 ELSE 0 END) AS BIGINT)
@@ -226,12 +226,12 @@ d AS (
 r AS (
   -- rate micro-units via exact integer round-half-up (2n + d) // 2d
   SELECT path, device, tse - tse % {BUCKET} AS slot,
-         (2 * delta * 1000000 + dt) // (2 * dt) AS rate_micro
+         {half_up_div('delta', 'dt', mul=1_000_000, idiv='//')} AS rate_micro
   FROM d WHERE delta IS NOT NULL AND dt > 0 AND dt <= {HEARTBEAT}
 ),
 series AS (
   SELECT device, slot, path,
-         (2 * sum(rate_micro) + count(*)) // (2 * count(*))
+         {half_up_div('sum(rate_micro)', 'count(*)', idiv='//')}
            AS series_avg_micro
   FROM r GROUP BY device, slot, path
 )

@@ -44,8 +44,8 @@ pres AS (
   FROM obs WHERE flags = 1 GROUP BY 1, 2, 3
 )
 SELECT path, day, count(*) AS hours_present,
-       CAST((2 * count(*) * 1000000 + {HOURS_PER_DAY})
-            // (2 * {HOURS_PER_DAY}) AS BIGINT) AS availability_micro
+       CAST({half_up_div('count(*)', HOURS_PER_DAY, mul=1_000_000, idiv='//')}
+            AS BIGINT) AS availability_micro
 FROM pres GROUP BY path, day
 """,
 )
@@ -92,10 +92,10 @@ c AS (
 SELECT event_type, day,
        count(*) AS n,
        CAST(sum(bad) AS BIGINT) AS n_bad,
-       CAST((2 * sum(bad) * 1000000 + count(*))
-            // (2 * count(*)) AS BIGINT) AS error_ppm,
-       CAST((2 * sum(bad) * 1000000 * 1000000 + count(*) * {ALLOW_PPM})
-            // (2 * count(*) * {ALLOW_PPM}) AS BIGINT) AS burn_micro
+       CAST({half_up_div('sum(bad)', 'count(*)', mul=1_000_000, idiv='//')}
+            AS BIGINT) AS error_ppm,
+       CAST({half_up_div('sum(bad)', f'count(*) * {ALLOW_PPM}', mul=1_000_000 * 1_000_000, idiv='//')}
+            AS BIGINT) AS burn_micro
 FROM c GROUP BY event_type, day
 """,
 )

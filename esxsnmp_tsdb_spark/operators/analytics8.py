@@ -170,10 +170,10 @@ up AS (
   FROM paths p LEFT JOIN up0 u ON u.path = p.path
 )
 SELECT path, n_up, n_slots, n_maint,
-       CAST((2 * n_up * 1000000 + (n_slots - n_maint))
-            // (2 * (n_slots - n_maint)) AS BIGINT) AS avail_ppm,
-       (2 * n_up * 1000000 + (n_slots - n_maint))
-         // (2 * (n_slots - n_maint)) < {SLA_PPM_TARGET} AS breach
+       CAST({half_up_div('n_up', 'n_slots - n_maint', mul=1_000_000, idiv='//')}
+            AS BIGINT) AS avail_ppm,
+       {half_up_div('n_up', 'n_slots - n_maint', mul=1_000_000, idiv='//')}
+         < {SLA_PPM_TARGET} AS breach
 FROM up CROSS JOIN cal
 """,
 )
@@ -278,10 +278,10 @@ agg AS (
   FROM g GROUP BY path
 )
 SELECT path, n_incidents, downtime_sec,
-       CAST((2 * downtime_sec + n_incidents) // (2 * n_incidents)
+       CAST({half_up_div('downtime_sec', 'n_incidents', idiv='//')}
             AS BIGINT) AS mttr_sec,
-       CAST((2 * (span_sec - downtime_sec) + n_incidents)
-            // (2 * n_incidents) AS BIGINT) AS mtbf_sec
+       CAST({half_up_div('span_sec - downtime_sec', 'n_incidents', idiv='//')}
+            AS BIGINT) AS mtbf_sec
 FROM agg WHERE n_incidents > 0
 """,
 )

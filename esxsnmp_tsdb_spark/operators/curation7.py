@@ -67,8 +67,8 @@ SELECT lang, count(*) AS n_docs,
        CAST(sum(keep) AS BIGINT) AS n_kept,
        CAST(sum(CASE WHEN keep = 1 THEN n_chars END) AS BIGINT) AS kept_chars,
        CAST(thr * 15625 // 1024 AS BIGINT) AS target_ppm,
-       CAST((2 * sum(keep) * 1000000 + count(*))
-            // (2 * count(*)) AS BIGINT) AS achieved_ppm
+       CAST({half_up_div('sum(keep)', 'count(*)', mul=1_000_000, idiv='//')}
+            AS BIGINT) AS achieved_ppm
 FROM d GROUP BY lang, thr
 """,
 )
@@ -309,8 +309,8 @@ per AS (
 ),
 nd AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
 SELECT per.lang, n_docs, ws_tokens, bpe_tokens,
-       CAST((2 * bpe_tokens * 1000000 + ws_tokens)
-            // (2 * ws_tokens) AS BIGINT) AS fertility_ppm,
+       CAST(""" + half_up_div("bpe_tokens", "ws_tokens", mul=1_000_000, idiv="//") + """
+            AS BIGINT) AS fertility_ppm,
        round(CAST(tok_chars AS DOUBLE) / bpe_tokens, 6) AS chars_per_bpe
 FROM per JOIN nd ON per.lang = nd.lang
 """,

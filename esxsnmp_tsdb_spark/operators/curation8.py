@@ -353,8 +353,8 @@ shared AS (
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT s.doc_a, s.doc_b, s.n_shared,
-       CAST((2 * s.n_shared * 1000000 + least(za.n_fp, zb.n_fp))
-            // (2 * least(za.n_fp, zb.n_fp)) AS BIGINT) AS overlap_ppm
+       CAST({half_up_div('s.n_shared', 'least(za.n_fp, zb.n_fp)', mul=1_000_000, idiv='//')}
+            AS BIGINT) AS overlap_ppm
 FROM shared s
 JOIN sizes za ON za.doc_id = s.doc_a
 JOIN sizes zb ON zb.doc_id = s.doc_b
@@ -742,10 +742,7 @@ SELECT t.lang, COALESCE(h.n_tokens, 0) AS n_tokens, t.target_ppm,
        CAST(t.target_ppm AS BIGINT) * {MIX_BUDGET_TOKENS} // 1000000
          AS target_tokens,
        CASE WHEN COALESCE(h.n_tokens, 0) > 0
-            THEN CAST((2 * (CAST(t.target_ppm AS BIGINT)
-                            * {MIX_BUDGET_TOKENS} // 1000000) * 1000000
-                       + h.n_tokens)
-                      // (2 * h.n_tokens) AS BIGINT)
+            THEN CAST({half_up_div(f'CAST(t.target_ppm AS BIGINT) * {MIX_BUDGET_TOKENS} // 1000000', 'h.n_tokens', mul=1_000_000, idiv='//')} AS BIGINT)
             END AS epochs_ppm
 FROM tgt t LEFT JOIN have h ON h.lang = t.lang
 """,

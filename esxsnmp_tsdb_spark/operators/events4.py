@@ -220,7 +220,7 @@ cls AS (
   FROM u CROSS JOIN thr
 )
 SELECT band, count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_events,
-       CAST((2 * sum(n) * 1000000 + t) // (2 * t) AS BIGINT) AS share_micro
+       CAST(""" + half_up_div("sum(n)", "t", mul=1_000_000, idiv="//") + """ AS BIGINT) AS share_micro
 FROM cls CROSS JOIN tot GROUP BY band, t
 """,
 )
@@ -280,7 +280,7 @@ c AS (
 ),
 tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY from_type)
 SELECT c.from_type, c.to_type, c.n,
-       CAST((2 * c.n * 1000000 + t) // (2 * t) AS BIGINT) AS prob_ppm
+       CAST({half_up_div('c.n', 't', mul=1_000_000, idiv='//')} AS BIGINT) AS prob_ppm
 FROM c JOIN tot ON c.from_type = tot.from_type
 """,
 )

@@ -185,9 +185,9 @@ r AS (
   FROM c
 )
 SELECT rank, user_id, n, total, n_keys,
-       CAST((2 * n * 1000000 + total) // (2 * total) AS BIGINT)
+       CAST({half_up_div('n', 'total', mul=1_000_000, idiv='//')} AS BIGINT)
          AS share_ppm,
-       CAST((2 * cum_n * 1000000 + total) // (2 * total) AS BIGINT)
+       CAST({half_up_div('cum_n', 'total', mul=1_000_000, idiv='//')} AS BIGINT)
          AS cum_share_ppm
 FROM r CROSS JOIN t WHERE rank <= {SKEW_TOP}
 """,

@@ -530,8 +530,8 @@ agg AS (
 ),
 u AS (
   SELECT slot, path, n, vol_cents,
-         (2 * vol_cents * 1000000 + {UTIL_WINDOW_SEC} * 10 * cap10)
-           // (2 * {UTIL_WINDOW_SEC} * 10 * cap10) AS util_micro
+         {half_up_div('vol_cents', f'{UTIL_WINDOW_SEC} * 10 * cap10', mul=1_000_000, idiv='//')}
+           AS util_micro
   FROM agg JOIN caps USING (etype)
 )
 SELECT slot, path, n, vol_cents,

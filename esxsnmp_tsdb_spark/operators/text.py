@@ -548,8 +548,7 @@ fit AS (
 )
 SELECT lang,
        CASE WHEN den > 0 THEN
-         (CASE WHEN num >= 0 THEN (20000 * num + den) // (2 * den)
-               ELSE -((-20000 * num + den) // (2 * den)) END) / 1e4
+         ({half_up_div_signed('num', 'den', mul=10_000, idiv='//')}) / 1e4
        END AS zipf_slope,
        CASE WHEN den > 0 AND deny > 0 THEN
          CAST(floor(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)

@@ -193,8 +193,7 @@ SELECT q.lang,
        COALESCE(c.docs_clean, 0) AS docs_clean,
        COALESCE(s.docs_sampled, 0) AS docs_sampled,
        COALESCE(s.tokens_sampled, 0) AS tokens_sampled,
-       CAST((2 * COALESCE(s.tokens_sampled, 0) * 1000000 + greatest(t, 1))
-            // (2 * greatest(t, 1)) AS BIGINT) AS mix_ppm
+       CAST({half_up_div("COALESCE(s.tokens_sampled, 0)", "greatest(t, 1)", mul=1_000_000, idiv="//")} AS BIGINT) AS mix_ppm
 FROM c_q q
 LEFT JOIN c_e e USING (lang)
 LEFT JOIN c_n n USING (lang)
