@@ -31,8 +31,13 @@ doubles the numerator, so with BIGINT inputs it needs
 |num| to ~4.6e12, far above any fixture or 100 TB per-group sum the ops
 feed it (counts and cent-sums per group).  Sites whose sums can outgrow
 that promote to DECIMAL(38,0) FIRST (the `ts_capacity_forecast` pattern —
-`decimal_sum` below) and the same two builders apply unchanged: `div` on
-decimals is integer division in both Spark and DuckDB.
+`decimal_sum` below) and the two builders apply unchanged ON THE SPARK
+SIDE ONLY: Spark's ``div`` on decimals is exact integral division, but
+DuckDB's ``//`` on DECIMAL operands rounds the quotient BEFORE flooring
+(off-by-one at exact .5 remainders — pinned in
+tests/test_exact_halfup.py::test_duckdb_decimal_floordiv_hazard_is_real),
+so oracles must keep BIGINT operands and ride DuckDB's native HUGEINT
+``sum(BIGINT)`` instead of mirroring the promotion.
 """
 
 from __future__ import annotations
@@ -55,11 +60,15 @@ def half_up_div(
 
     ``mul`` is the fixed-point grid (1 = nearest integer, 10**6 = micro
     units); ``idiv`` is the engine's integer-division token — Spark SQL
-    spells it ``div``, DuckDB spells it ``//`` (pass ``idiv="//"`` when
-    building an oracle string; semantics are identical floor division on
-    integers/decimals for positive divisors).  Returns an integer-valued expression of the input type
-    (BIGINT stays BIGINT, DECIMAL stays DECIMAL); cast at the call site
-    if the output column needs a narrower type.
+    spells it ``div``, DuckDB spells it ``//``.  Pass ``idiv="//"`` ONLY
+    with integer operands: on INTEGER/BIGINT/HUGEINT the two tokens are
+    identical floor division (positive divisors), but DuckDB's ``//`` on
+    DECIMAL operands rounds the quotient before flooring (see the module
+    docstring / the pinned hazard test) — a DECIMAL-promoted numerator
+    (``decimal_sum``) is a Spark-side-only move.  Returns an
+    integer-valued expression of the input type (BIGINT stays BIGINT,
+    DECIMAL stays DECIMAL); cast at the call site if the output column
+    needs a narrower type.
     """
     n, d = _paren(num), _paren(den)
     lhs = f"2 * {mul} * {n}" if mul != 1 else f"2 * {n}"
@@ -94,5 +103,14 @@ def decimal_sum(col: str, scale: int = 0) -> str:
     its ``//`` on DECIMAL rounds the decimal quotient BEFORE flooring —
     ``(2S+d) // (2d)`` lands one off at exact .5 remainders (pinned in
     tests/test_exact_halfup.py).  Oracle side: plain ``sum(col)`` +
-    ``half_up_div(..., idiv='//')`` over the HUGEINT sums."""
+    ``half_up_div(..., idiv='//')`` over the HUGEINT sums.
+
+    Scope note: the OLS-family ops (ts_linear_trend, term_zipf_slope,
+    ts_capacity_forecast, …) promote with per-site DataFrame casts at
+    NARROWER precisions (decimal(20,0)/decimal(30,0)) instead of this
+    helper — deliberately, not drift: their sums get MULTIPLIED
+    downstream (``n*svt - sv*st``), and Spark decimal multiplication
+    needs both factors well under DECIMAL(38) for the product to stay
+    exact.  A fixed 38-precision sum would overflow the product; this
+    helper serves the sum-then-divide shape only."""
     return f"sum(CAST({_paren(col)} AS DECIMAL(38, {scale})))"

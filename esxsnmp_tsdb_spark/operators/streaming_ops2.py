@@ -641,7 +641,8 @@ def stream_watermark_late_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Knife-edge note (ADVICE r10 discipline): window ends are whole-hour
     integers while ``max(ts)`` carries microseconds at every fixture SF,
-    so ``end <= max - delay`` can never tie; tests/test_streaming_extra
+    so ``end <= max - delay`` can never tie;
+    tests/test_watermark_late_check.py::test_no_knife_edge_at_any_sf
     asserts the non-alignment per SF.
     """
     import os

@@ -28,9 +28,13 @@ hazard).  Ops are invoked through the registry exactly as the driver
 invokes them; layout is injected by patching ``session.RUNTIME_CONF``
 because the catalog re-tunes the session on every table load.
 
-Output: ``docs/DETERMINISM_r10.json`` — per-key ``{match, rows, hash_a,
-hash_b, err}`` plus a summary block.  A mismatch is a verdict, not noise:
-the two passes run the same code on the same data in the same JVM.
+Output: ``docs/DETERMINISM_latest.json`` by default — pass
+``--out docs/DETERMINISM_r{N}.json`` to archive a round's record (the
+default deliberately does NOT name a round so a bare re-run can never
+clobber an archived per-round artifact).  Per-key ``{match, rows,
+hash_a, hash_b, err}`` plus a summary block.  A mismatch is a verdict,
+not noise: the two passes run the same code on the same data in the
+same JVM.
 """
 
 from __future__ import annotations
@@ -46,7 +50,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-OUT = os.path.join(ROOT, "docs", "DETERMINISM_r10.json")
+OUT = os.path.join(ROOT, "docs", "DETERMINISM_latest.json")
 
 # Layouts: A = the engine's own runtime config, snapshotted from
 # session.RUNTIME_CONF at startup (NOT hardcoded — RUNTIME_CONF derives
@@ -68,12 +72,23 @@ _PASS_A_DEFAULTS = {
 
 
 def _snapshot_pass_a(runtime_conf: dict[str, str]) -> dict[str, str]:
-    """Pass A = the four layout keys as the live session would run them."""
-    return {
-        k: runtime_conf.get(k, _PASS_A_DEFAULTS.get(k, ""))
-        for k in _LAYOUT_KEYS
-        if runtime_conf.get(k) is not None or k in _PASS_A_DEFAULTS
-    }
+    """Pass A = the four layout keys as the live session would run them.
+
+    Every key in ``_LAYOUT_KEYS`` MUST resolve: silently dropping one
+    would make pass A inherit pass B's value for that axis after the
+    first flip (B-vs-B false 'layout-invariant') and leave it poisoned
+    in the shared RUNTIME_CONF after the final restore."""
+    snap = {}
+    for k in _LAYOUT_KEYS:
+        v = runtime_conf.get(k, _PASS_A_DEFAULTS.get(k))
+        if v is None:
+            raise SystemExit(
+                f"layout key {k!r} missing from session.RUNTIME_CONF and "
+                "_PASS_A_DEFAULTS — pass A would be under-specified; add "
+                "a default for it before running the audit"
+            )
+        snap[k] = v
+    return snap
 
 
 PASS_B = {

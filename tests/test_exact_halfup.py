@@ -80,9 +80,6 @@ def test_engines_agree_on_ties_and_edges(spark):
         (7, 1, 10**6),
         (bound_num, 10**9, mul),  # at the headroom edge: no wrap
     ]
-    rows = ", ".join(
-        f"(CAST({n} AS BIGINT), CAST({d} AS BIGINT), {m})" for n, d, m in cases
-    )
     for n, d, m in cases:
         e_duck = half_up_div_signed("n", "d", m, idiv="//")
         e = half_up_div_signed("n", "d", m)
