@@ -297,9 +297,18 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs(spark, sf_dir)
 
 
+# Edge count above which min_label_components switches to the cached
+# pre-partitioned edge layout (docstring "Edge layout").  5M sits safely
+# inside the measured winning regime (clear win at 20M, ~break-even at
+# 2M, measured loss at 0.35M); module-level so tests can lower it to
+# exercise the big-graph tier on small fixtures.
+_EDGE_REPARTITION_THRESHOLD = 5_000_000
+
+
 def min_label_components(edges: DataFrame, max_rounds: int = 20):
     """Distributed min-label propagation WITH pointer jumping over a
-    bidirectional edge list ``(src, dst)`` (caller checkpoints it).
+    bidirectional edge list ``(src, dst)`` (any layout — the helper
+    lays it out itself, callers need not checkpoint).
 
     Each round every node adopts the smallest label among itself and its
     neighbors, then short-circuits to its label's label (path halving).
@@ -311,6 +320,23 @@ def min_label_components(edges: DataFrame, max_rounds: int = 20):
     algorithms), and ``localCheckpoint`` truncates lineage so plans
     don't grow exponentially.
 
+    Edge layout (r11, measured, TWO-TIER): the edge set is STATIC
+    across rounds and it is the big side of the per-round join.  Above
+    ``_EDGE_REPARTITION_THRESHOLD`` edges it is persisted
+    pre-``repartition``-ed on the join key — InMemoryRelation preserves
+    hash partitioning, so every round's sort-merge join exchanges only
+    the (small, changing) label side.  ``localCheckpoint`` cannot do
+    this: under AQE its LogicalRDD reports ``UnknownPartitioning`` and
+    the edge exchange re-runs every round.  Probed on a synthetic
+    chain+star graph: loop wall 0.79x at 20M edges (27s saved over 7
+    rounds), identical labels and round counts — at 100 TB this is the
+    difference between shuffling the candidate graph once and O(log d)
+    times.  BELOW the threshold the plain checkpoint layout stays: the
+    loop there is stage-scheduling-bound (a 0.3M-row exchange costs
+    ~ms) and the extra setup shuffle measurably LOSES end-to-end
+    (+0.5-1.5s on the sf0.1 fixture) — both tiers and the crossover are
+    recorded in docs/ROUND11_NOTES.md item 19.
+
     Returns ``(labels, rounds, converged)``: a ``(doc, label)`` frame
     mapping every node to its component representative (min node id),
     the number of rounds the loop ran, and whether it actually reached
@@ -319,6 +345,14 @@ def min_label_components(edges: DataFrame, max_rounds: int = 20):
     and truncated look identical (ADVICE r10) — and a truncated run
     returns WRONG component labels; callers must check it, not the
     round count."""
+    edges = edges.localCheckpoint(eager=True)
+    edges_cached = None
+    if edges.count() >= _EDGE_REPARTITION_THRESHOLD:
+        # big-graph tier: one up-front edge shuffle buys an
+        # exchange-free big side in every loop round (see docstring)
+        edges_cached = edges.repartition("src").persist()
+        edges_cached.count()
+        edges = edges_cached
     labels = (
         edges.select(F.col("src").alias("doc"))
         .distinct()
@@ -371,6 +405,10 @@ def min_label_components(edges: DataFrame, max_rounds: int = 20):
         if changed == 0:
             converged = True
             break
+    # labels is checkpointed (independent of the edge cache) — release
+    # the cached edge partitions before returning.
+    if edges_cached is not None:
+        edges_cached.unpersist()
     return labels, rounds, converged
 
 
@@ -406,11 +444,11 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate graph over a shared-vocabulary corpus has long chains.
     Oracle twin: DuckDB recursive CTE transitive closure."""
     pairs = _minhash_pairs(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .localCheckpoint(eager=True)
-    )
+    # No checkpoint here: the helper persists the edges repartitioned on
+    # the join key (one materialization either way, better layout).
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b"), F.col("doc_a")))
     labels, rounds, converged = min_label_components(edges)
     if not converged:
         # Truncated labels are silently WRONG (two docs in one real

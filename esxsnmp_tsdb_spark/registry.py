@@ -153,7 +153,10 @@ _REATTEST_QUEUE = (
     # dedup_connected_components, dedup_cluster_size_stats) are NOT
     # queued: the window has exactly 50 slots and retiring the whole r4
     # staleness cohort (34 keys) takes precedence; their local oracle +
-    # layout evidence is recorded in docs/ROUND11_NOTES.md.
+    # layout evidence is recorded in docs/ROUND11_NOTES.md.  Late r11:
+    # the two CC ops also gained the two-tier edge layout
+    # (value-identical, re-attested locally — notes item 19); they MUST
+    # lead the r12 queue.
     'ts_utilization_report',
     'ts_hierarchy_rollup',
     'stream_utilization_alert',
