@@ -84,38 +84,39 @@ _ATTESTED = frozenset(
         'stream_ladder_maintenance', 'stream_ladder_retention', 'stream_replay_exactly_once', 'stream_session',
         'stream_sliding', 'stream_stateful_rate', 'stream_static_join', 'stream_stream_join',
         'stream_topk_talkers', 'stream_tumbling', 'stream_utilization_alert', 'stream_watermark_late',
-        'subquery_scalar', 'term_zipf_slope', 'text_ngram_novelty', 'text_quality_score',
-        'text_repetition_filter', 'text_repetition_stats', 'text_stopword_stats', 'text_tokenize_stats',
-        'text_unigram_logprob', 'text_word_entropy', 'tfidf_topterms', 'token_count_bpe',
-        'tokenizer_fertility_by_lang', 'tokenizer_vocab_coverage', 'topk_docs_per_source', 'tpch_q1',
-        'tpch_q10', 'tpch_q11', 'tpch_q12', 'tpch_q13',
-        'tpch_q14', 'tpch_q15', 'tpch_q16', 'tpch_q17',
-        'tpch_q18', 'tpch_q19', 'tpch_q2', 'tpch_q20',
-        'tpch_q21', 'tpch_q22', 'tpch_q3', 'tpch_q4',
-        'tpch_q5', 'tpch_q6', 'tpch_q7', 'tpch_q8',
-        'tpch_q9', 'ts_agg_cascade', 'ts_aggregate_row', 'ts_alert_flap_detect',
-        'ts_alert_rules_eval', 'ts_anomaly_mad', 'ts_anomaly_zscore', 'ts_autocorr_lag',
-        'ts_availability_report', 'ts_billing_p95', 'ts_bin_split', 'ts_bin_split_bucketed',
-        'ts_burst_detect', 'ts_calendar_heatmap', 'ts_capacity_forecast', 'ts_compare_window',
-        'ts_counter_reset_detect', 'ts_counter_wrap', 'ts_counter_wrap64', 'ts_delta',
-        'ts_downsample_avg', 'ts_downsample_delta', 'ts_downsample_delta64', 'ts_downsample_last',
-        'ts_downsample_minmax', 'ts_downsample_ohlc', 'ts_downsample_percentile', 'ts_error_budget_burn',
-        'ts_ewma', 'ts_flag_filter', 'ts_flag_visibility', 'ts_fleet_zscore',
-        'ts_forecast_seasonal_naive', 'ts_gap_fill_locf', 'ts_gap_report', 'ts_heartbeat_invalidate',
-        'ts_hierarchy_rollup', 'ts_histogram_ladder', 'ts_incident_merge_windows', 'ts_interpolate',
-        'ts_ladder_backfill', 'ts_ladder_full_pipeline', 'ts_ladder_route', 'ts_ladder_route_sql',
-        'ts_last_known', 'ts_lead_lag_correlation', 'ts_linear_trend', 'ts_merge_upsert',
-        'ts_metadata_get', 'ts_missing_islands', 'ts_mtbf_mttr', 'ts_percent_change_movers',
-        'ts_percentile_bands', 'ts_period_detect', 'ts_point_lookup', 'ts_poll_interval_drift',
-        'ts_range_scan', 'ts_rate', 'ts_rate64', 'ts_rate_downsample',
-        'ts_rate_invalid_reasons', 'ts_rolling_1h', 'ts_rolling_median', 'ts_rollup_multi_granularity',
-        'ts_seasonal_anomaly', 'ts_seasonal_baseline', 'ts_series_catalog', 'ts_series_correlation',
-        'ts_sessionize', 'ts_sla_maintenance_window', 'ts_sla_report', 'ts_slot_dedup',
-        'ts_step_change', 'ts_stl_decompose', 'ts_stl_residual_anomaly', 'ts_time_spine',
-        'ts_top_talkers', 'ts_topk_change_contributors', 'ts_utilization_report', 'ts_valid_ratio',
-        'ts_value_histogram', 'ts_wma', 'ts_wrap_eta', 'user_activity_concentration',
-        'user_journey_top_paths', 'vector_pq_adc', 'vocab_growth_heaps', 'window_distribution',
-        'window_lag_lead', 'window_ntile', 'window_rank', 'window_running',
+        'stream_watermark_late_check', 'subquery_scalar', 'term_zipf_slope', 'text_ngram_novelty',
+        'text_quality_score', 'text_repetition_filter', 'text_repetition_stats', 'text_stopword_stats',
+        'text_tokenize_stats', 'text_unigram_logprob', 'text_word_entropy', 'tfidf_topterms',
+        'token_count_bpe', 'tokenizer_fertility_by_lang', 'tokenizer_vocab_coverage', 'topk_docs_per_source',
+        'tpch_q1', 'tpch_q10', 'tpch_q11', 'tpch_q12',
+        'tpch_q13', 'tpch_q14', 'tpch_q15', 'tpch_q16',
+        'tpch_q17', 'tpch_q18', 'tpch_q19', 'tpch_q2',
+        'tpch_q20', 'tpch_q21', 'tpch_q22', 'tpch_q3',
+        'tpch_q4', 'tpch_q5', 'tpch_q6', 'tpch_q7',
+        'tpch_q8', 'tpch_q9', 'ts_agg_cascade', 'ts_aggregate_row',
+        'ts_alert_flap_detect', 'ts_alert_rules_eval', 'ts_anomaly_mad', 'ts_anomaly_zscore',
+        'ts_autocorr_lag', 'ts_availability_report', 'ts_billing_p95', 'ts_bin_split',
+        'ts_bin_split_bucketed', 'ts_burst_detect', 'ts_calendar_heatmap', 'ts_capacity_forecast',
+        'ts_compare_window', 'ts_counter_reset_detect', 'ts_counter_wrap', 'ts_counter_wrap64',
+        'ts_delta', 'ts_downsample_avg', 'ts_downsample_delta', 'ts_downsample_delta64',
+        'ts_downsample_last', 'ts_downsample_minmax', 'ts_downsample_ohlc', 'ts_downsample_percentile',
+        'ts_error_budget_burn', 'ts_ewma', 'ts_flag_filter', 'ts_flag_visibility',
+        'ts_fleet_zscore', 'ts_forecast_seasonal_naive', 'ts_gap_fill_locf', 'ts_gap_report',
+        'ts_heartbeat_invalidate', 'ts_hierarchy_rollup', 'ts_histogram_ladder', 'ts_incident_merge_windows',
+        'ts_interpolate', 'ts_ladder_backfill', 'ts_ladder_full_pipeline', 'ts_ladder_route',
+        'ts_ladder_route_sql', 'ts_last_known', 'ts_lead_lag_correlation', 'ts_linear_trend',
+        'ts_merge_upsert', 'ts_metadata_get', 'ts_missing_islands', 'ts_mtbf_mttr',
+        'ts_percent_change_movers', 'ts_percentile_bands', 'ts_period_detect', 'ts_point_lookup',
+        'ts_poll_interval_drift', 'ts_range_scan', 'ts_rate', 'ts_rate64',
+        'ts_rate_downsample', 'ts_rate_invalid_reasons', 'ts_rolling_1h', 'ts_rolling_median',
+        'ts_rollup_multi_granularity', 'ts_seasonal_anomaly', 'ts_seasonal_baseline', 'ts_series_catalog',
+        'ts_series_correlation', 'ts_sessionize', 'ts_sla_maintenance_window', 'ts_sla_report',
+        'ts_slot_dedup', 'ts_step_change', 'ts_stl_decompose', 'ts_stl_residual_anomaly',
+        'ts_time_spine', 'ts_top_talkers', 'ts_topk_change_contributors', 'ts_utilization_report',
+        'ts_valid_ratio', 'ts_value_histogram', 'ts_wma', 'ts_wrap_eta',
+        'user_activity_concentration', 'user_journey_top_paths', 'vector_pq_adc', 'vocab_growth_heaps',
+        'window_distribution', 'window_lag_lead', 'window_ntile', 'window_rank',
+        'window_running',
     }
 )
 
@@ -142,36 +143,21 @@ _PRIORITY_BACKLOG = frozenset()
 # them; the queue is cleared each round after ``update_attested.py --write``
 # folds the fresh hashes into ``_HASH_ROUND``.
 _REATTEST_QUEUE = (
-    # modified in round 11 (append as the round touches ops)
-    # r11: the half-up micro-unit idiom was extracted into
-    # functions/exact.py (VERDICT r10 item 5) and these ops' inline
-    # (2n+d) div 2d strings now come from the shared builders — values
-    # identical (18/18 oracle-pass at sf0.01 + 18/18 layout-invariant in
-    # the determinism audit before commit), but the code drifted, so
-    # re-hash.  Five value-identical migrants whose driver hash is fresh
-    # from r10 (ts_linear_trend, term_zipf_slope, ts_capacity_forecast,
-    # dedup_connected_components, dedup_cluster_size_stats) are NOT
-    # queued: the window has exactly 50 slots and retiring the whole r4
-    # staleness cohort (34 keys) takes precedence; their local oracle +
-    # layout evidence is recorded in docs/ROUND11_NOTES.md.  Late r11:
-    # the two CC ops also gained the two-tier edge layout
-    # (value-identical, re-attested locally — notes item 19); they MUST
-    # lead the r12 queue.
-    'ts_utilization_report',
-    'ts_hierarchy_rollup',
-    'stream_utilization_alert',
-    'user_activity_concentration',
-    'event_markov_transition',
-    'skew_key_report',
-    'sample_importance_weighted',
-    'tokenizer_fertility_by_lang',
-    'ts_availability_report',
-    'ts_error_budget_burn',
-    'pipeline_pretraining_mix',
-    'doc_winnowing_overlap',
-    'dataset_mixture_epochs',
-    'ts_sla_maintenance_window',
-    'ts_mtbf_mttr',
+    # modified in / carried into round 12 (append as the round touches ops)
+    # Carried drift debt (VERDICT r11 item 1): five ops shipped
+    # value-identical code changes in r11 WITHOUT a driver re-attest —
+    # the three exact.py half-up migrants (ts_linear_trend,
+    # term_zipf_slope, ts_capacity_forecast) and the two CC ops that
+    # gained the two-tier >5M-edge layout late in r11
+    # (dedup_connected_components, dedup_cluster_size_stats).  They lead
+    # the r12 window; the remaining 45 slots fall through to the r5
+    # streaming staleness cohort (36 keys) + the 9 oldest r6 keys,
+    # retiring the r5 floor whole.
+    'dedup_connected_components',
+    'dedup_cluster_size_stats',
+    'ts_linear_trend',
+    'term_zipf_slope',
+    'ts_capacity_forecast',
 )
 
 _REATTEST_RANK = {k: i for i, k in enumerate(_REATTEST_QUEUE)}
@@ -183,42 +169,27 @@ _REATTEST_RANK = {k: i for i, k in enumerate(_REATTEST_QUEUE)}
 # the same oldest-registered cohort every round (the r7 window and an
 # unchanged r8 window would have been identical 37 keys).
 _HASH_ROUND: dict[int, tuple[str, ...]] = {
-    4: (
-        'ann_recall_eval', 'api_timerange_json', 'attribution_linear', 'bigram_lm_perplexity',
-        'dau_wau_mau', 'embedding_centroid_per_label', 'format_roundtrip_csv', 'format_roundtrip_json',
-        'format_roundtrip_orc', 'funnel_time_to_convert', 'ingest_cdc_merge', 'ingest_replay_idempotent',
-        'knn_pairs', 'lang_id_confusion', 'multimodal_decode', 'multimodal_embed',
-        'multimodal_frame_sample', 'multimodal_join', 'multimodal_tile_plan', 'pii_scrub_stats',
-        'scd2_history_build', 'sim_search_batch', 'sim_search_ivf', 'sim_search_ivf_pq',
-        'sim_search_lsh_multiprobe', 'sim_search_range', 'storage_compaction_integrity', 'storage_day_partitioned_scan',
-        'storage_retention_expire', 'text_repetition_filter', 'text_word_entropy', 'ts_merge_upsert',
-        'vector_pq_adc', 'vocab_growth_heaps',
-    ),
     5: (
-        'approx_distinct_hll_merge', 'grouped_mode', 'salted_skew_join', 'skew_key_report',
-        'storage_schema_evolution', 'storage_zorder_scan', 'stream_anomaly_zscore', 'stream_cdc_apply',
-        'stream_cdc_apply_bucketed', 'stream_dedup', 'stream_distinct_hll', 'stream_first_touch',
-        'stream_histogram_ladder', 'stream_ingest', 'stream_ladder_maintenance', 'stream_ladder_retention',
-        'stream_replay_exactly_once', 'stream_session', 'stream_sliding', 'stream_stateful_rate',
-        'stream_static_join', 'stream_stream_join', 'stream_topk_talkers', 'stream_tumbling',
-        'stream_utilization_alert', 'stream_watermark_late', 'ts_alert_flap_detect', 'ts_autocorr_lag',
-        'ts_availability_report', 'ts_compare_window', 'ts_error_budget_burn', 'ts_hierarchy_rollup',
-        'ts_histogram_ladder', 'ts_incident_merge_windows', 'ts_lead_lag_correlation', 'ts_mtbf_mttr',
-        'ts_percentile_bands', 'ts_period_detect', 'ts_seasonal_anomaly', 'ts_sla_maintenance_window',
-        'ts_stl_residual_anomaly', 'ts_topk_change_contributors', 'ts_utilization_report', 'window_ntile',
+        'approx_distinct_hll_merge', 'grouped_mode', 'salted_skew_join', 'storage_schema_evolution',
+        'storage_zorder_scan', 'stream_anomaly_zscore', 'stream_cdc_apply', 'stream_cdc_apply_bucketed',
+        'stream_dedup', 'stream_distinct_hll', 'stream_first_touch', 'stream_histogram_ladder',
+        'stream_ingest', 'stream_ladder_maintenance', 'stream_ladder_retention', 'stream_replay_exactly_once',
+        'stream_session', 'stream_sliding', 'stream_stateful_rate', 'stream_static_join',
+        'stream_stream_join', 'stream_topk_talkers', 'stream_tumbling', 'stream_watermark_late',
+        'ts_alert_flap_detect', 'ts_autocorr_lag', 'ts_compare_window', 'ts_histogram_ladder',
+        'ts_incident_merge_windows', 'ts_lead_lag_correlation', 'ts_percentile_bands', 'ts_period_detect',
+        'ts_seasonal_anomaly', 'ts_stl_residual_anomaly', 'ts_topk_change_contributors', 'window_ntile',
     ),
     6: (
         'ann_recall_eval_ivfpq', 'api_bulk_timerange', 'api_freshness_report', 'attribution_time_decay',
         'blocklist_filter', 'bpe_merge_pair_step', 'chunk_dedup_cdc', 'corpus_mix_report',
-        'data_quality_contract', 'dataset_mixture_epochs', 'dedup_cross_source_matrix', 'doc_sliding_context_chunks',
-        'doc_winnowing_overlap', 'embedding_dim_stats', 'event_lift_matrix', 'event_markov_transition',
-        'ingest_dlq_quarantine', 'ingest_late_data_report', 'inter_event_gap_histogram', 'multimodal_phash_dedup',
-        'pipeline_pretraining_mix', 'privacy_k_anonymity', 'quality_gopher_rules', 'rag_hybrid_retrieval',
-        'sample_importance_weighted', 'sample_token_budget', 'scd2_point_in_time_join', 'session_duration_stats',
-        'sim_search_ivf_pq_indexed', 'sim_search_lsh_indexed', 'source_divergence_kl', 'storage_file_skipping_manifest',
-        'storage_gdpr_erasure', 'storage_snapshot_gc', 'storage_snapshot_time_travel', 'tokenizer_fertility_by_lang',
-        'tokenizer_vocab_coverage', 'ts_flag_visibility', 'ts_poll_interval_drift', 'user_activity_concentration',
-        'user_journey_top_paths',
+        'data_quality_contract', 'dedup_cross_source_matrix', 'doc_sliding_context_chunks', 'embedding_dim_stats',
+        'event_lift_matrix', 'ingest_dlq_quarantine', 'ingest_late_data_report', 'inter_event_gap_histogram',
+        'multimodal_phash_dedup', 'privacy_k_anonymity', 'quality_gopher_rules', 'rag_hybrid_retrieval',
+        'sample_token_budget', 'scd2_point_in_time_join', 'session_duration_stats', 'sim_search_ivf_pq_indexed',
+        'sim_search_lsh_indexed', 'source_divergence_kl', 'storage_file_skipping_manifest', 'storage_gdpr_erasure',
+        'storage_snapshot_gc', 'storage_snapshot_time_travel', 'tokenizer_vocab_coverage', 'ts_flag_visibility',
+        'ts_poll_interval_drift', 'user_journey_top_paths',
     ),
     7: (
         'dedup_near_minhash', 'dedup_ngram_jaccard', 'dedup_threshold_sweep', 'minhash_band_sensitivity',
@@ -275,6 +246,21 @@ _HASH_ROUND: dict[int, tuple[str, ...]] = {
         'text_repetition_stats', 'text_stopword_stats', 'text_tokenize_stats', 'text_unigram_logprob',
         'tfidf_topterms', 'token_count_bpe', 'topk_docs_per_source', 'tpch_q22',
         'ts_capacity_forecast', 'ts_linear_trend',
+    ),
+    11: (
+        'ann_recall_eval', 'api_timerange_json', 'attribution_linear', 'bigram_lm_perplexity',
+        'dataset_mixture_epochs', 'dau_wau_mau', 'doc_winnowing_overlap', 'embedding_centroid_per_label',
+        'event_markov_transition', 'format_roundtrip_csv', 'format_roundtrip_json', 'format_roundtrip_orc',
+        'funnel_time_to_convert', 'ingest_cdc_merge', 'ingest_replay_idempotent', 'knn_pairs',
+        'lang_id_confusion', 'multimodal_decode', 'multimodal_embed', 'multimodal_frame_sample',
+        'multimodal_join', 'multimodal_tile_plan', 'pii_scrub_stats', 'pipeline_pretraining_mix',
+        'sample_importance_weighted', 'scd2_history_build', 'sim_search_batch', 'sim_search_ivf',
+        'sim_search_ivf_pq', 'sim_search_lsh_multiprobe', 'sim_search_range', 'skew_key_report',
+        'storage_compaction_integrity', 'storage_day_partitioned_scan', 'storage_retention_expire', 'stream_utilization_alert',
+        'stream_watermark_late_check', 'text_repetition_filter', 'text_word_entropy', 'tokenizer_fertility_by_lang',
+        'ts_availability_report', 'ts_error_budget_burn', 'ts_hierarchy_rollup', 'ts_merge_upsert',
+        'ts_mtbf_mttr', 'ts_sla_maintenance_window', 'ts_utilization_report', 'user_activity_concentration',
+        'vector_pq_adc', 'vocab_growth_heaps',
     ),
 }
 
