@@ -110,11 +110,24 @@ def main() -> None:
     # table for BASELINE.md), not just the headline set.  Streaming ops and
     # the write op run eagerly with checkpoint setup dominating — excluded.
     bench_set = HEADLINE
+    sweep_seed = None
     if os.environ.get("SPARK_GRAFT_BENCH_ALL") == "1":
         skip = {k for k in queries if k.startswith("stream_")} | {
             "ingest_batch_append"
         }
         bench_set = sorted(k for k in queries if k not in skip)
+        # Seed-randomized sweep order (VERDICT r11 item 4): the sweep is
+        # single-pass, so with alphabetical order any late-run host steal
+        # always lands on the same ops (the `ts_*` tail), masquerading as
+        # a family regression (r11's phantom storage_* movers).  A seeded
+        # shuffle de-correlates op identity from run position while
+        # keeping the order reproducible: the seed is recorded in the
+        # artifact, and diff_sweep.py compares per-op times by KEY, so
+        # differing orders across rounds never affect the diff protocol.
+        import random
+
+        sweep_seed = int(os.environ.get("SPARK_GRAFT_SWEEP_SEED", "12"))
+        random.Random(sweep_seed).shuffle(bench_set)
 
     # JIT/session warmup outside timed region.
     materialize(queries["scan_parquet"](spark, sf_dir))
@@ -307,6 +320,10 @@ def main() -> None:
             # Window family over the OBS_TABLE_DDL bucketed layout vs the
             # flat-parquet headline numbers (None in full-sweep mode).
             "bucketed_vs_flat": bucketed,
+            # Full-sweep op order seed (None for headline runs): the
+            # sweep shuffles op order with this seed so host steal can't
+            # systematically land on one alphabetical family.
+            "sweep_order_seed": sweep_seed,
         }
     )
     print(line)

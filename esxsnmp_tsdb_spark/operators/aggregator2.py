@@ -29,13 +29,16 @@ from esxsnmp_tsdb_spark.operators._shared import (
     T_JAN11,
 )
 from esxsnmp_tsdb_spark.registry import op
-from esxsnmp_tsdb_spark.sources import register_views
+from esxsnmp_tsdb_spark.sources import load_obs, register_views
 
 RESET_SLACK = SYNTH_WRAP // 2  # drop worse than this = reset, not wrap
 
 
 def _obs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tsdb.obs_from_events(register_views(spark, sf_dir)["events"])
+    # Routed loader (VERDICT r11 item 3): flat events-derived obs by
+    # default (identical call chain to pre-r12); the bucketed bkt_obs
+    # layout when sources.ROUTE_BUCKETED_CONF is opted in.
+    return load_obs(spark, sf_dir)
 
 
 @op(

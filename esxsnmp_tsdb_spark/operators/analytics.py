@@ -36,7 +36,11 @@ from esxsnmp_tsdb_spark.operators._shared import (
 )
 from esxsnmp_tsdb_spark.functions.exact import half_up_div_signed
 from esxsnmp_tsdb_spark.registry import op
-from esxsnmp_tsdb_spark.sources import load_events_range, register_views
+from esxsnmp_tsdb_spark.sources import (
+    load_events_range,
+    load_obs,
+    register_views,
+)
 
 TOP_N = 10
 Z_WIN = 12  # rolling samples for the anomaly baseline
@@ -44,7 +48,10 @@ Z_THRESH = 3.0
 
 
 def _obs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tsdb.obs_from_events(register_views(spark, sf_dir)["events"])
+    # Routed loader (VERDICT r11 item 3): flat events-derived obs by
+    # default (identical call chain to pre-r12); the bucketed bkt_obs
+    # layout when sources.ROUTE_BUCKETED_CONF is opted in.
+    return load_obs(spark, sf_dir)
 
 
 def _counter(obs: DataFrame) -> DataFrame:

@@ -328,14 +328,58 @@ def min_label_components(edges: DataFrame, max_rounds: int = 20):
     the (small, changing) label side.  ``localCheckpoint`` cannot do
     this: under AQE its LogicalRDD reports ``UnknownPartitioning`` and
     the edge exchange re-runs every round.  Probed on a synthetic
-    chain+star graph: loop wall 0.79x at 20M edges (27s saved over 7
-    rounds), identical labels and round counts — at 100 TB this is the
-    difference between shuffling the candidate graph once and O(log d)
-    times.  BELOW the threshold the plain checkpoint layout stays: the
-    loop there is stage-scheduling-bound (a 0.3M-row exchange costs
-    ~ms) and the extra setup shuffle measurably LOSES end-to-end
-    (+0.5-1.5s on the sf0.1 fixture) — both tiers and the crossover are
-    recorded in docs/ROUND11_NOTES.md item 19.
+    chain+star graph (re-run r12 against THIS code via
+    scripts/cc_layout_probe.py): full-helper wall 0.64x at 20M edges
+    (66s saved over 7 rounds), identical labels and round counts — at
+    100 TB this is the difference between shuffling the candidate graph
+    once and O(log d) times.  BELOW the threshold the plain checkpoint
+    layout stays: the loop there is stage-scheduling-bound and the
+    setup shuffle never amortizes (sf0.1 fixture graph, 0.35M edges,
+    min-of-3 interleaved: small tier 2.25s vs big tier 2.34s) — both
+    tiers and the crossover are recorded in the probe docstring and
+    docs/ROUND12_NOTES.md.
+
+    Memory discipline (ADVICE r11): the edge lineage is computed exactly
+    ONCE (the eager ``localCheckpoint`` below), and the self-loop rows
+    live in a separate |V|-sized checkpoint unioned LAZILY onto it — so
+    the small tier holds exactly ONE |E|-sized copy (r11's layout built
+    a second flagged copy of the whole edge set).  A transient
+    ``persist`` was tried first and REJECTED by measurement: cache
+    materialization of the pairs lineage loses AQE's final-stage
+    coalescing (``canChangeCachedPlanOutputPartitioning`` is off by
+    default), leaving 65 near-empty partitions whose per-round task
+    overhead doubled the loop wall at fixture scale — the checkpoint
+    materializes the same rows AQE-sized (2 partitions at sf0.1).  In
+    the big tier the repartitioned cache is built FROM the checkpoint
+    and the checkpoint reference is dropped immediately after — its
+    blocks are freed by the ContextCleaner on GC (the ADVICE-sanctioned
+    shape; transiently two copies, steady-state one).  The cache is
+    released in a ``finally`` so a failed round cannot leak persisted
+    partitions into the long-lived session that serves every op.
+
+    Round shape (r12, VERDICT item 2 — measured A/B in
+    docs/ROUND12_NOTES.md): each round is ONE join + ONE groupBy + the
+    pointer-jump self-join, materialized by a single action.  Three
+    folds against the r11 shape:
+
+    * **Flagged self-loops.**  The edge layout appends one
+      ``(doc, doc, is_self=true)`` row per node, so the per-round
+      neighbor-min ``join → groupBy(dst)`` yields BOTH the new label
+      (``min(label)`` over neighbors ∪ self) and the old label
+      (``max(label) FILTER (WHERE is_self)`` — exactly one self row per
+      node) in one aggregate.  r11 needed a second |V|-row join
+      (labels ⋈ neigh) per round to combine them; that join and its
+      label-side exchange are gone.
+    * **Lazy per-round checkpoint.**  The convergence count is the
+      action that materializes the round's ``localCheckpoint`` — the
+      filter's parent partitions are checkpointed as the same job
+      computes them, so the former separate eager-checkpoint job
+      disappears.
+    * **Fused first round.**  With identity seed labels
+      (``label(x) = x``), round 1's neighbor-min is just ``min(src)``
+      over the flagged edges — no label join, no seed-labels frame at
+      all.  (A two-steps-per-action variant was ALSO tried and measured
+      flat: the deeper per-job plan costs what the saved action buys.)
 
     Returns ``(labels, rounds, converged)``: a ``(doc, label)`` frame
     mapping every node to its component representative (min node id),
@@ -345,20 +389,41 @@ def min_label_components(edges: DataFrame, max_rounds: int = 20):
     and truncated look identical (ADVICE r10) — and a truncated run
     returns WRONG component labels; callers must check it, not the
     round count."""
-    edges = edges.localCheckpoint(eager=True)
-    edges_cached = None
-    if edges.count() >= _EDGE_REPARTITION_THRESHOLD:
-        # big-graph tier: one up-front edge shuffle buys an
-        # exchange-free big side in every loop round (see docstring)
-        edges_cached = edges.repartition("src").persist()
-        edges_cached.count()
-        edges = edges_cached
-    labels = (
-        edges.select(F.col("src").alias("doc"))
+    # Compute the edge lineage once into a transient cache, pick the
+    # tier from its count, lay out the single surviving copy from the
+    # cache (no recompute), then drop the transient (see "Memory
+    # discipline" above).
+    # Single |E|-sized materialization, AQE-sized partitions ("Memory
+    # discipline" above).
+    edges_ck = edges.select("src", "dst").localCheckpoint(eager=True)
+    n_edges = edges_ck.count()
+    # Self-loop augmentation ("Round shape" above): one flagged
+    # (doc, doc) row per node folds the keep-own-label branch and the
+    # old-label carry into the per-round neighbor-min aggregate.  The
+    # slice is |V|-sized, checkpointed once, and unioned LAZILY onto the
+    # edge checkpoint — no second |E|-sized copy.
+    loops = (
+        edges_ck.select(F.col("src").alias("doc"))
         .distinct()
-        .withColumn("label", F.col("doc"))
+        .select(F.col("doc").alias("src"), F.col("doc").alias("dst"))
         .localCheckpoint(eager=True)
     )
+    withloops = edges_ck.withColumn("is_self", F.lit(False)).union(
+        loops.withColumn("is_self", F.lit(True))
+    )
+    edges_cached = None
+    if n_edges >= _EDGE_REPARTITION_THRESHOLD:
+        # big-graph tier: one up-front edge shuffle buys an
+        # exchange-free big side in every loop round (see docstring)
+        edges_cached = withloops.repartition("src").persist()
+        edges_cached.count()
+        edges = edges_cached
+        # The repartitioned cache is now the single loop-lifetime copy;
+        # dropping the checkpoint references lets the ContextCleaner
+        # free their blocks on GC ("Memory discipline" above).
+        edges_ck = loops = withloops = None
+    else:
+        edges = withloops
     # Loop shuffle width: the CC input is the near-dup edge set — orders
     # of magnitude smaller than the corpus — so the per-round shuffles
     # should be narrow.  That sizing is left to AQE's post-shuffle
@@ -370,45 +435,66 @@ def min_label_components(edges: DataFrame, max_rounds: int = 20):
     # thousands of tasks — the same mechanism, wider data.
     rounds = 0
     converged = False
-    for _ in range(max_rounds):
-        rounds += 1
-        neigh = (
-            edges.join(labels, edges.src == labels.doc)
-            .groupBy(F.col("dst").alias("doc2"))
-            .agg(F.min("label").alias("nl"))
-        )
-        l1 = labels.withColumnRenamed("label", "old").join(
-            neigh, F.col("doc") == F.col("doc2"), "left"
-        ).select(
-            "doc",
-            "old",
-            F.least(F.col("old"), F.coalesce("nl", "old")).alias("label"),
-        )
-        # pointer jump: label <- label(label); labels are always node
-        # ids, so the self-join maps every label to its current
-        # representative.  `old` rides along so the convergence test
-        # reads the SAME checkpointed frame — no extra join per round.
-        m = l1.select(
-            F.col("doc").alias("p_doc"), F.col("label").alias("p_label")
-        )
-        l2 = (
-            l1.join(m, l1.label == m.p_doc, "left")
-            .select(
-                "doc",
-                "old",
-                F.coalesce("p_label", "label").alias("label"),
+    labels = None
+    try:
+        for _ in range(max_rounds):
+            rounds += 1
+            # Neighbor-min AND old-label carry in one join+groupBy: the
+            # self-loop row contributes the node's own label to min()
+            # and is the single row the is_self filter picks for `old`.
+            if labels is None:
+                # Fused round 1 ("Round shape" above): identity seed
+                # labels mean label(src) == src, so the neighbor-min is
+                # min(src) directly — no join, no seed-labels frame.
+                l1 = edges.groupBy(F.col("dst").alias("doc")).agg(
+                    F.min("src").alias("label"),
+                    F.max(F.when(F.col("is_self"), F.col("src"))).alias(
+                        "old"
+                    ),
+                )
+            else:
+                l1 = (
+                    edges.join(labels, edges.src == labels.doc)
+                    .groupBy(F.col("dst").alias("doc"))
+                    .agg(
+                        F.min("label").alias("label"),
+                        F.max(
+                            F.when(F.col("is_self"), F.col("label"))
+                        ).alias("old"),
+                    )
+                )
+            # pointer jump: label <- label(label); labels are always node
+            # ids, so the self-join maps every label to its current
+            # representative.  `old` rides along so the convergence test
+            # reads the SAME checkpointed frame — no extra join per round.
+            m = l1.select(
+                F.col("doc").alias("p_doc"), F.col("label").alias("p_label")
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = l2.filter(F.col("label") != F.col("old")).count()
-        labels = l2.drop("old")
-        if changed == 0:
-            converged = True
-            break
-    # labels is checkpointed (independent of the edge cache) — release
-    # the cached edge partitions before returning.
-    if edges_cached is not None:
-        edges_cached.unpersist()
+            # LAZY checkpoint: the convergence count below is the action
+            # that materializes it — joins, checkpoint write, and the
+            # changed-count all happen in ONE job per round ("Job shape"
+            # above).  Lineage is still truncated at declaration time.
+            l2 = (
+                l1.join(m, l1.label == m.p_doc, "left")
+                .select(
+                    "doc",
+                    "old",
+                    F.coalesce("p_label", "label").alias("label"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            changed = l2.filter(F.col("label") != F.col("old")).count()
+            labels = l2.drop("old")
+            if changed == 0:
+                converged = True
+                break
+    finally:
+        # labels is checkpointed (independent of the edge cache) —
+        # release the cached edge partitions even if a round failed
+        # (ADVICE r11: a mid-loop exception must not leak persisted
+        # edges into the long-lived session).
+        if edges_cached is not None:
+            edges_cached.unpersist()
     return labels, rounds, converged
 
 

@@ -62,10 +62,9 @@ def _obs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Conf key recording which sf_dir the bkt_obs table was built from —
-# stamped by `bucketed_obs_table`, read by `bench_bucketed.bucketed_obs`
-# to skip rebuilds.  Defined ONCE here (the stamping side) so the two
-# sides cannot drift into a silent rebuild-per-timed-pass.
-BKT_OBS_TAG = "spark.esxsnmp_tsdb.bktObsSfDir"
+# now owned by sources.catalog (the r12 routing side reads it there);
+# re-exported here for the stamping-side callers (bench_bucketed).
+from esxsnmp_tsdb_spark.sources import BKT_OBS_TAG  # noqa: E402
 
 
 def _bucketed_table(

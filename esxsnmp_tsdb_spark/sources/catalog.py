@@ -52,6 +52,57 @@ TS_COLS: dict[str, tuple[str, ...]] = {
 # Key used to remember which sf_dir a session's views point at.
 _VIEW_TAG = "spark.esxsnmp_tsdb.viewSfDir"
 
+# Conf key recording which sf_dir the bkt_obs table was built from —
+# stamped by ``storage2.bucketed_obs_table`` (which re-exports this
+# constant), read here and by ``bench_bucketed.bucketed_obs`` to skip
+# rebuilds and to refuse cross-fixture routing.
+BKT_OBS_TAG = "spark.esxsnmp_tsdb.bktObsSfDir"
+
+# Opt-in bucketed-obs routing (VERDICT r11 item 3).  Default OFF: the
+# driver's vanilla session must see the flat-parquet path (its oracle
+# runs DuckDB over the same events.parquet, and its session has no
+# bkt_obs table).  When "true" AND a bkt_obs table built from THIS
+# sf_dir exists, ``load_obs`` serves the §2.1/§2.2 family from the
+# bucketed+sorted layout instead — the bench-proven 2-9x / zero-exchange
+# path (BENCH bucketed_vs_flat, three consecutive rounds).
+ROUTE_BUCKETED_CONF = "spark.esxsnmp_tsdb.routeBucketedObs"
+
+# Canonical obs column order (functions/tsdb.py · obs_from_events): the
+# routed table is re-projected to it so routing can never reorder the
+# schema under an operator.
+OBS_COLUMNS = ("path", "tse", "value", "flags", "event_id")
+
+
+def load_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The observation table for the §2.1/§2.2 operator family.
+
+    Flat path (default): derive obs from the events fixture exactly as
+    every round before r12 did — this branch is call-for-call identical
+    to the old per-module ``_obs`` helpers, so driver-facing values and
+    plans are unchanged (pinned by the byte-exact shuffle diff,
+    docs/SHUFFLE_r12.json).
+
+    Routed path (``ROUTE_BUCKETED_CONF`` = "true", opt-in): serve
+    ``bkt_obs`` — the SURVEY §4 bucketBy(hash(path)).sortBy(path, tse)
+    layout materialized by ``storage2.bucketed_obs_table`` — so
+    per-series window/consolidation plans consume the bucket layout with
+    ZERO exchanges.  Routing refuses silently-wrong reads twice over:
+    the stamp must match ``sf_dir`` (no cross-fixture serves) and the
+    table must still exist (a stale stamp after an external DROP falls
+    back to flat).  Value parity flat-vs-routed is pinned for every
+    routed op in tests/test_bucketed_routing.py."""
+    from esxsnmp_tsdb_spark.functions import tsdb
+
+    tune(spark)
+    if (spark.conf.get(ROUTE_BUCKETED_CONF, "false") or "").lower() == "true":
+        try:
+            built_for = spark.conf.get(BKT_OBS_TAG)
+        except Exception:
+            built_for = None
+        if built_for == sf_dir and spark.catalog.tableExists("bkt_obs"):
+            return spark.table("bkt_obs").select(*OBS_COLUMNS)
+    return tsdb.obs_from_events(register_views(spark, sf_dir)["events"])
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:

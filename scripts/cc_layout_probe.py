@@ -1,30 +1,43 @@
 #!/usr/bin/env python
-"""Scale probe (r11, evidence for the two-tier edge layout in
-operators/dedup.py · min_label_components): does pre-partitioning +
-caching the static edge side of the CC loop beat the plain
-localCheckpoint layout once the edge exchange is big enough to see?
-Synthetic deterministic graph: 64-node chains welded to hot stars
-(mixed diameter + hub shape), 7 propagation rounds at every scale.
+"""Scale probe (r11, re-run r12 against the PRODUCTION helper —
+evidence for the two-tier edge layout in operators/dedup.py ·
+min_label_components): does pre-partitioning + caching the static edge
+side of the CC loop beat the plain localCheckpoint layout once the edge
+exchange is big enough to see?  Synthetic deterministic graph: 64-node
+chains welded to hot stars (mixed diameter + hub shape).
 
-Measured 2026-08-16 (local[32], quiet host), loop wall only — the
-cached layout additionally pays ONE up-front edge shuffle, which is why
-the production helper only switches tiers above 5M edges:
+r12 change: the probe now drives ``min_label_components`` itself with
+``_EDGE_REPARTITION_THRESHOLD`` monkeypatched to force each tier (r11's
+probe timed an inline copy of the then-current loop; after the r12
+round-shape fold — self-loop flagged edges, fused round 1, one action
+per round — a copy would drift from the code under test).  Walls are
+FULL-helper (layout setup included), which is what the tier decision
+actually trades off.
+
+Measured 2026-08-16 (local[32]), full-helper wall, 7 rounds per scale:
 
     edges      A plain-ckpt   B cached-part   B/A   label diffs
-    0.20M          9.36s          7.23s       0.77      0
-    1.98M         28.39s         25.78s       0.91      0
-    19.8M        127.44s        100.96s       0.79      0
+    0.20M         12.11s         10.18s       0.84      0
+    1.98M         26.17s         23.43s       0.90      0
+    19.8M        182.45s        116.90s       0.64      0
 
-End-to-end on the sf0.1 fixture graph (0.35M edges) the unconditional
-cached layout LOSES ~0.5-1.5s/op (setup shuffle > loop savings at
-stage-scheduling-bound sizes) — hence the size tier, not a blanket
-switch.  Labels are byte-identical in every variant at every scale."""
+The 20M win GREW under the r12 round shape (0.79 -> 0.64: with one
+fewer join per round, the remaining edge exchange is a larger share of
+the round).  On this synthetic all-loop graph the cached layout now
+edges ahead even at 0.2M, but end-to-end on the sf0.1 fixture graph
+(0.35M edges, 5 rounds, min-of-3 interleaved) the small tier still
+wins — 2.25s vs 2.34s — because the fixture loop is stage-scheduling-
+bound and the setup shuffle never amortizes.  The 5M threshold
+therefore stands: below it the tiers are within noise of each other,
+above it the cached layout wins outright.  Labels are byte-identical
+in every variant at every scale."""
 import sys, time
 import os
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 from pyspark.sql import functions as F
 from esxsnmp_tsdb_spark.session import get_session
+from esxsnmp_tsdb_spark.operators import dedup as dedup_mod
 
 spark = get_session("cc-scale-probe")
 
@@ -42,42 +55,36 @@ def make_edges(n_chain_nodes, n_star_leaves, n_stars):
     e = chain.union(star)
     return e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
-def loop(edges, tag):
-    labels = (edges.select(F.col("src").alias("doc")).distinct()
-              .withColumn("label", F.col("doc")).localCheckpoint(eager=True))
-    rounds, t0 = 0, time.perf_counter()
-    while rounds < 30:
-        rounds += 1
-        neigh = (edges.join(labels, edges.src == labels.doc)
-                 .groupBy(F.col("dst").alias("doc2")).agg(F.min("label").alias("nl")))
-        l1 = labels.withColumnRenamed("label", "old").join(
-            neigh, F.col("doc") == F.col("doc2"), "left").select(
-            "doc", "old", F.least(F.col("old"), F.coalesce("nl", "old")).alias("label"))
-        m = l1.select(F.col("doc").alias("p_doc"), F.col("label").alias("p_label"))
-        l2 = (l1.join(m, l1.label == m.p_doc, "left")
-              .select("doc", "old", F.coalesce("p_label", "label").alias("label"))
-              .localCheckpoint(eager=True))
-        changed = l2.filter(F.col("label") != F.col("old")).count()
-        labels = l2.drop("old")
-        if changed == 0:
-            break
+def run_tier(edges, force_big, tag):
+    # Force the tier by moving the threshold past/below the edge count;
+    # everything else is the production code path.
+    dedup_mod._EDGE_REPARTITION_THRESHOLD = 0 if force_big else 1 << 62
+    t0 = time.perf_counter()
+    labels, rounds, converged = dedup_mod.min_label_components(
+        edges, max_rounds=30)
+    labels = labels.localCheckpoint(eager=True)  # materialize inside the wall
     wall = time.perf_counter() - t0
-    print(f"  {tag}: rounds={rounds} loop_wall={wall:.2f}s", flush=True)
+    assert converged, f"{tag}: did not converge in {rounds} rounds"
+    print(f"  {tag}: rounds={rounds} helper_wall={wall:.2f}s", flush=True)
     return labels, wall
 
-for scale, (cn, sl, ns) in [("1x", (50_000, 50_000, 500)),
-                            ("10x", (500_000, 500_000, 5_000)),
-                            ("100x", (5_000_000, 5_000_000, 50_000))]:
-    raw = make_edges(cn, sl, ns)
-    ne = raw.count()
-    print(f"scale {scale}: edges={ne}", flush=True)
-    eA = raw.localCheckpoint(eager=True)
-    lA, wA = loop(eA, "A plain-ckpt ")
-    eB = raw.repartition("src").persist()
-    eB.count()
-    lB, wB = loop(eB, "B cached-part")
-    diff = (lA.withColumnRenamed("label", "a")
-            .join(lB.withColumnRenamed("label", "b"), "doc")
-            .filter("a != b").count())
-    print(f"  ratio B/A={wB/wA:.2f} label_diffs={diff}", flush=True)
-    eB.unpersist(); spark.sparkContext._jvm.System.gc()
+orig_threshold = dedup_mod._EDGE_REPARTITION_THRESHOLD
+try:
+    for scale, (cn, sl, ns) in [("1x", (50_000, 50_000, 500)),
+                                ("10x", (500_000, 500_000, 5_000)),
+                                ("100x", (5_000_000, 5_000_000, 50_000))]:
+        raw = make_edges(cn, sl, ns).localCheckpoint(eager=True)
+        ne = raw.count()
+        print(f"scale {scale}: edges={ne}", flush=True)
+        lA, wA = run_tier(raw, False, "A plain-ckpt ")
+        lB, wB = run_tier(raw, True, "B cached-part")
+        diff = (lA.withColumnRenamed("label", "a")
+                .join(lB.withColumnRenamed("label", "b"), "doc")
+                .filter("a != b").count())
+        cntA, cntB = lA.count(), lB.count()
+        assert cntA == cntB, f"node-count mismatch {cntA} != {cntB}"
+        print(f"  ratio B/A={wB/wA:.2f} label_diffs={diff} nodes={cntA}",
+              flush=True)
+        spark.sparkContext._jvm.System.gc()
+finally:
+    dedup_mod._EDGE_REPARTITION_THRESHOLD = orig_threshold
