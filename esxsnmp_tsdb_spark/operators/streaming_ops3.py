@@ -112,11 +112,21 @@ def _stage_ordered_slices(slices, src: str) -> None:
     whenever later micro-batches depend on earlier ones' outputs (carry
     state in the RRD pipeline twin, appended index epochs in
     stream_dedup_indexed).  Pinning the mtimes makes epoch i ≡ slice i
-    deterministic; order-insensitive stagings keep `_stage_three_parts`."""
+    deterministic; order-insensitive stagings keep `_stage_three_parts`.
+
+    ``repartition(1)``, NOT ``coalesce(1)``: coalesce folds the whole
+    upstream scan+filter into the single writer task, so staging a
+    slice runs one-threaded end-to-end — at the scaling probe's 100x
+    point that one-task read was 48% of the measured pipeline growth
+    (docs/SCALING_r12.json).  repartition keeps the scan parallel and
+    shuffles into the single writer; both consumers re-sort within the
+    batch (windows over (tse, event_id), set-joins), so in-file row
+    order is free to change.  Only CROSS-slice order is load-bearing,
+    and that stays pinned by the mtimes."""
     import time
 
     for i, df in enumerate(slices):
-        df.coalesce(1).write.mode("overwrite").parquet(
+        df.repartition(1).write.mode("overwrite").parquet(
             os.path.join(src, f"part={i}")
         )
     base_t = int(time.time())

@@ -158,6 +158,12 @@ _REATTEST_QUEUE = (
     'ts_linear_trend',
     'term_zipf_slope',
     'ts_capacity_forecast',
+    # r12 code drift: _stage_ordered_slices switched coalesce(1) ->
+    # repartition(1) (parallel scan into the single staged file; in-file
+    # row order changes, both consumers re-sort in-batch).  Values
+    # locally oracle-verified at sf0.01; queue for a driver hash.
+    'stream_ladder_full_pipeline',
+    'stream_dedup_indexed',
 )
 
 _REATTEST_RANK = {k: i for i, k in enumerate(_REATTEST_QUEUE)}
