@@ -50,11 +50,21 @@ def test_same_sf_dir_skips_reregistration(spark):
     register_views(spark, SF_A)
     # Replace one view behind register_views' back; a second call with
     # the SAME sf_dir must be a no-op (the documented idempotent-cheap
-    # contract), so the marker survives.
-    spark.sql("SELECT 42 AS marker").createOrReplaceTempView("region")
-    register_views(spark, SF_A)
-    assert "marker" in spark.table("region").columns
-    # ...and a DIFFERENT sf_dir must stomp the marker with the real table.
-    register_views(spark, SF_B)
-    assert "marker" not in spark.table("region").columns
-    register_views(spark, SF_A)  # restore for any later test in the session
+    # contract), so the marker survives.  The restore runs in a finally
+    # (ADVICE r11): a failing assertion mid-test must not leave the
+    # marker view registered to poison later SQL-path tests sharing the
+    # session.
+    try:
+        spark.sql("SELECT 42 AS marker").createOrReplaceTempView("region")
+        register_views(spark, SF_A)
+        assert "marker" in spark.table("region").columns
+        # ...and a DIFFERENT sf_dir must stomp the marker with the real
+        # table.
+        register_views(spark, SF_B)
+        assert "marker" not in spark.table("region").columns
+    finally:
+        # Force re-registration of the REAL views regardless of which
+        # assertion (if any) failed: flip to the other sf_dir, then back.
+        register_views(spark, SF_B)
+        register_views(spark, SF_A)
+        assert "marker" not in spark.table("region").columns
