@@ -478,7 +478,7 @@ def ts_downsample_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     width / sample interval rows), so the exact sort-based percentile
     costs the same one shuffle as every other consolidation — at 100 TB
     the approx sketch (`approx_percentiles`) is the knob, not a rewrite."""
-    obs = tsdb.obs_from_events(register_views(spark, sf_dir)["events"])
+    obs = _obs(spark, sf_dir)
     return (
         obs.groupBy("path", tsdb.slot_of(F.col("tse"), BUCKET).alias("slot"))
         .agg(
@@ -524,7 +524,7 @@ def ts_rate_invalid_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One shuffle on path for the lag window; the 5-row roll-up and its
     share denominator ride a broadcast 1-row total (one data pass)."""
-    obs = tsdb.obs_from_events(register_views(spark, sf_dir)["events"])
+    obs = _obs(spark, sf_dir)
     w = Window.partitionBy("path").orderBy("tse", "event_id")
     lagged = obs.select(
         "tse",

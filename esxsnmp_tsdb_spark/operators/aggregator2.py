@@ -417,7 +417,7 @@ def ts_aggregate_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically.  One shuffle on (path, slot) with map-side partials;
     at 100 TB this halves the scan count of a dashboard that wants the
     full aggregate row vs issuing per-field queries."""
-    obs = tsdb.obs_from_events(register_views(spark, sf_dir)["events"])
+    obs = _obs(spark, sf_dir)
     k = obs.select(
         "path",
         (F.col("tse") - F.col("tse") % BUCKET).alias("slot"),
@@ -475,7 +475,7 @@ def ts_wrap_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
     series; the plan is scan → one shuffle on path → 4-way min/max_by."""
     from esxsnmp_tsdb_spark.operators.aggregator import _counter
 
-    obs = tsdb.obs_from_events(register_views(spark, sf_dir)["events"])
+    obs = _obs(spark, sf_dir)
     k = _counter(obs).select(
         "path",
         "tse",

@@ -483,7 +483,18 @@ def min_label_components(edges: DataFrame, max_rounds: int = 20):
                 )
                 .localCheckpoint(eager=False)
             )
-            changed = l2.filter(F.col("label") != F.col("old")).count()
+            # eqNullSafe, not `!=`: for VALID (bidirectional) input every
+            # node has a self-loop so `old` is never NULL and this is a
+            # plain inequality.  If a caller violates the precondition
+            # (directed-only edges), dst-only nodes carry old=NULL —
+            # plain `!=` would drop them from the count (NULL predicate)
+            # and return converged=True over silently-wrong labels;
+            # null-safe compare counts them as changed every round, so
+            # the loop exhausts max_rounds and callers get the loud
+            # converged=False they check for.
+            changed = l2.filter(
+                ~F.col("label").eqNullSafe(F.col("old"))
+            ).count()
             labels = l2.drop("old")
             if changed == 0:
                 converged = True

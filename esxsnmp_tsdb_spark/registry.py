@@ -150,9 +150,10 @@ _REATTEST_QUEUE = (
     # term_zipf_slope, ts_capacity_forecast) and the two CC ops that
     # gained the two-tier >5M-edge layout late in r11
     # (dedup_connected_components, dedup_cluster_size_stats).  They lead
-    # the r12 window; the remaining 45 slots fall through to the r5
-    # streaming staleness cohort (36 keys) + the 9 oldest r6 keys,
-    # retiring the r5 floor whole.
+    # the r12 window; with the two r12-drift keys appended below, the
+    # remaining 43 slots fall through to the r5 streaming staleness
+    # cohort (36 keys) + the 7 oldest r6 keys, retiring the r5 floor
+    # whole (7 + 36 + 7 = 50, live-verified in docs/ROUND12_NOTES.md).
     'dedup_connected_components',
     'dedup_cluster_size_stats',
     'ts_linear_trend',

@@ -151,3 +151,20 @@ def test_adversarial_long_path_plus_hot_star_envelope(spark):
     n_nodes = len({v for p in chain + star + bridges for v in p})
     assert len(got) == n_nodes
     assert set(got.values()) == {0}, "one welded component must label to 0"
+
+
+def test_directed_only_input_fails_loud(spark):
+    """Precondition guard (r12 review finding): the helper's contract is
+    a BIDIRECTIONAL edge list.  A directed-only input leaves dst-only
+    nodes without a self-loop (old=NULL); the null-safe convergence
+    compare must count them as changed every round so the loop exhausts
+    max_rounds and returns converged=False — never converged=True over
+    silently-wrong labels."""
+    edges = spark.createDataFrame(
+        [(5, 2), (7, 2)], "src bigint, dst bigint"  # no reverse rows
+    ).localCheckpoint(eager=True)
+    _, rounds, converged = min_label_components(edges, max_rounds=4)
+    assert rounds == 4 and not converged, (
+        "directed-only (contract-violating) input must fail loud via "
+        "converged=False, not quietly converge"
+    )
