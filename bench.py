@@ -278,16 +278,26 @@ def main() -> None:
             try:
                 rdf = queries[key](spark, sf_dir)
                 rplan = plan_str(rdf, "simple")
+                # ADVICE r12: if routing preconditions silently failed
+                # (stamp mismatch / bkt_obs missing), load_obs falls back
+                # to the flat path — don't record flat-path times under
+                # the routed_s label.
+                routed_reads_bkt = "bkt_obs" in rplan
                 best_r = float("inf")
-                for _ in range(repeats):
-                    t0 = time.perf_counter()
-                    materialize(queries[key](spark, sf_dir))
-                    best_r = min(best_r, time.perf_counter() - t0)
+                if routed_reads_bkt:
+                    for _ in range(repeats):
+                        t0 = time.perf_counter()
+                        materialize(queries[key](spark, sf_dir))
+                        best_r = min(best_r, time.perf_counter() - t0)
             finally:
                 spark.conf.set(ROUTE_BUCKETED_CONF, "false")
-            bucketed[key]["routed_s"] = round(best_r, 3)
-            bucketed[key]["routed_exchanges"] = rplan.count("Exchange")
-            bucketed[key]["routed_reads_bkt"] = "bkt_obs" in rplan
+            bucketed[key]["routed_s"] = (
+                round(best_r, 3) if routed_reads_bkt else None
+            )
+            bucketed[key]["routed_exchanges"] = (
+                rplan.count("Exchange") if routed_reads_bkt else None
+            )
+            bucketed[key]["routed_reads_bkt"] = routed_reads_bkt
             spark.sparkContext._jvm.System.gc()
 
         # Bucketed-side re-pin (ADVICE r8): the flat numbers above get up

@@ -121,14 +121,21 @@ def _stage_ordered_slices(slices, src: str) -> None:
     (docs/SCALING_r12.json).  repartition keeps the scan parallel and
     shuffles into the single writer; both consumers re-sort within the
     batch (windows over (tse, event_id), set-joins), so in-file row
-    order is free to change.  Only CROSS-slice order is load-bearing,
-    and that stays pinned by the mtimes."""
+    order is semantically free.  Only CROSS-slice order is
+    load-bearing, and that stays pinned by the mtimes.
+
+    ``sortWithinPartitions(*columns)`` after the repartition (ADVICE
+    r12): round-robin repartition makes the single file's ROW ORDER
+    depend on reducer fetch order — run-to-run nondeterministic.  The
+    current consumers don't care, but a future order-sensitive reader
+    of the staged parquet would inherit a latent flake; a full-row sort
+    of one already-shuffled partition pins staged bytes for free."""
     import time
 
     for i, df in enumerate(slices):
-        df.repartition(1).write.mode("overwrite").parquet(
-            os.path.join(src, f"part={i}")
-        )
+        df.repartition(1).sortWithinPartitions(*df.columns).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"part={i}"))
     base_t = int(time.time())
     for i in range(len(slices)):
         pdir = os.path.join(src, f"part={i}")

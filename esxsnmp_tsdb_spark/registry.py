@@ -143,28 +143,36 @@ _PRIORITY_BACKLOG = frozenset()
 # them; the queue is cleared each round after ``update_attested.py --write``
 # folds the fresh hashes into ``_HASH_ROUND``.
 _REATTEST_QUEUE = (
-    # modified in / carried into round 12 (append as the round touches ops)
-    # Carried drift debt (VERDICT r11 item 1): five ops shipped
-    # value-identical code changes in r11 WITHOUT a driver re-attest —
-    # the three exact.py half-up migrants (ts_linear_trend,
-    # term_zipf_slope, ts_capacity_forecast) and the two CC ops that
-    # gained the two-tier >5M-edge layout late in r11
-    # (dedup_connected_components, dedup_cluster_size_stats).  They lead
-    # the r12 window; with the two r12-drift keys appended below, the
-    # remaining 43 slots fall through to the r5 streaming staleness
-    # cohort (36 keys) + the 7 oldest r6 keys, retiring the r5 floor
-    # whole (7 + 36 + 7 = 50, live-verified in docs/ROUND12_NOTES.md).
-    'dedup_connected_components',
-    'dedup_cluster_size_stats',
-    'ts_linear_trend',
-    'term_zipf_slope',
-    'ts_capacity_forecast',
-    # r12 code drift: _stage_ordered_slices switched coalesce(1) ->
-    # repartition(1) (parallel scan into the single staged file; in-file
-    # row order changes, both consumers re-sort in-batch).  Values
-    # locally oracle-verified at sf0.01; queue for a driver hash.
+    # modified in / carried into round 13 (append as the round touches ops)
+    # Carried drift debt (VERDICT r12 item 2): four §2.2-family ops were
+    # rerouted through the shared `_obs` helper in r12's late self-review
+    # (they previously inlined the obs load and bypassed the bucketed
+    # routing seam).  Values are proven — 40/40 flat-vs-routed exact-equal
+    # at sf0.01, 4/4 judge-verified, byte-exact SHUFFLE_r12 diff — but by
+    # repo discipline the drifted call path needs a post-r12 driver hash.
+    # All four are r7-hash keys, so queueing them merely promotes them
+    # within the fallthrough their staleness already earns; the remaining
+    # 46 slots retire the 27-key r6 floor whole plus the 19 oldest r7
+    # keys — which are exactly the rest of the load_obs-routed family
+    # (VERDICT item 2's "two birds, one window").
+    'ts_downsample_percentile',
+    'ts_rate_invalid_reasons',
+    'ts_aggregate_row',
+    'ts_wrap_eta',
+    # r13 code drift: _stage_ordered_slices gained
+    # sortWithinPartitions(*columns) after repartition(1) (ADVICE r12 —
+    # pins staged-file byte determinism; consumers re-sort in-batch so
+    # values are unchanged).  Both stager consumers re-queue for a
+    # post-change driver hash, same discipline as the r12 stager change.
     'stream_ladder_full_pipeline',
     'stream_dedup_indexed',
+    # r13 code drift: min_label_components' convergence action now
+    # tallies NULL `old` alongside the changed count (ADVICE r12
+    # fail-fast on directed-only input; identical values and round
+    # counts for valid input) and both CC ops share one cached candidate
+    # edge set per (session, sf_dir) (VERDICT r13 item 3).
+    'dedup_connected_components',
+    'dedup_cluster_size_stats',
 )
 
 _REATTEST_RANK = {k: i for i, k in enumerate(_REATTEST_QUEUE)}
@@ -176,27 +184,14 @@ _REATTEST_RANK = {k: i for i, k in enumerate(_REATTEST_QUEUE)}
 # the same oldest-registered cohort every round (the r7 window and an
 # unchanged r8 window would have been identical 37 keys).
 _HASH_ROUND: dict[int, tuple[str, ...]] = {
-    5: (
-        'approx_distinct_hll_merge', 'grouped_mode', 'salted_skew_join', 'storage_schema_evolution',
-        'storage_zorder_scan', 'stream_anomaly_zscore', 'stream_cdc_apply', 'stream_cdc_apply_bucketed',
-        'stream_dedup', 'stream_distinct_hll', 'stream_first_touch', 'stream_histogram_ladder',
-        'stream_ingest', 'stream_ladder_maintenance', 'stream_ladder_retention', 'stream_replay_exactly_once',
-        'stream_session', 'stream_sliding', 'stream_stateful_rate', 'stream_static_join',
-        'stream_stream_join', 'stream_topk_talkers', 'stream_tumbling', 'stream_watermark_late',
-        'ts_alert_flap_detect', 'ts_autocorr_lag', 'ts_compare_window', 'ts_histogram_ladder',
-        'ts_incident_merge_windows', 'ts_lead_lag_correlation', 'ts_percentile_bands', 'ts_period_detect',
-        'ts_seasonal_anomaly', 'ts_stl_residual_anomaly', 'ts_topk_change_contributors', 'window_ntile',
-    ),
     6: (
         'ann_recall_eval_ivfpq', 'api_bulk_timerange', 'api_freshness_report', 'attribution_time_decay',
-        'blocklist_filter', 'bpe_merge_pair_step', 'chunk_dedup_cdc', 'corpus_mix_report',
-        'data_quality_contract', 'dedup_cross_source_matrix', 'doc_sliding_context_chunks', 'embedding_dim_stats',
-        'event_lift_matrix', 'ingest_dlq_quarantine', 'ingest_late_data_report', 'inter_event_gap_histogram',
-        'multimodal_phash_dedup', 'privacy_k_anonymity', 'quality_gopher_rules', 'rag_hybrid_retrieval',
-        'sample_token_budget', 'scd2_point_in_time_join', 'session_duration_stats', 'sim_search_ivf_pq_indexed',
-        'sim_search_lsh_indexed', 'source_divergence_kl', 'storage_file_skipping_manifest', 'storage_gdpr_erasure',
-        'storage_snapshot_gc', 'storage_snapshot_time_travel', 'tokenizer_vocab_coverage', 'ts_flag_visibility',
-        'ts_poll_interval_drift', 'user_journey_top_paths',
+        'bpe_merge_pair_step', 'chunk_dedup_cdc', 'data_quality_contract', 'dedup_cross_source_matrix',
+        'doc_sliding_context_chunks', 'event_lift_matrix', 'ingest_dlq_quarantine', 'ingest_late_data_report',
+        'inter_event_gap_histogram', 'multimodal_phash_dedup', 'privacy_k_anonymity', 'rag_hybrid_retrieval',
+        'scd2_point_in_time_join', 'session_duration_stats', 'sim_search_ivf_pq_indexed', 'sim_search_lsh_indexed',
+        'storage_file_skipping_manifest', 'storage_gdpr_erasure', 'storage_snapshot_gc', 'storage_snapshot_time_travel',
+        'ts_flag_visibility', 'ts_poll_interval_drift', 'user_journey_top_paths',
     ),
     7: (
         'dedup_near_minhash', 'dedup_ngram_jaccard', 'dedup_threshold_sweep', 'minhash_band_sensitivity',
@@ -220,10 +215,10 @@ _HASH_ROUND: dict[int, tuple[str, ...]] = {
         'percentiles', 'pivot_unpivot', 'projection_filter', 'range_interval_join',
         'rollup_cube', 'salted_aggregate', 'scalar_date_funcs', 'scalar_string_funcs',
         'scan_parquet', 'semi_join', 'set_intersect', 'set_union',
-        'sort_limit_topk', 'sort_merge_join', 'storage_bucketed_join', 'stream_dedup_indexed',
-        'stream_ladder_full_pipeline', 'subquery_scalar', 'ts_bin_split', 'ts_bin_split_bucketed',
-        'ts_ladder_full_pipeline', 'ts_rolling_1h', 'ts_sessionize', 'window_distribution',
-        'window_lag_lead', 'window_rank', 'window_running',
+        'sort_limit_topk', 'sort_merge_join', 'storage_bucketed_join', 'subquery_scalar',
+        'ts_bin_split', 'ts_bin_split_bucketed', 'ts_ladder_full_pipeline', 'ts_rolling_1h',
+        'ts_sessionize', 'window_distribution', 'window_lag_lead', 'window_rank',
+        'window_running',
     ),
     9: (
         'dedup_exact', 'dedup_minhash_indexed_smallbatch', 'dedup_simhash', 'scalar_array_funcs',
@@ -242,17 +237,16 @@ _HASH_ROUND: dict[int, tuple[str, ...]] = {
     10: (
         'anti_join', 'approx_distinct_check', 'approx_percentiles_check', 'attribution_last_touch',
         'bm25_topdocs', 'cross_source_dedup_priority', 'cumulative_distinct_users', 'decontaminate_ngram',
-        'decontamination_overlap', 'dedup_cluster_size_stats', 'dedup_connected_components', 'dedup_embedding_cosine',
-        'dedup_semantic_indexed_sqrtn', 'doc_fingerprint', 'doc_length_histogram', 'doc_pagerank',
-        'domain_quota_sample', 'embedding_norm_outliers', 'embedding_pca_power_iteration', 'embedding_quantize',
-        'event_bigrams', 'event_funnel', 'exact_substring_dedup', 'ingest_batch_append',
-        'kmeans_one_step', 'lang_distribution', 'lang_id_ngram', 'ngram_topk',
-        'pipeline_corpus_curate', 'quality_filter_funnel', 'retention_cohort', 'sample_stratified',
-        'seq_packing', 'set_except', 'sim_search_ann_lsh', 'sim_search_topk',
-        'split_train_test', 'term_zipf_slope', 'text_ngram_novelty', 'text_quality_score',
-        'text_repetition_stats', 'text_stopword_stats', 'text_tokenize_stats', 'text_unigram_logprob',
-        'tfidf_topterms', 'token_count_bpe', 'topk_docs_per_source', 'tpch_q22',
-        'ts_capacity_forecast', 'ts_linear_trend',
+        'decontamination_overlap', 'dedup_embedding_cosine', 'dedup_semantic_indexed_sqrtn', 'doc_fingerprint',
+        'doc_length_histogram', 'doc_pagerank', 'domain_quota_sample', 'embedding_norm_outliers',
+        'embedding_pca_power_iteration', 'embedding_quantize', 'event_bigrams', 'event_funnel',
+        'exact_substring_dedup', 'ingest_batch_append', 'kmeans_one_step', 'lang_distribution',
+        'lang_id_ngram', 'ngram_topk', 'pipeline_corpus_curate', 'quality_filter_funnel',
+        'retention_cohort', 'sample_stratified', 'seq_packing', 'set_except',
+        'sim_search_ann_lsh', 'sim_search_topk', 'split_train_test', 'text_ngram_novelty',
+        'text_quality_score', 'text_repetition_stats', 'text_stopword_stats', 'text_tokenize_stats',
+        'text_unigram_logprob', 'tfidf_topterms', 'token_count_bpe', 'topk_docs_per_source',
+        'tpch_q22',
     ),
     11: (
         'ann_recall_eval', 'api_timerange_json', 'attribution_linear', 'bigram_lm_perplexity',
@@ -268,6 +262,21 @@ _HASH_ROUND: dict[int, tuple[str, ...]] = {
         'ts_availability_report', 'ts_error_budget_burn', 'ts_hierarchy_rollup', 'ts_merge_upsert',
         'ts_mtbf_mttr', 'ts_sla_maintenance_window', 'ts_utilization_report', 'user_activity_concentration',
         'vector_pq_adc', 'vocab_growth_heaps',
+    ),
+    12: (
+        'approx_distinct_hll_merge', 'blocklist_filter', 'corpus_mix_report', 'dedup_cluster_size_stats',
+        'dedup_connected_components', 'embedding_dim_stats', 'grouped_mode', 'quality_gopher_rules',
+        'salted_skew_join', 'sample_token_budget', 'source_divergence_kl', 'storage_schema_evolution',
+        'storage_zorder_scan', 'stream_anomaly_zscore', 'stream_cdc_apply', 'stream_cdc_apply_bucketed',
+        'stream_dedup', 'stream_dedup_indexed', 'stream_distinct_hll', 'stream_first_touch',
+        'stream_histogram_ladder', 'stream_ingest', 'stream_ladder_full_pipeline', 'stream_ladder_maintenance',
+        'stream_ladder_retention', 'stream_replay_exactly_once', 'stream_session', 'stream_sliding',
+        'stream_stateful_rate', 'stream_static_join', 'stream_stream_join', 'stream_topk_talkers',
+        'stream_tumbling', 'stream_watermark_late', 'term_zipf_slope', 'tokenizer_vocab_coverage',
+        'ts_alert_flap_detect', 'ts_autocorr_lag', 'ts_capacity_forecast', 'ts_compare_window',
+        'ts_histogram_ladder', 'ts_incident_merge_windows', 'ts_lead_lag_correlation', 'ts_linear_trend',
+        'ts_percentile_bands', 'ts_period_detect', 'ts_seasonal_anomaly', 'ts_stl_residual_anomaly',
+        'ts_topk_change_contributors', 'window_ntile',
     ),
 }
 

@@ -65,6 +65,8 @@ def test_same_sf_dir_skips_reregistration(spark):
     finally:
         # Force re-registration of the REAL views regardless of which
         # assertion (if any) failed: flip to the other sf_dir, then back.
+        # Restoration ONLY here — an assert inside the finally would
+        # mask the original in-body failure (ADVICE r12).
         register_views(spark, SF_B)
         register_views(spark, SF_A)
-        assert "marker" not in spark.table("region").columns
+    assert "marker" not in spark.table("region").columns

@@ -1,0 +1,84 @@
+"""Pin the CC-family session component cache (VERDICT r12 item 3).
+
+`dedup_connected_components` and `dedup_cluster_size_stats` share one
+converged (doc_id, component) frame per (session, corpus snapshot):
+the CC op always computes and refreshes the cache; the impact report
+serves from it when the corpus stamp is fresh.  Measured at sf0.1:
+combined headline 8.9s -> 4.75s (-47%).  These tests pin the three
+contracts the speedup must never buy away:
+
+1. value parity with a fresh-computed run, in BOTH op orders;
+2. the stamp refuses a stale/foreign cache (recompute + re-stamp);
+3. the CC op NEVER reads the cache — a poisoned cache with a valid
+   stamp must not leak into its output (benched repeats stay honest).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from esxsnmp_tsdb_spark.operators import _workdirs
+from esxsnmp_tsdb_spark.operators import dedup as D
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _cache_root(sf: str) -> str:
+    return os.path.join(
+        _workdirs.session_root(),
+        "cc_components__" + sf.strip("/").replace("/", "_"),
+    )
+
+
+def _clear(sf: str) -> None:
+    shutil.rmtree(_cache_root(sf), ignore_errors=True)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_parity_both_orders(spark):
+    _clear(SF)
+    cc_first = _rows(D.dedup_connected_components(spark, SF))
+    stats_warm = _rows(D.dedup_cluster_size_stats(spark, SF))
+    _clear(SF)
+    stats_cold = _rows(D.dedup_cluster_size_stats(spark, SF))
+    cc_second = _rows(D.dedup_connected_components(spark, SF))
+    assert stats_warm == stats_cold, "warm report diverges from cold"
+    assert cc_first == cc_second, "CC output depends on cache state"
+
+
+def test_stale_stamp_refused(spark):
+    _clear(SF)
+    D.dedup_connected_components(spark, SF).count()
+    stamp = os.path.join(_cache_root(SF), "_stamp")
+    with open(stamp, "w") as f:
+        f.write("v0:someone-elses-corpus:1:1")
+    want = _rows(D.dedup_cluster_size_stats(spark, SF))  # must recompute
+    with open(stamp) as f:
+        assert f.read() == D._cc_corpus_stamp(SF), "recompute must re-stamp"
+    _clear(SF)
+    assert want == _rows(D.dedup_cluster_size_stats(spark, SF))
+
+
+def test_cc_op_never_reads_cache(spark):
+    """Poison the cached data under a VALID stamp: the CC op must return
+    correct labels (it always recomputes — its benched repeats time the
+    real operator) and must overwrite the poison, which the report then
+    serves."""
+    _clear(SF)
+    good = _rows(D.dedup_connected_components(spark, SF))
+    data_dir = os.path.join(_cache_root(SF), "components")
+    poison = spark.createDataFrame(
+        [(999999, 999999)], "doc_id bigint, component bigint"
+    )
+    poison.write.mode("overwrite").parquet(data_dir)
+    again = _rows(D.dedup_connected_components(spark, SF))
+    assert again == good, "CC op served the poisoned cache"
+    served = _rows(D.dedup_cluster_size_stats(spark, SF))
+    _clear(SF)
+    assert served == _rows(D.dedup_cluster_size_stats(spark, SF)), (
+        "CC op did not refresh the poisoned cache"
+    )

@@ -11,6 +11,8 @@ oracle would notice anything."""
 
 from __future__ import annotations
 
+import pytest
+
 from esxsnmp_tsdb_spark.operators.dedup import min_label_components
 
 
@@ -154,17 +156,24 @@ def test_adversarial_long_path_plus_hot_star_envelope(spark):
 
 
 def test_directed_only_input_fails_loud(spark):
-    """Precondition guard (r12 review finding): the helper's contract is
-    a BIDIRECTIONAL edge list.  A directed-only input leaves dst-only
-    nodes without a self-loop (old=NULL); the null-safe convergence
-    compare must count them as changed every round so the loop exhausts
-    max_rounds and returns converged=False — never converged=True over
-    silently-wrong labels."""
+    """Precondition guard (r12 review finding, tightened per ADVICE
+    r12): the helper's contract is a BIDIRECTIONAL edge list.  A
+    directed-only input leaves dst-only nodes without a self-loop
+    (old=NULL); the round-1 NULL tally must raise immediately — never
+    converge quietly over wrong labels, and never burn max_rounds of
+    cluster work before reporting the violation."""
     edges = spark.createDataFrame(
         [(5, 2), (7, 2)], "src bigint, dst bigint"  # no reverse rows
     ).localCheckpoint(eager=True)
-    _, rounds, converged = min_label_components(edges, max_rounds=4)
-    assert rounds == 4 and not converged, (
-        "directed-only (contract-violating) input must fail loud via "
-        "converged=False, not quietly converge"
-    )
+    with pytest.raises(ValueError, match="BIDIRECTIONAL"):
+        min_label_components(edges, max_rounds=4)
+
+
+def test_nonpositive_max_rounds_rejected(spark):
+    """ADVICE r12: max_rounds <= 0 used to skip the loop and return
+    labels=None, crashing callers downstream — must raise here."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1)], "src bigint, dst bigint"
+    ).localCheckpoint(eager=True)
+    with pytest.raises(ValueError, match="max_rounds"):
+        min_label_components(edges, max_rounds=0)
