@@ -175,7 +175,16 @@ def main() -> None:
         import glob
 
         here = os.path.dirname(os.path.abspath(__file__))
-        for f in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        # Driver records at the root PLUS the committed quiet-window
+        # smoke records under docs/ (VERDICT r12 item 7): the smoke
+        # floor is this host's true historical best — seeding the guard
+        # from it re-pins suspects against the quiet floor instead of a
+        # steal-inflated driver record.
+        records = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+        records += sorted(
+            glob.glob(os.path.join(here, "docs", "BENCH_r*_smoke*.json"))
+        )
+        for f in records:
             try:
                 rec = json.load(open(f))
             except (ValueError, OSError):
