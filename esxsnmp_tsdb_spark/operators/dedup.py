@@ -548,6 +548,19 @@ def _cc_corpus_stamp(sf_dir: str) -> str:
     )
 
 
+def _cc_paths(sf_dir: str) -> tuple[str, str, str]:
+    """Single source of truth for the cache layout: ``(root, stamp_path,
+    data_dir)``.  Writer, reader, and the cache tests all derive the
+    location from here so a key-mangling change cannot silently split
+    them onto different directories."""
+    from esxsnmp_tsdb_spark.operators._workdirs import op_dir
+
+    root = op_dir(
+        "cc_components__" + sf_dir.strip("/").replace("/", "_"), fresh=False
+    )
+    return root, os.path.join(root, "_stamp"), os.path.join(root, "components")
+
+
 def _cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The converged ``(doc_id, component)`` frame for ``sf_dir``'s
     MinHash near-dup graph, computed fresh and persisted as the
@@ -581,13 +594,12 @@ def _cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup ops already use: the component assignment is materialized once
     per corpus snapshot and every downstream consumer (keep-one filter,
     impact report, cluster browser) reads it."""
-    from esxsnmp_tsdb_spark.operators._workdirs import op_dir
-
-    root = op_dir(
-        "cc_components__" + sf_dir.strip("/").replace("/", "_"), fresh=False
-    )
-    stamp_path = os.path.join(root, "_stamp")
-    data_dir = os.path.join(root, "components")
+    _, stamp_path, data_dir = _cc_paths(sf_dir)
+    # Fingerprint the corpus BEFORE the (multi-second, much longer at
+    # scale) compute: a corpus regenerated mid-compute must not get its
+    # NEW mtime stamped onto labels computed from the OLD bytes — the
+    # reader would then serve stale components as fresh.
+    stamp = _cc_corpus_stamp(sf_dir)
     pairs = _minhash_pairs(spark, sf_dir)
     # No checkpoint here: the helper persists the edges repartitioned on
     # the join key (one materialization either way, better layout).
@@ -607,24 +619,23 @@ def _cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = labels.select(
         F.col("doc").alias("doc_id"), F.col("label").alias("component")
     )
-    # |V|-row write (tiny next to the loop); the stamp lands AFTER the
-    # data so a mid-write crash leaves an unstamped (refused) cache.
+    # |V|-row write (tiny next to the loop).  Invalidate-then-write: the
+    # previous stamp is removed BEFORE the overwrite and the new stamp
+    # lands AFTER the data, so a crash at any point in the rewrite leaves
+    # an unstamped (refused) cache — with the old stamp left in place, a
+    # partially-overwritten data_dir would still read as valid.
+    if os.path.exists(stamp_path):
+        os.remove(stamp_path)
     comp.write.mode("overwrite").parquet(data_dir)
     with open(stamp_path, "w") as f:
-        f.write(_cc_corpus_stamp(sf_dir))
+        f.write(stamp)
     return spark.read.parquet(data_dir)
 
 
 def _cc_components_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serve `_cc_components` from the session cache when the stamp is
     fresh; recompute (and re-stamp) otherwise."""
-    from esxsnmp_tsdb_spark.operators._workdirs import op_dir
-
-    root = op_dir(
-        "cc_components__" + sf_dir.strip("/").replace("/", "_"), fresh=False
-    )
-    stamp_path = os.path.join(root, "_stamp")
-    data_dir = os.path.join(root, "components")
+    _, stamp_path, data_dir = _cc_paths(sf_dir)
     if os.path.exists(stamp_path) and os.path.exists(data_dir):
         with open(stamp_path) as f:
             if f.read() == _cc_corpus_stamp(sf_dir):

@@ -169,8 +169,9 @@ _REATTEST_QUEUE = (
     # r13 code drift: min_label_components' convergence action now
     # tallies NULL `old` alongside the changed count (ADVICE r12
     # fail-fast on directed-only input; identical values and round
-    # counts for valid input) and both CC ops share one cached candidate
-    # edge set per (session, sf_dir) (VERDICT r13 item 3).
+    # counts for valid input) and both CC ops share one cached converged
+    # (doc_id, component) frame per (session, sf_dir) (VERDICT r12
+    # item 3).
     'dedup_connected_components',
     'dedup_cluster_size_stats',
 )

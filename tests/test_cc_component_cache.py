@@ -18,17 +18,16 @@ from __future__ import annotations
 import os
 import shutil
 
-from esxsnmp_tsdb_spark.operators import _workdirs
 from esxsnmp_tsdb_spark.operators import dedup as D
-
-SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+from tests.conftest import SF_ORACLE as SF
 
 
 def _cache_root(sf: str) -> str:
-    return os.path.join(
-        _workdirs.session_root(),
-        "cc_components__" + sf.strip("/").replace("/", "_"),
-    )
+    # Derive the location from the library's own single source of truth
+    # so a key-mangling change cannot silently split the tests onto a
+    # different directory than the writer/reader pair.
+    root, _, _ = D._cc_paths(sf)
+    return root
 
 
 def _clear(sf: str) -> None:
