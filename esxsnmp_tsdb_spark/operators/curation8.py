@@ -154,12 +154,19 @@ def _assign_to(e: DataFrame, cent: DataFrame) -> DataFrame:
     row_number window: partial (map-side) aggregation folds the N×K
     scored rows down to N BEFORE the exchange, so only one row per
     vector ever shuffles."""
-    scored = e.crossJoin(F.broadcast(cent)).withColumn(
+    # Double-casts hoisted OUT of the N×K scored expression (r13, guide
+    # §4.2): `__v` is cast once per input row and `__cv` once per
+    # centroid before the fan-out, instead of two O(d) array transforms
+    # per (row, centroid).  float→double is exact — every c_cos is
+    # bit-identical to the per-pair-cast form.
+    ev = e.withColumn("__v", _dbl(F.col("embedding")))
+    cent = cent.withColumn("__cv", _dbl(F.col("cv"))).drop("cv")
+    scored = ev.crossJoin(F.broadcast(cent)).withColumn(
         # try_divide: a zero-norm vector must score NULL (handled by the
         # sentinel below), not raise ANSI DIVIDE_BY_ZERO mid-stage.
         "c_cos",
         F.try_divide(
-            dot(_dbl(F.col("embedding")), _dbl(F.col("cv"))),
+            dot(F.col("__v"), F.col("__cv")),
             F.col("nrm") * F.col("cnrm"),
         ),
     )
@@ -681,15 +688,20 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # both self-join sides read the checkpointed assignment — one N×K
     # centroid scoring, not two (the ingest-persisted cell table at scale).
+    # The double-cast is hoisted INTO the checkpoint (r13, guide §4.2):
+    # one O(d) transform per vector instead of two per candidate pair,
+    # bit-identical values (float→double is exact).
     assigned = (
         _assign_cells(e)
-        .select("vec_id", "label", "embedding", "nrm", "cid")
+        .select(
+            "vec_id", "label", _dbl(F.col("embedding")).alias("v"), "nrm", "cid"
+        )
         .localCheckpoint()
     )
     a = assigned.alias("a")
     b = assigned.alias("b")
     cos = F.round(
-        dot(_dbl(F.col("a.embedding")), _dbl(F.col("b.embedding")))
+        dot(F.col("a.v"), F.col("b.v"))
         / (F.col("a.nrm") * F.col("b.nrm")),
         6,
     )

@@ -850,20 +850,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from esxsnmp_tsdb_spark.functions.vector import dot, norm
 
-    # both sides of the self-join read this — checkpoint so the scan and
-    # the per-vector norm fold run once
+    # both sides of the self-join read this — checkpoint so the scan, the
+    # per-vector double-cast, and the norm fold run once.  The cast is
+    # hoisted INTO the checkpoint (r13, guide §4.2 "per-task work"): it
+    # used to sit inside the per-pair cosine, costing two O(d) array
+    # transforms per PAIR (O(Σblock²) work); here it is O(N).  The wire
+    # trade is deliberate — the checkpoint holds float64 arrays (2× the
+    # bytes of the float source) but |V| rows, while the saved transforms
+    # scale with |pairs|.  Values are bit-identical: float→double is
+    # exact, same fold, same order.
     e = _t(spark, sf_dir)["embeddings"].select(
         "vec_id",
         "label",
-        "embedding",
-        norm(F.transform("embedding", lambda x: x.cast("double"))).alias("nrm"),
-    ).localCheckpoint()
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nrm", norm(F.col("v"))).localCheckpoint()
     a = e.alias("a")
     b = e.alias("b")
-    cos = dot(
-        F.transform(F.col("a.embedding"), lambda x: x.cast("double")),
-        F.transform(F.col("b.embedding"), lambda x: x.cast("double")),
-    ) / (F.col("a.nrm") * F.col("b.nrm"))
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(
             b,

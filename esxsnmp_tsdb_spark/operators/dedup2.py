@@ -320,29 +320,37 @@ def semantic_index_hits(
     cent = spark.read.parquet(os.path.join(root, "centroids"))
     bassigned = _assign_to(batch, cent).select(
         F.col("vec_id").alias("new_id"),
-        F.col("embedding").alias("bv"),
+        _dbl(F.col("embedding")).alias("bv"),
         F.col("nrm").alias("bnrm"),
         "cid",
     )
     if broadcast_batch:
         bassigned = F.broadcast(bassigned)
+    # Double-cast hoisted to the per-MEMBER projection (r13, guide §4.2):
+    # the index stores float arrays (half the bytes on disk); the cast to
+    # double runs once per member row below the join instead of once per
+    # (batch, member) candidate pair.  And cos is projected ONCE before
+    # the τ filter — the old filter-then-round shape evaluated the dot
+    # fold twice per pair (Filter and Project each carried the full
+    # expression; codegen does not CSE across those operators).
     members = spark.read.parquet(os.path.join(root, "members")).select(
         F.col("vec_id").alias("dup_of"),
-        F.col("embedding").alias("mv"),
+        _dbl(F.col("embedding")).alias("mv"),
         F.col("nrm").alias("mnrm"),
         "cid",
     )
-    cos = dot(_dbl(F.col("bv")), _dbl(F.col("mv"))) / (
+    cos = dot(F.col("bv"), F.col("mv")) / (
         F.col("bnrm") * F.col("mnrm")
     )
     return (
         bassigned.join(members, "cid")
-        .filter(cos >= SEM_TAU)
+        .select("new_id", "dup_of", "cid", cos.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= SEM_TAU)
         .select(
             "new_id",
             "dup_of",
             "cid",
-            F.round(cos, 6).alias("cos"),
+            F.round("cos_raw", 6).alias("cos"),
         )
     )
 

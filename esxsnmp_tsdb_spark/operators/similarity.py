@@ -236,9 +236,15 @@ def knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the O(Σ blockᵢ²) pairs evaluates one dot fold instead of three —
     3× less interpreted higher-order work in the hot loop, with
     bit-identical results (same fold, same data, just hoisted)."""
+    # Double-cast hoisted to the per-VECTOR projection (r13, guide §4.2):
+    # it used to run inside the per-pair dot — two O(d) array transforms
+    # per pair, O(Σblock²) of them — and now runs once per vector per
+    # join side.  float→double is exact, so every pair's cosine is
+    # bit-identical; the join shuffles float64 arrays (2× bytes) but the
+    # pair count, not the vector count, is what scales.
     e = _t(spark, sf_dir)["embeddings"].select(
-        "vec_id", "label", "embedding", norm(_dbl(F.col("embedding"))).alias("nrm")
-    )
+        "vec_id", "label", _dbl(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
     a = e.alias("a")
     b = e.alias("b")
     pairs = (
@@ -251,7 +257,7 @@ def knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("vec_id"),
             F.col("b.vec_id").alias("neighbor_id"),
             (
-                dot(_dbl(F.col("a.embedding")), _dbl(F.col("b.embedding")))
+                dot(F.col("a.v"), F.col("b.v"))
                 / (F.col("a.nrm") * F.col("b.nrm"))
             ).alias("cos_raw"),
         )
@@ -309,12 +315,16 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the corpus per probe — this op is the query-side plan.  Cell scoring
     and assignment are all zip_with/aggregate folds in codegen; the
     centroid set (10 rows) broadcasts."""
+    # Double-cast hoisted to the per-vector projection (r13, guide §4.2):
+    # one O(d) transform per vector instead of two per (row, centroid)
+    # scored pair and two per candidate — bit-identical (float→double is
+    # exact).
     e = _t(spark, sf_dir)["embeddings"].select(
-        "vec_id", "label", "embedding", norm(_dbl(F.col("embedding"))).alias("nrm")
-    )
+        "vec_id", "label", _dbl(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
     cent = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("cv"),
+        F.col("v").alias("cv"),
         F.col("nrm").alias("cnrm"),
     )
     # norms hoisted per vector/centroid: the k-way scoring fans each row
@@ -322,10 +332,10 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = e.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "label",
-        "embedding",
+        "v",
         "cid",
         (
-            dot(_dbl(F.col("embedding")), _dbl(F.col("cv")))
+            dot(F.col("v"), F.col("cv"))
             / (F.col("nrm") * F.col("cnrm"))
         ).alias("c_cos"),
     )
@@ -335,10 +345,10 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = (
         scored.withColumn("rn", F.row_number().over(wassign))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "embedding", "cid")
+        .select("vec_id", "label", "v", "cid")
     )
     q = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qv"), F.col("cid").alias("qcid")
+        F.col("v").alias("qv"), F.col("cid").alias("qcid")
     )
     cand = (
         assigned.filter(F.col("vec_id") != QUERY_VEC_ID)
@@ -346,7 +356,7 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            cosine(_dbl(F.col("embedding")), _dbl(F.col("qv"))).alias("cos_raw"),
+            cosine(F.col("v"), F.col("qv")).alias("cos_raw"),
         )
     )
     return ranked_topk(

@@ -253,8 +253,16 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     search + one ANN search."""
     exact = sim_search_topk(spark, sf_dir).select("vec_id")
     ann = sim_search_ann_lsh(spark, sf_dir).select("vec_id")
-    hits = exact.join(ann, "vec_id").count()
-    n_ann = ann.count()
+    # ONE action (r13, guide §1.2 "don't compute things twice"): the old
+    # shape ran `exact⋈ann.count()` then `ann.count()` — two jobs, and
+    # the second re-executed the whole ANN search lineage.  A left join
+    # from ann onto the (≤k-row) exact set yields both tallies in one
+    # aggregate: count(*) = |ann|, count(hit) = |ann ∩ exact|.
+    n_ann, hits = (
+        ann.join(exact.withColumn("hit", F.lit(1)), "vec_id", "left")
+        .agg(F.count(F.lit(1)), F.count("hit"))
+        .first()
+    )
     return spark.createDataFrame(
         [(TOP_K, n_ann, hits, round(hits / TOP_K, 6))],
         "k int, n_ann bigint, hits bigint, recall double",
@@ -647,8 +655,13 @@ def ann_recall_eval_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost: two k-row results joined."""
     exact = sim_search_topk(spark, sf_dir).select("vec_id")
     ann = sim_search_ivf_pq_indexed(spark, sf_dir).select("vec_id")
-    hits = exact.join(ann, "vec_id").count()
-    n_ann = ann.count()
+    # ONE action (r13): same fold as `ann_recall_eval` — the old second
+    # `.count()` re-executed the whole indexed-ANN lineage.
+    n_ann, hits = (
+        ann.join(exact.withColumn("hit", F.lit(1)), "vec_id", "left")
+        .agg(F.count(F.lit(1)), F.count("hit"))
+        .first()
+    )
     return spark.createDataFrame(
         [(TOP_K, n_ann, hits, round(hits / TOP_K, 6))],
         "k int, n_ann bigint, hits bigint, recall double",

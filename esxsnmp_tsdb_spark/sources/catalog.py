@@ -16,6 +16,7 @@ against any scale factor.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -104,14 +105,46 @@ def load_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tsdb.obs_from_events(register_views(spark, sf_dir)["events"])
 
 
+# Per-session memo of constructed fixture DataFrames, keyed by
+# (abspath(sf_dir), table) and guarded by the file's (size, mtime_ns)
+# stamp.  This caches PLANS (lazy metadata: resolved schema + file
+# listing), never data — every execution still scans the parquet bytes.
+# Motivation (OPTIMIZATION_r13, guide §7.3 "the driver should do almost
+# no data work"): `spark.read.parquet` resolves the footer/schema through
+# py4j on every call, and `register_views` makes 10 such calls; measured
+# ~0.2-0.5 s of pure driver-side re-resolution *inside the timed region
+# of every benched query*.  The stamp refuses a regenerated fixture
+# (tests rebuild synthetic dirs in place), and the WeakKeyDictionary
+# scopes entries to the owning session, so a new/driver session never
+# sees another session's plans.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _table_stamp(sf_dir: str, name: str) -> tuple[int, int]:
+    st = os.stat(os.path.join(sf_dir, f"{name}.parquet"))
+    return (st.st_size, st.st_mtime_ns)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
     tune(spark)
+    key = (os.path.abspath(sf_dir), name)
+    stamp = _table_stamp(sf_dir, name)
+    try:
+        per_session = _TABLE_CACHE.setdefault(spark, {})
+    except TypeError:  # un-weakref-able session shim: skip memoization
+        per_session = {}
+    hit = per_session.get(key)
+    if hit is not None and hit[0] == stamp:
+        return hit[1]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in TS_COLS.get(name, ()):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    per_session[key] = (stamp, df)
     return df
 
 
