@@ -936,9 +936,17 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded) shingle set, both cheap next to recomputing them.  The
     executed plan reads documents.parquet ZERO times — every branch scans
     a checkpoint (asserted in tests/test_plans.py)."""
+    # LAZY checkpoints (r13, measured interleaved A/B at sf0.1: 4.48 s →
+    # 3.84 s, values identical): both caches still materialize exactly
+    # once, but inside the single consuming job instead of as two
+    # dedicated up-front jobs — this op's seven consumers all feed ONE
+    # final action, so the eager scheduling rounds were pure overhead.
+    # (The same flip measured FLAT on pipeline_pretraining_mix and
+    # dedup_near_minhash, whose checkpoints feed sequential dependent
+    # stages — left eager there.)
     docs2 = _docs_with_near_copies(_t(spark, sf_dir)["documents"])
-    sh = _shingled(docs2).localCheckpoint()
-    sigs = _minhash_sigs(spark, sf_dir, sh=sh).localCheckpoint()
+    sh = _shingled(docs2).localCheckpoint(eager=False)
+    sigs = _minhash_sigs(spark, sf_dir, sh=sh).localCheckpoint(eager=False)
     pairs = _pairs_from_sigs(sigs)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"), F.col("band").alias("band_a"),

@@ -108,7 +108,21 @@ def get_session(app_name: str = "esxsnmp_tsdb_spark") -> SparkSession:
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # 28g (was 16g; still env-overridable): a long bench/sweep session
+        # accumulates localCheckpoint blocks across hundreds of ops, and at
+        # 16g the heap hit ~5 s stop-the-world full GCs mid-measurement —
+        # measured r13 (OPTIMIZATION_r13.md): after 160 sweep ops the two
+        # largest ops read bimodal 4.5↔10.9 s at 16g, steady 4.0-5.8 s at
+        # 28g.  The sandbox has 128 GiB; on a cluster, sizing comes from
+        # cluster_profile(), not this local default.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "28g"))
+        # Make explicit System.gc() (bench hygiene between queries, and the
+        # ContextCleaner's periodic GC) run as a CONCURRENT cycle instead of
+        # a stop-the-world full GC — cleaner weak-refs still get processed,
+        # but a cleanup that lands inside a timed region no longer stalls it.
+        .config(
+            "spark.driver.extraJavaOptions", "-XX:+ExplicitGCInvokesConcurrent"
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
     )
