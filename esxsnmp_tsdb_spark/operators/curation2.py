@@ -163,15 +163,19 @@ def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal counts rank identically on both engines."""
     docs = _t(spark, sf_dir)["documents"]
     tk = F.split("text", " ")
-    bigrams = F.when(
-        F.size(tk) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tk) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(tk, i), F.element_at(tk, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # zip_with over two shifted slices instead of transform(sequence) +
+    # per-index element_at (r13, guide §1.2 per-task work): the dynamic-
+    # ordinal element_at pair evaluated interpreted per bigram — measured
+    # 2.42 s → 0.35 s for the whole op at sf0.1, byte-identical output
+    # (exceptAll both ways = 0).  A 1-token doc slices to two empty
+    # arrays → zero bigrams, same as the old otherwise-branch; split
+    # never yields a 0-element array, so the slice length is never
+    # negative.
+    bigrams = F.zip_with(
+        F.slice(tk, 1, F.size(tk) - 1),
+        F.slice(tk, 2, F.size(tk) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
     return (
         docs.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
