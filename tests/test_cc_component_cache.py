@@ -30,7 +30,15 @@ def _cache_root(sf: str) -> str:
     return root
 
 
+def _settle(sf: str) -> None:
+    # The CC op writes the cache from a driver thread (r14) — drain it
+    # before poking the cache dir so these tests stay deterministic.
+    _, _, data_dir = D._cc_paths(sf)
+    D._cc_write_barrier(data_dir)
+
+
 def _clear(sf: str) -> None:
+    _settle(sf)
     shutil.rmtree(_cache_root(sf), ignore_errors=True)
 
 
@@ -52,6 +60,7 @@ def test_parity_both_orders(spark):
 def test_stale_stamp_refused(spark):
     _clear(SF)
     D.dedup_connected_components(spark, SF).count()
+    _settle(SF)
     stamp = os.path.join(_cache_root(SF), "_stamp")
     with open(stamp, "w") as f:
         f.write("v0:someone-elses-corpus:1:1")
@@ -69,6 +78,7 @@ def test_cc_op_never_reads_cache(spark):
     serves."""
     _clear(SF)
     good = _rows(D.dedup_connected_components(spark, SF))
+    _settle(SF)
     data_dir = os.path.join(_cache_root(SF), "components")
     poison = spark.createDataFrame(
         [(999999, 999999)], "doc_id bigint, component bigint"
