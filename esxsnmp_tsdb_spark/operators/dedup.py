@@ -1004,14 +1004,23 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingled(docs2).localCheckpoint()
     sigs = _minhash_sigs(spark, sf_dir, sh=sh).localCheckpoint()
     pairs = _pairs_from_sigs(sigs)
+    # shuffle_hash hints (r14, guide §3.1): the probe side of the
+    # band-compare and intersection joins is the candidate-EXPLODED
+    # stream (|pairs| × shingles-per-doc ≈ 17M rows at sf0.1, ~34× the
+    # build side), and sort-merge paid an O(n log n) sort of exactly
+    # that stream.  The hinted build sides are the bounded per-partition
+    # signature/shingle tables (the smaller side of every partition by
+    # the same ~34× factor), so the hash build is safe at any scale the
+    # candidate contract already admits.  Whole-op A/B at sf0.1
+    # (min-of-3 interleaved): 5.23 s → 4.70 s, values identical.
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"), F.col("band").alias("band_a"),
         F.col("sig").alias("sig_a"),
-    )
+    ).hint("shuffle_hash")
     sb = sigs.select(
         F.col("doc_id").alias("db"), F.col("band").alias("band_b"),
         F.col("sig").alias("sig_b"),
-    )
+    ).hint("shuffle_hash")
     band_match = (
         pairs.join(sa, "doc_a")
         .join(sb, (F.col("doc_b") == F.col("db")) & (F.col("band_a") == F.col("band_b")))
@@ -1023,8 +1032,12 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-    shb = sh.select(F.col("doc_id").alias("db2"), F.col("shingle").alias("sh_b"))
+    sha = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a")
+    ).hint("shuffle_hash")
+    shb = sh.select(
+        F.col("doc_id").alias("db2"), F.col("shingle").alias("sh_b")
+    ).hint("shuffle_hash")
     inter = (
         pairs.join(sha, "doc_a")
         .join(shb, (F.col("doc_b") == F.col("db2")) & (F.col("sh_a") == F.col("sh_b")))

@@ -54,8 +54,11 @@ Design points, in pipeline order:
 Scale: the only joins are (band, sig) equi-joins, shingle equi-joins
 bounded by the candidate set, and 4-row lang-key manifest joins
 (broadcast).  Stage tables are localCheckpoint-ed exactly where they
-fan out to multiple consumers (the exact survivors, the shingle table,
-the near/clean survivors, the 4-row per-lang sample aggregate); at 100 TB
+fan out to multiple consumers ACROSS jobs (the exact survivors, the
+shingle table, the near/clean survivors); the signature table and the
+4-row per-lang sample aggregate deliberately are NOT — their consumers
+share one job each, where parallel lineage replay beats a serialized
+materialization (r14); at 100 TB
 those checkpoints become persisted inter-stage tables, and the funnel
 counts read them instead of re-deriving lineage.  The manifest's
 total-token normalizer is a 1-row broadcast (BroadcastNestedLoopJoin,
@@ -263,7 +266,15 @@ def pipeline_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingled(
         exact_kept.select("doc_id", "text"), k=JACCARD_K
     ).localCheckpoint()
-    sigs = _minhash_sigs(spark, sf_dir, sh=sh).localCheckpoint()
+    # NO checkpoint on sigs here (r14): unlike minhash_jaccard_estimate
+    # (4 sig consumers), this op's signature table feeds ONLY the pair
+    # self-join — both sides of ONE job.  The eager checkpoint serialized
+    # a ~0.9 s signature job in front of the near-dedup job; inlining the
+    # lineage recomputes the sig aggregate once per join side IN PARALLEL
+    # inside that job (idle-core work at this stage width), removing a
+    # sequential link.  A/B at sf0.1: won every interleaved rep, values
+    # identical (exceptAll 0 both ways).
+    sigs = _minhash_sigs(spark, sf_dir, sh=sh)
     pairs = _pairs_from_sigs(sigs)
 
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -326,10 +337,15 @@ def pipeline_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _cnt(df: DataFrame, name: str) -> DataFrame:
         return df.groupBy("lang").agg(F.count(F.lit(1)).alias(name))
 
+    # NO checkpoint on c_s (r14): its two consumers (the broadcast join
+    # leg and the 1-row total) are both ≤4-row aggregates over the
+    # ALREADY-checkpointed `clean` — recomputing the tiny window twice
+    # inside the one final job is cheaper than a dedicated
+    # materialization job (~0.3 s of scheduling at fixture scale).
     c_s = sampled.groupBy("lang").agg(
         F.count(F.lit(1)).alias("docs_sampled"),
         F.sum("tok").cast("bigint").alias("tokens_sampled"),
-    ).localCheckpoint()
+    )
     tot = c_s.agg(F.sum("tokens_sampled").cast("bigint").alias("t"))
 
     def _z(name: str):
