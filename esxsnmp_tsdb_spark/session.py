@@ -102,6 +102,19 @@ def cluster_profile(**kwargs):
     return _profile(**kwargs)
 
 
+def _default_driver_mem() -> str:
+    """Default driver heap: 28g on big hosts, clamped to ~25% of physical
+    RAM on smaller ones (ADVICE r13: a fixed 28g default exceeds physical
+    memory on small hosts and risks a host-level OOM).  Env-overridable
+    via SPARK_GRAFT_DRIVER_MEM either way."""
+    try:
+        phys = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        quarter_g = max(1, int(phys / 4 / (1 << 30)))
+        return f"{min(28, quarter_g)}g"
+    except (ValueError, OSError, AttributeError):
+        return "28g"
+
+
 def get_session(app_name: str = "esxsnmp_tsdb_spark") -> SparkSession:
     """Build (or fetch) a tuned local session for tests and bench runs."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -115,7 +128,10 @@ def get_session(app_name: str = "esxsnmp_tsdb_spark") -> SparkSession:
         # largest ops read bimodal 4.5↔10.9 s at 16g, steady 4.0-5.8 s at
         # 28g.  The sandbox has 128 GiB; on a cluster, sizing comes from
         # cluster_profile(), not this local default.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "28g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
+        )
         # Make explicit System.gc() (bench hygiene between queries, and the
         # ContextCleaner's periodic GC) run as a CONCURRENT cycle instead of
         # a stop-the-world full GC — cleaner weak-refs still get processed,

@@ -123,6 +123,12 @@ _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 
 
 def _table_stamp(sf_dir: str, name: str) -> tuple[int, int]:
+    # (size, mtime_ns) of the fixture FILE.  ADVICE r13: this guard
+    # assumes single-file fixtures (the driver contract's layout); a
+    # directory-style table rewritten in place with identical entry names
+    # could keep the directory stat unchanged and serve a stale listing —
+    # if the fixture layout ever becomes a directory, stat the newest
+    # part file here instead.
     st = os.stat(os.path.join(sf_dir, f"{name}.parquet"))
     return (st.st_size, st.st_mtime_ns)
 
@@ -134,6 +140,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (os.path.abspath(sf_dir), name)
     stamp = _table_stamp(sf_dir, name)
     try:
+        if spark not in _TABLE_CACHE and _TABLE_CACHE:
+            # ADVICE r13: the cached DataFrames hold strong refs back to
+            # their session, so weak keys alone never expire (value →
+            # session → key cycle rooted at this module-level dict).
+            # Evict on session turnover instead: a NEW session clears
+            # prior sessions' plans, bounding the memo to the active
+            # session (sessions are used one at a time here — bench,
+            # tests, the driver; interleaved multi-session use would
+            # only re-resolve, never misserve).
+            _TABLE_CACHE.clear()
         per_session = _TABLE_CACHE.setdefault(spark, {})
     except TypeError:  # un-weakref-able session shim: skip memoization
         per_session = {}
